@@ -71,8 +71,13 @@ def _canonical_name(names: list[str]) -> str:
     return max(sorted(set(names)), key=len)  # longest; ties → lexicographic min
 
 
-def merge_entity_group(group: list[Entity]) -> Entity:
-    """Deterministic entity merge (stand-in for the LLM merge, see module doc)."""
+def merge_entity_group(group: list[Entity], weights: list[int] | None = None) -> Entity:
+    """Deterministic entity merge (stand-in for the LLM merge, see module doc).
+
+    ``weights`` lets callers that pre-collapsed exact-duplicate mentions
+    (operators/dedup.py stage 1) vote for the majority label with the
+    original mention multiplicity, keeping engine and replica byte-identical.
+    """
     if len(group) == 1:
         e = group[0]
         return Entity(
@@ -85,7 +90,11 @@ def merge_entity_group(group: list[Entity]) -> Entity:
         )
     all_names = [e.name for e in group]
     name = _canonical_name(all_names)
-    label_counts = Counter(e.label for e in group)
+    if weights is None:
+        weights = [1] * len(group)
+    label_counts: Counter = Counter()
+    for e, w in zip(group, weights):
+        label_counts[e.label] += w
     top = max(label_counts.values())
     label = min(l for l, c in label_counts.items() if c == top)
     descriptions = sorted({e.description for e in group if e.description})

@@ -1,0 +1,218 @@
+"""Corpus-global canonicalization (the shuffle-heavy D-phase).
+
+Replaces the reference's in-memory greedy loop (deduplicate.py:19-65) with
+the scale path mandated by the north star: exact collapse → MinHash-LSH
+blocking → exact similarity re-check → iterative connected components →
+grouped deterministic merge → alias-dictionary broadcast remap join.
+
+Stage map (SURVEY.md §2):
+  1. exact collapse   — groupBy (name,label,description): 10^12 mentions
+                        shrink to ~|distinct entities| with map-side partial
+                        aggregation; carries mention multiplicity as weight.
+  2. strings table    — explode name+aliases; norm = token-sorted UPPER
+                        (so plain indel ratio(norm_a, norm_b) ≡ the
+                        reference's token_sort_ratio(upper) — D1 predicate,
+                        deduplicate.py:149-160).
+  3. exact edges      — star edges within equal-norm groups (D2).
+  4. fuzzy edges      — LSH candidate pairs over DISTINCT norms + pandas-UDF
+                        ratio ≥ 95 re-check (D1), mapped back to unit ids.
+  5. connected comps  — functions/components.py (order-independent closure
+                        of the greedy grouping; SURVEY.md §7.3).
+  6. merged entities  — groupBy(component).applyInPandas with the same
+                        deterministic merge policy as the replica oracle
+                        (kernels/canonicalize.py, weighted label vote).
+  7. endpoint remap   — name→canonical mapping joined onto relation
+                        source/target (AQE picks broadcast when the
+                        dictionary is small; D4).
+  8. relation merge   — groupBy(source,label,target) native agg ≡ the
+                        deterministic relation merge (D6/D7).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.components import connected_components
+from ..functions.minhash import char_shingles, lsh_candidate_pairs
+from ..kernels.canonicalize import DEDUP_SIMILARITY, merge_entity_group
+from ..kernels.records import Entity
+
+MERGED_ENTITY_SCHEMA = (
+    "component string, name string, label string, description string, "
+    "aliases array<string>, references array<string>, chunks array<int>"
+)
+
+_SEP = "\x1f"
+
+
+def _norm_expr(col):
+    """Token-sorted uppercase normalization: ratio(norm, norm) ≡ token_sort_ratio."""
+    toks = F.filter(F.split(F.upper(F.trim(col)), r"\s+"), lambda t: t != "")
+    return F.array_join(F.array_sort(toks), " ")
+
+
+def collapse_exact(entity_mentions: DataFrame) -> DataFrame:
+    """Stage 1: mentions → units keyed by (name,label,description)."""
+    return (
+        entity_mentions.groupBy("name", "label", "description")
+        .agg(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("aliases")))).alias("aliases"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("references")))).alias("references"),
+            F.array_sort(F.collect_set("chunk_id")).alias("chunks"),
+            F.count(F.lit(1)).alias("weight"),
+        )
+        .withColumn(
+            "uid", F.md5(F.concat_ws(_SEP, "name", "label", "description"))
+        )
+    )
+
+
+def similarity_edges(
+    units: DataFrame, similarity: float = DEDUP_SIMILARITY
+) -> DataFrame:
+    """Stages 2-4: uid pairs whose any-name/alias similarity ≥ threshold."""
+    strings = units.select(
+        "uid",
+        F.explode(
+            F.array_distinct(F.array_union(F.array("name"), F.coalesce("aliases", F.array())))
+        ).alias("s"),
+    ).withColumn("norm", _norm_expr(F.col("s"))).filter(F.col("norm") != "")
+
+    # exact: all uids sharing a norm form a star around the min uid (D2)
+    exact = (
+        strings.groupBy("norm")
+        .agg(F.collect_set("uid").alias("uids"))
+        .filter(F.size("uids") > 1)
+        .select(
+            F.array_min("uids").alias("src"),
+            F.explode("uids").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+    # fuzzy: LSH over distinct norms, then exact indel-ratio re-check (D1)
+    norms = strings.select("norm").distinct()
+    cand = lsh_candidate_pairs(
+        norms, "norm", char_shingles(F.col("norm"), 3), num_hashes=128, bands=32
+    )
+
+    @F.pandas_udf("double")
+    def _ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..kernels.similarity import ratio
+
+        return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+
+    verified = (
+        cand.withColumn("score", _ratio(F.col("id_a"), F.col("id_b")))
+        .filter(F.col("score") >= similarity * 100.0)
+        .select("id_a", "id_b")
+    )
+    norm_uid = strings.select("norm", "uid").distinct()
+    fuzzy = (
+        verified.join(norm_uid.withColumnRenamed("norm", "id_a").withColumnRenamed("uid", "src"), "id_a")
+        .join(norm_uid.withColumnRenamed("norm", "id_b").withColumnRenamed("uid", "dst"), "id_b")
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return exact.unionByName(fuzzy).dropDuplicates(["src", "dst"])
+
+
+def canonicalize_entities(
+    entity_mentions: DataFrame, similarity: float = DEDUP_SIMILARITY
+) -> tuple[DataFrame, DataFrame]:
+    """Full D-phase for entities → (merged_entities, name→canonical mapping)."""
+    units = collapse_exact(entity_mentions)
+    edges = similarity_edges(units, similarity)
+    comp = connected_components(edges, src="src", dst="dst")
+    units_c = units.join(comp.withColumnRenamed("id", "uid"), "uid", "left").withColumn(
+        "component", F.coalesce("component", "uid")
+    )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        ents = [
+            Entity(
+                name=n, label=l, description=d,
+                aliases=list(a), references=list(r), chunks=[int(c) for c in ch],
+            )
+            for n, l, d, a, r, ch in zip(
+                pdf["name"], pdf["label"], pdf["description"],
+                pdf["aliases"], pdf["references"], pdf["chunks"],
+            )
+        ]
+        m = merge_entity_group(ents, weights=[int(w) for w in pdf["weight"]])
+        return pd.DataFrame(
+            [
+                (
+                    pdf["component"].iloc[0], m.name, m.label, m.description,
+                    m.aliases or [], m.references or [], m.chunks or [],
+                )
+            ],
+            columns=[
+                "component", "name", "label", "description",
+                "aliases", "references", "chunks",
+            ],
+        )
+
+    merged = (
+        units_c.select(
+            "component", "name", "label", "description",
+            "aliases", "references", "chunks", "weight",
+        )
+        .groupBy("component")
+        .applyInPandas(_merge, schema=MERGED_ENTITY_SCHEMA)
+    )
+    merged = merged.cache()
+    mapping = (
+        units_c.select("component", F.col("name").alias("member"))
+        .join(
+            merged.select(
+                F.col("component"), F.col("name").alias("canonical")
+            ),
+            "component",
+        )
+        .filter(F.col("member") != F.col("canonical"))
+        .select("member", "canonical")
+        .distinct()
+    )
+    return merged.drop("component"), mapping
+
+
+def remap_and_merge_relations(
+    relation_mentions: DataFrame, mapping: DataFrame
+) -> DataFrame:
+    """Stages 7-8: rewrite endpoints to canonical names, merge triples.
+
+    The mapping join is the north star's alias-dictionary broadcast join —
+    AQE converts both left joins to broadcast when the dictionary fits,
+    otherwise they shuffle on the (already hash-partitionable) name key.
+    """
+    src_map = mapping.select(
+        F.col("member").alias("source"), F.col("canonical").alias("_src_c")
+    )
+    dst_map = mapping.select(
+        F.col("member").alias("target"), F.col("canonical").alias("_dst_c")
+    )
+    remapped = (
+        relation_mentions.join(src_map, "source", "left")
+        .join(dst_map, "target", "left")
+        .select(
+            F.coalesce("_src_c", "source").alias("source"),
+            "label",
+            F.coalesce("_dst_c", "target").alias("target"),
+            "description",
+            "references",
+            "chunk_id",
+        )
+    )
+    return (
+        remapped.groupBy("source", "label", "target")
+        .agg(
+            F.min("description").alias("description"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("references")))
+            ).alias("references"),
+            F.array_sort(F.collect_set("chunk_id")).alias("chunks"),
+        )
+    )

@@ -1,0 +1,112 @@
+"""Map-side extraction stages: html→text, chunking, ER mention extraction.
+
+Pipeline position (SURVEY.md §3.1 steps 2-4): all three stages are
+shuffle-free — pure ``mapInPandas`` / ``pandas_udf`` over the pages scan, so
+they scale linearly with input partitions and stay inside one stage.
+
+- ``with_text``     : html binary → text, byte-identical per url
+                      (north-star invariant; reference pipe.py:35-36).
+- ``chunk_pages``   : markdown-aware recursive split, 1-based ids
+                      (reference split_text, pipe.py:23-44).
+- ``extract_mentions``: per-chunk LLM (mock) extraction + alias promotion +
+                      reference completion (reference text.py:63-198) in ONE
+                      model pass, emitting a union mention table split into
+                      entity/relation views by the caller.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.chunker import split_markdown
+from ..kernels.refpipeline import extract_chunk
+from ..kernels.records import Chunk
+from ..sources.pages import html_to_text
+
+CHUNK_SCHEMA = "url string, chunk_id int, text string"
+
+MENTION_SCHEMA = (
+    "kind string, url string, chunk_id int, name string, label string, "
+    "description string, target string, aliases array<string>, "
+    "references array<string>"
+)
+
+MENTION_COLS = [
+    "kind", "url", "chunk_id", "name", "label", "description",
+    "target", "aliases", "references",
+]
+
+
+def with_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Replace/add the ``text`` column extracted from html (byte-identical)."""
+
+    @F.pandas_udf("string")
+    def _extract(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(html_to_text)
+
+    return pages.withColumn("text", _extract(F.col(html_col)))
+
+
+def chunk_pages(
+    pages: DataFrame, chunk_size: int = 8000, overlap: int = 400
+) -> DataFrame:
+    """pages(url, text, …) → chunks(url, chunk_id, text); map-only."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, ids, texts = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for i, c in enumerate(split_markdown(text, chunk_size, overlap)):
+                    urls.append(url)
+                    ids.append(i + 1)  # 1-based (pipe.py:40-43)
+                    texts.append(c)
+            yield pd.DataFrame({"url": urls, "chunk_id": ids, "text": texts})
+
+    return pages.select("url", "text").mapInPandas(gen, schema=CHUNK_SCHEMA)
+
+
+def extract_mentions(chunks: DataFrame) -> DataFrame:
+    """chunks → union mention table (kind 'E' | 'R'); map-only, one model pass.
+
+    Mirrors extract_er_from_chunk + find_alias + complete_reference
+    (text.py:63-198): each chunk's entity/relation mentions are emitted with
+    provenance (url, chunk_id). Alias promotion and endpoint remap happen
+    chunk-locally here; corpus-global canonicalization is operators/dedup.py.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, chunk_id, text in zip(pdf["url"], pdf["chunk_id"], pdf["text"]):
+                ents, rels = extract_chunk(Chunk(id=int(chunk_id), text=text))
+                for e in ents:
+                    rows.append((
+                        "E", url, int(chunk_id), e.name, e.label,
+                        e.description, None, e.aliases or [], e.references or [],
+                    ))
+                for r in rels:
+                    rows.append((
+                        "R", url, int(chunk_id), r.source, r.label,
+                        r.description, r.target, None, r.references or [],
+                    ))
+            yield pd.DataFrame(rows, columns=MENTION_COLS)
+
+    return chunks.mapInPandas(gen, schema=MENTION_SCHEMA)
+
+
+def split_mentions(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Union mention table → (entity_mentions, relation_mentions) views."""
+    entity_mentions = mentions.filter(F.col("kind") == "E").select(
+        "url", "chunk_id", "name", "label", "description", "aliases", "references"
+    )
+    relation_mentions = mentions.filter(F.col("kind") == "R").select(
+        "url", "chunk_id",
+        F.col("name").alias("source"), "label", "target",
+        "description", "references",
+    )
+    return entity_mentions, relation_mentions
