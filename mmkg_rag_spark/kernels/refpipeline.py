@@ -104,9 +104,12 @@ def mmodal_index(
             (e, image_entity_relevance([e.name] + (e.aliases or []), img.caption, img.texts or []))
             for e in entities
         ]
+        # reference sorts by score only (mmodal.py:223-226); its tie order is
+        # the arbitrary entity-list order, so we fix ties by name — the engine
+        # window (operators/mmodal.py) uses the same (score desc, name) rule
         ranked = [
             (e.name, s)
-            for e, s in sorted(scored, key=lambda x: x[1], reverse=True)
+            for e, s in sorted(scored, key=lambda x: (-x[1], x[0].name))
             if s >= IMAGE_MIN_RELEVANCE
         ][:IMAGE_CANDIDATE_CAP]
         raw = link_response(ranked, img)

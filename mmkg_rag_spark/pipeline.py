@@ -1,0 +1,105 @@
+"""End-to-end KG construction pipeline (engine composition root).
+
+pages(url, warc_ts, html, text, lang) ─┬─ with_text (byte-identical html→text)
+                                       ├─ chunk_pages ─ extract_mentions (map)
+                                       │    ├─ entity mentions ─ canonicalize (D)
+                                       │    └─ relation mentions ─ remap+merge
+                                       └─ image instances ─ describe ─ score/top8
+                                            └─ link → #image edges (M)
+Outputs: nodes (canonical entities), edges (triples ∪ image edges), images.
+
+Mirrors index_graph (reference pipe.py:47-111) restructured as a DAG of
+DataFrame stages; see operators/* for the per-stage scale notes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import canonicalize_entities, remap_and_merge_relations
+from .operators.extract import (
+    chunk_pages,
+    extract_mentions,
+    split_mentions,
+    with_text,
+)
+from .operators.mmodal import (
+    describe_images,
+    extract_image_instances,
+    filter_valid_images,
+    images_table,
+    link_images,
+    score_image_entities,
+)
+
+
+@dataclass
+class KGResult:
+    nodes: DataFrame
+    edges: DataFrame          # entity-entity triples
+    image_edges: DataFrame    # entity-image '#image*' triples
+    images: DataFrame
+    all_edges: DataFrame      # union, the materialized edge table
+
+
+def build_kg(
+    spark: SparkSession,
+    pages: DataFrame,
+    manifest: DataFrame | None = None,
+    chunk_size: int = 8000,
+    overlap: int = 400,
+    link_strategy: str = "auto",
+    use_html: bool = True,
+) -> KGResult:
+    """Run the full construction pipeline on a pages DataFrame."""
+    if use_html:
+        pages = with_text(pages)
+    pages = pages.select("url", "text")
+
+    chunks = chunk_pages(pages, chunk_size, overlap)
+    mentions = extract_mentions(chunks)
+    entity_mentions, relation_mentions = split_mentions(mentions)
+
+    nodes, mapping = canonicalize_entities(entity_mentions)
+    nodes = nodes.cache()
+    edges = remap_and_merge_relations(relation_mentions, mapping)
+
+    if manifest is None:
+        manifest = spark.createDataFrame([], "path string")
+    instances = filter_valid_images(extract_image_instances(pages), manifest)
+    described = describe_images(instances).cache()
+    top = score_image_entities(described, nodes, strategy=link_strategy)
+    image_edges = link_images(top)
+    images = images_table(described)
+
+    all_edges = edges.select(
+        "source", "label", "target", "description", "references"
+    ).unionByName(
+        image_edges.select("source", "label", "target", "description", "references")
+    )
+    return KGResult(
+        nodes=nodes,
+        edges=edges,
+        image_edges=image_edges,
+        images=images,
+        all_edges=all_edges,
+    )
+
+
+def degree_summary(result: KGResult) -> DataFrame:
+    """Flagship analytical query: top entities by degree across all edges."""
+    e = result.all_edges
+    deg = (
+        e.select(F.col("source").alias("name"))
+        .unionAll(e.select(F.col("target").alias("name")))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        result.nodes.join(deg, "name", "left")
+        .select("name", "label", F.coalesce("degree", F.lit(0)).alias("degree"))
+        .orderBy(F.desc("degree"), "name")
+    )
