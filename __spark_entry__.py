@@ -1,38 +1,590 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline end-to-end on
+pages derived from ``sf0.001`` and returns the degree summary.
+
+``queries()``/``oracle_sql()`` cover, per SURVEY.md §2 / §2.8:
+- relational operator classes the KG engine is built from (agg with
+  map-side partials, broadcast dim join, window top-k, k-hop expansion,
+  anti-join, unordered-pair grouping, set ops, scalar string funcs, regex
+  scan) — oracle-checked on the TPC-H-ish tables;
+- training-data pipeline operators (token/quality/lang/fingerprint stats,
+  exact + n-gram-Jaccard + embedding-cosine dedup, brute-force ANN) —
+  oracle-checked on ``documents``/``embeddings``;
+- non-SQL-expressible ops (MinHash-LSH, SimHash, sign-LSH ANN, rapidfuzz
+  fuzzy top-k, the full KG pipeline with iterative connected components) —
+  rows-only entries, exercised at sf0.01 either way.
+
+Float policy for oracle parity: all cross-engine doubles are produced by
+identical expression trees (same op order ⇒ identical IEEE results) or exact
+DECIMAL aggregation cast to double at the end; every emitted double is
+round()ed. Counts are BIGINT on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mmkg_rag_spark.functions import textstats as ts  # noqa: E402
+from mmkg_rag_spark.operators import ann, retrieval, textdedup  # noqa: E402
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _build_kg(spark: SparkSession, sf_dir: str):
+    from mmkg_rag_spark.pipeline import build_kg
+    from mmkg_rag_spark.sources.docpages import manifest_df, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return build_kg(spark, pages, manifest=manifest_df(spark))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction on sf0.001-derived pages → degree top-50."""
+    from mmkg_rag_spark.pipeline import degree_summary
+
+    return degree_summary(_build_kg(spark, DEFAULT_SF)).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dq = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    dp = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    ddp = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dq.alias("_dq"),
+            dp.alias("_dp"),
+            ddp.alias("_ddp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("_dq").cast("double"), 2).alias("sum_qty"),
+            F.round(F.col("_dp").cast("double"), 2).alias("sum_base_price"),
+            F.round(F.col("_ddp").cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.col("_dq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+            "count_order",
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers_per_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "rank")
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_mktsegment, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+  ) AS rank FROM customer
+) WHERE rank <= 5
+"""
+
+
+def q_dim_remap_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sp"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            F.round(F.col("_sp").cast("double"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_DIM_REMAP = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_khop_suppliers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    e1 = o.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("source"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("target"),
+    )
+    e2 = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("source"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("target"),
+    )
+    seeds = c.filter(F.col("c_custkey") <= 20).select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("name")
+    )
+    return retrieval.khop_neighbors(e1.unionAll(e2), seeds, hops=2)
+
+
+SQL_KHOP = """
+SELECT 'C' || c_custkey AS name, 0 AS hop FROM customer WHERE c_custkey <= 20
+UNION ALL
+SELECT DISTINCT 'O' || o_orderkey AS name, 1 AS hop FROM orders WHERE o_custkey <= 20
+UNION ALL
+SELECT DISTINCT 'S' || l_suppkey AS name, 2 AS hop
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey <= 20
+"""
+
+
+def q_anti_join_inactive(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(big, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000
+)
+"""
+
+
+def q_unordered_pair_merge(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.least("l_partkey", "l_suppkey").alias("pair_lo"),
+            F.greatest("l_partkey", "l_suppkey").alias("pair_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"),
+        )
+        .select("pair_lo", "pair_hi", "n", F.round(F.col("_q").cast("double"), 2).alias("sum_qty"))
+    )
+
+
+SQL_UNORDERED_PAIR = """
+SELECT least(l_partkey, l_suppkey) AS pair_lo,
+       greatest(l_partkey, l_suppkey) AS pair_hi,
+       COUNT(*) AS n,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+def q_set_ops_nations(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    only_cust = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey")).distinct()
+        .exceptAll(
+            s.filter(F.col("s_acctbal") > 9000)
+            .select(F.col("s_nationkey").alias("nationkey")).distinct()
+        )
+    )
+    return only_cust.join(
+        n.select(F.col("n_nationkey").alias("nationkey"), "n_name"), "nationkey"
+    ).select("nationkey", "n_name")
+
+
+SQL_SET_OPS = """
+SELECT nationkey, n_name
+FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+  EXCEPT
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+) x JOIN nation ON n_nationkey = nationkey
+"""
+
+
+def q_scalar_string_ops(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    # shorten_string(s, 10, 10) semantics: helper.py:39-45
+    short = F.when(
+        F.length("p_name") > 23,
+        F.concat(
+            F.expr("substr(p_name, 1, 10)"),
+            F.lit("..."),
+            F.expr("substr(p_name, length(p_name)-9, 10)"),
+        ),
+    ).otherwise(F.col("p_name"))
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        short.alias("name_short"),
+        F.upper("p_name").alias("name_upper"),
+    )
+
+
+SQL_SCALAR_STRING = """
+SELECT p_partkey, md5(p_name) AS name_md5,
+  CASE WHEN length(p_name) > 23
+       THEN substr(p_name, 1, 10) || '...' || substr(p_name, length(p_name)-9, 10)
+       ELSE p_name END AS name_short,
+  upper(p_name) AS name_upper
+FROM part
+"""
+
+
+def q_regex_scan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_sort(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col("text"), F.lit(r"\b(?:qu|sc)[a-z]+"), 0)
+                )
+            )
+        ).alias("token"),
+    )
+
+
+SQL_REGEX_SCAN = r"""
+SELECT doc_id, unnest(list_sort(list_distinct(
+  regexp_extract_all(text, '\b(?:qu|sc)[a-z]+')))) AS token
+FROM documents
+"""
+
+
+def q_doc_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ts.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ts.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id,
+  {ts.sql_token_count('text')} AS n_tokens,
+  {ts.sql_bpe_token_count('text')} AS n_bpe_tokens,
+  length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(ts.quality_score(F.col("text")), 4).alias("quality"),
+        F.round(ts.alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
+        F.round(ts.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        F.round(ts.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+    )
+
+
+SQL_DOC_QUALITY = f"""
+SELECT doc_id,
+  round({ts.sql_quality_score('text')}, 4) AS quality,
+  round({ts.sql_alpha_ratio('text')}, 4) AS alpha_ratio,
+  round({ts.sql_stopword_ratio('text')}, 4) AS stopword_ratio,
+  round({ts.sql_punct_ratio('text')}, 4) AS punct_ratio
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(ts.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_DOC_LANG_ID = f"""
+SELECT {ts.sql_lang_id('text')} AS lang_pred, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", ts.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+        )
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT source, COUNT(*) AS n_docs,
+  COUNT(DISTINCT {ts.sql_fingerprint('text')}) AS n_distinct_fp
+FROM documents GROUP BY source
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    return textdedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT {ts.sql_fingerprint('text')} AS fp, MIN(doc_id) AS keep_id,
+  COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return textdedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
+  )) AS shingle FROM w
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def q_events_window_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_sv"),
+        )
+        .select(
+            "event_type", "day", "n",
+            F.round(F.col("_sv").cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return textdedup.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ann.brute_topk_cosine(e, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_ANN_BRUTE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nn_id,
+    round(list_dot_product(qv, v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS score
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, nn_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank
+  FROM scored
+)
+SELECT query_id, nn_id, rank, score FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: LSH / iterative / rapidfuzz)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dup(spark, sf_dir):
+    return textdedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    return textdedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.lsh_topk_cosine(e, q, k=5).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_fuzzy_topk_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.array("p_name").alias("fields")
+    )
+    return retrieval.fuzzy_topk(
+        p, ["red widget", "blue bolt"], "fields", ["p_partkey"], max_num=3
+    )
+
+
+def q_kg_nodes(spark, sf_dir):
+    kg = _build_kg(spark, sf_dir)
+    return kg.nodes.select(
+        "name", "label", "description",
+        F.size("aliases").cast("long").alias("n_aliases"),
+        F.size("chunks").cast("long").alias("n_chunks"),
+    )
+
+
+def q_kg_edges(spark, sf_dir):
+    kg = _build_kg(spark, sf_dir)
+    return kg.all_edges.select("source", "label", "target")
+
+
+def q_kg_degree_topk(spark, sf_dir):
+    from mmkg_rag_spark.pipeline import degree_summary
+
+    return degree_summary(_build_kg(spark, sf_dir)).limit(20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "top_customers_per_segment": q_top_customers_per_segment,
+        "dim_remap_join": q_dim_remap_join,
+        "khop_suppliers": q_khop_suppliers,
+        "anti_join_inactive": q_anti_join_inactive,
+        "unordered_pair_merge": q_unordered_pair_merge,
+        "set_ops_nations": q_set_ops_nations,
+        "scalar_string_ops": q_scalar_string_ops,
+        "regex_scan": q_regex_scan,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "events_window_agg": q_events_window_agg,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "fuzzy_topk_parts": q_fuzzy_topk_parts,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        "kg_degree_topk": q_kg_degree_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_pricing_summary": SQL_AGG_PRICING,
+        "top_customers_per_segment": SQL_TOP_CUSTOMERS,
+        "dim_remap_join": SQL_DIM_REMAP,
+        "khop_suppliers": SQL_KHOP,
+        "anti_join_inactive": SQL_ANTI_JOIN,
+        "unordered_pair_merge": SQL_UNORDERED_PAIR,
+        "set_ops_nations": SQL_SET_OPS,
+        "scalar_string_ops": SQL_SCALAR_STRING,
+        "regex_scan": SQL_REGEX_SCAN,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_quality": SQL_DOC_QUALITY,
+        "doc_lang_id": SQL_DOC_LANG_ID,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "events_window_agg": SQL_EVENTS_WINDOW,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "ann_topk_bruteforce": SQL_ANN_BRUTE,
+    }

@@ -1,0 +1,82 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+
+The query set covers the engine's phases: full KG construction (scan →
+chunk → extract → LSH/CC canonicalize → mmodal link → degree), the
+relational operator classes, and the training-data pipeline (dedup families,
+text stats, ANN). Each query is timed to first full materialization
+(collect of its — small — result; every query ends in an agg/top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "agg_pricing_summary",
+    "dim_remap_join",
+    "top_customers_per_segment",
+    "unordered_pair_merge",
+    "khop_suppliers",
+    "events_window_agg",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_lang_id",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "kg_degree_topk",
+]
+
+# reduce result materialization cost for wide outputs: count instead of collect
+COUNT_ONLY = {"doc_token_stats", "doc_quality", "exact_dedup", "unordered_pair_merge"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as se
+    from mmkg_rag_spark.session import get_spark
+
+    spark = get_spark(app_name="mmkg-bench")
+    qs = se.queries()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        if name in COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    pages_per_sec = round(n_pages / timings["kg_degree_topk"], 2)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "pages_per_sec": pages_per_sec,
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two physical strategies for top-k cosine neighbors:
+
+- ``brute_topk_cosine`` : queries ⨯ corpus scored natively — the *queries*
+  side is broadcast (queries ≪ corpus always), so the corpus scan streams
+  once with no shuffle; top-k via window over (query, score). Exact — the
+  correctness baseline and the oracle-checked path.
+
+- ``lsh_topk_cosine``   : random-hyperplane (sign) LSH — corpus hashed into
+  multi-probe sign-bucket keys with seeded hyperplanes derived from
+  deterministic constants; candidates = bucket-join; exact re-score + top-k
+  on candidates only. The 100 TB path: per-query work ∝ bucket size, and the
+  bucket join shuffles on uniformly-distributed hash keys.
+
+Hyperplanes are generated from SHA-based constants (no RNG state), so plans
+are reproducible across runs/executors — same property as functions/minhash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textdedup import cosine
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes via Box-Muller over SHA bits."""
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        for i in range(0, dim, 2):
+            raw = hashlib.sha256(f"{seed}:{p}:{i}".encode()).digest()
+            u1 = (int.from_bytes(raw[:8], "big") + 1) / (2**64 + 2)
+            u2 = int.from_bytes(raw[8:16], "big") / 2**64
+            r = math.sqrt(-2.0 * math.log(u1))
+            vals.append(r * math.cos(2 * math.pi * u2))
+            if i + 1 < dim:
+                vals.append(r * math.sin(2 * math.pi * u2))
+        planes.append(vals[:dim])
+    return planes
+
+
+def _sign_key(vec, planes: list[list[float]]):
+    """Bucket key column: sign bit per hyperplane packed into a long."""
+    key = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        key = key.bitwiseOR(
+            F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return key
+
+
+def brute_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Scores are rounded to 6 decimals *before* ranking so the rank order is a
+    pure function of the rounded values the oracle also computes — float
+    summation-order noise can never flip a rank across engines.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("nn_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", "nn_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "rank", "score")
+    )
+
+
+def lsh_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket candidates, exact re-score.
+
+    ``n_tables`` independent hash tables (union of buckets) trade shuffle
+    volume for recall; collision prob. for angle θ is (1−θ/π)^n_planes per
+    table. Candidates are deduped before scoring so each (query, vec) pair
+    is scored once.
+
+    Defaults (4 planes × 8 tables) are tuned for *near-orthogonal* corpora
+    (θ ≈ 60-70° nearest neighbors — the hardest regime, where any LSH probes
+    a large corpus fraction): candidate fraction ≈ 40%, recall ≈ 0.7. On
+    clustered real-world embeddings (θ ≪ 45° for true neighbors) raise
+    n_planes to shrink buckets — collision prob. for close pairs stays ≈ 1
+    while the candidate fraction drops geometrically.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    )
+
+    c_keys = []
+    q_keys = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 101 * t)
+        c_keys.append(
+            F.struct(F.lit(t).alias("tbl"), _sign_key(F.col("v"), planes).alias("bkey"))
+        )
+        q_keys.append(
+            F.struct(F.lit(t).alias("tbl"), _sign_key(F.col("qv"), planes).alias("bkey"))
+        )
+    c_b = c.select("nn_id", "v", F.explode(F.array(*c_keys)).alias("bk")).select(
+        "nn_id", "v", "bk.tbl", "bk.bkey"
+    )
+    q_b = q.select("query_id", "qv", F.explode(F.array(*q_keys)).alias("bk")).select(
+        "query_id", "qv", "bk.tbl", "bk.bkey"
+    )
+    cand = (
+        q_b.join(c_b, ["tbl", "bkey"])
+        .filter(F.col("nn_id") != F.col("query_id"))
+        .select("query_id", "qv", "nn_id", "v")
+        .dropDuplicates(["query_id", "nn_id"])
+    )
+    scored = cand.withColumn(
+        "score", F.round(cosine(F.col("qv"), F.col("v")), 6)
+    ).select("query_id", "nn_id", "score")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "rank", "score")
+    )

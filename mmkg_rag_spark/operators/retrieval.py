@@ -1,0 +1,133 @@
+"""Query-side operators (SURVEY.md §2.6 R2-R4) as DataFrame plans.
+
+The reference's retrieval walks in-memory lists and a networkx graph
+(retrieval/search.py). Here:
+
+- R2 fuzzy top-k  : keywords (tiny) are **broadcast** against the scored
+  table; rapidfuzz-style token_ratio runs in an Arrow-batched pandas UDF
+  over the candidate rows; top-k via global window (result caps are ≤ a few
+  rows, per reference defaults max_num=3).
+- R3 k-hop        : iterative edges⋈frontier equi-join, both orientations
+  (graph is undirected, search.py:46-57); frontier stays small (seeds +
+  neighbors), so every iteration is a broadcast join against the big edge
+  table — no shuffle of the edges at all.
+- R4 composition  : seeds ∪ hop-expansion with set subtraction (anti-join)
+  and caps, mirroring search_eris (search.py:277-322).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIMILARITY_THRESHOLD = 15  # search.py:81 default
+MAX_NUM = 3                # search.py:277-283
+
+
+def _token_ratio_udf():
+    @F.pandas_udf("double")
+    def _score(keyword: pd.Series, field: pd.Series) -> pd.Series:
+        from ..kernels.similarity import token_ratio
+
+        return pd.Series(
+            [token_ratio(k, f) for k, f in zip(keyword, field)], dtype="float64"
+        )
+
+    return _score
+
+
+def fuzzy_topk(
+    items: DataFrame,
+    keywords: list[str],
+    fields_col: str,
+    id_cols: list[str],
+    max_num: int = MAX_NUM,
+    threshold: float = SIMILARITY_THRESHOLD,
+) -> DataFrame:
+    """R2: score(item) = max over keyword×field token_ratio; top ``max_num``.
+
+    ``fields_col`` is an array<string> column (entity: [name]+aliases,
+    search.py:118-128; image: [caption]+texts, search.py:131-148).
+    """
+    kw = F.array(*[F.lit(k) for k in keywords])
+    pairs = items.select(
+        *id_cols,
+        F.explode(F.col(fields_col)).alias("_field"),
+    ).withColumn("_kw", F.explode(kw))
+    scored = (
+        pairs.withColumn("_s", _token_ratio_udf()(F.col("_kw"), F.col("_field")))
+        .groupBy(*id_cols)
+        .agg(F.max("_s").alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+    w = Window.orderBy(F.desc("score"), *[F.asc(c) for c in id_cols])
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_num)
+        .select(*id_cols, F.round("score", 4).alias("score"), "rank")
+    )
+
+
+def khop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 1,
+    src_col: str = "source",
+    dst_col: str = "target",
+    seed_col: str = "name",
+) -> DataFrame:
+    """R3: vertices within ``hops`` undirected hops of the seed set.
+
+    Returns (name, hop) with hop = BFS depth (seeds at 0; min depth wins,
+    matching nx.single_source_shortest_path_length semantics,
+    search.py:151-215). Frontier is broadcast each round — the edge table is
+    scanned, never shuffled; ``hops`` is small (reference default 1).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+
+    visited = seeds.select(F.col(seed_col).alias("name")).distinct().withColumn(
+        "hop", F.lit(0)
+    )
+    frontier = visited.select("name")
+    for depth in range(1, hops + 1):
+        nxt = (
+            sym.join(F.broadcast(frontier.withColumnRenamed("name", "a")), "a")
+            .select(F.col("b").alias("name"))
+            .distinct()
+            .join(visited.select("name"), "name", "left_anti")
+            .withColumn("hop", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("name")
+    return visited
+
+
+def expand_seeds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 1,
+    max_related: int | None = None,
+    src_col: str = "source",
+    dst_col: str = "target",
+    seed_col: str = "name",
+) -> DataFrame:
+    """R4 composition: related (non-seed) vertices of the seed set, capped.
+
+    Mirrors search_eris' related-entity set: expansion minus the seeds
+    (search.py:309-310) with an optional cap (search.py:312-313).
+    """
+    related = khop_neighbors(edges, seeds, hops, src_col, dst_col, seed_col).filter(
+        F.col("hop") > 0
+    )
+    if max_related is not None:
+        w = Window.orderBy(F.asc("hop"), F.asc("name"))
+        related = (
+            related.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= max_related)
+            .drop("rank")
+        )
+    return related

@@ -1,0 +1,231 @@
+"""Document-level deduplication operators (training-data pipeline).
+
+Five dedup families, each designed shuffle-minimal for the 100 TB path:
+
+- exact            : one groupBy on a 128-bit fingerprint (map-side partial
+                     agg collapses duplicates before the shuffle).
+- n-gram Jaccard   : shared-shingle equi-join — candidate count scales with
+                     actually-shared shingles, never |D|², frequency-capped
+                     to kill stopword-shingle blowup; exact Jaccard from
+                     integer intersection/size counts (oracle-checkable).
+- MinHash + LSH    : functions/minhash.py banding (native expressions) →
+                     candidate pairs → exact Jaccard verify join.
+- SimHash          : 64-bit native simhash → 4×16-bit band join (any pair
+                     within Hamming ≤3 of 64 shares ≥1 of 16-bit chunks by
+                     pigeonhole when bands=4 ... distance ≤ bands-1) →
+                     bit_count(xor) verify.
+- embedding cosine : brute-force pair join at test scale; the ANN module
+                     (operators/ann.py) is the scale path.
+
+All pair outputs use (id_a < id_b) canonical orientation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.minhash import lsh_candidate_pairs, word_shingles
+from ..functions.textstats import fingerprint, hamming64, simhash64
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (keep_id, dup_count) per distinct fingerprint.
+
+    ``keep_id`` = min id in the group — the canonical survivor. One shuffle;
+    the md5 key is uniform, so no skew handling needed.
+    """
+    return (
+        docs.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("fp", "keep_id", "dup_count")
+    )
+
+
+def _doc_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) distinct word-n-gram rows, lower-cased."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.trim(F.lower(F.col(text_col))), n))
+        ).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → drop shingles appearing in more than
+    ``max_shingle_freq`` docs (a shingle shared by f docs creates f² pair
+    candidates — the classic quadratic blowup; at threshold ≥ 0.5 dropping
+    ultra-common shingles cannot remove a qualifying pair's *every* shared
+    shingle unless the pair is dominated by boilerplate) → self-join on
+    shingle → groupBy pair counting the intersection → join doc sizes →
+    Jaccard from integers. Shuffles: shingle groupBy + pair groupBy + two
+    size joins; all keys well-distributed post frequency cap.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") <= max_shingle_freq)
+        .select("shingle")
+    )
+    sh = sh.join(freq_ok, "shingle")
+
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard — the web-scale path.
+
+    b=32, r=4 → collision-probability S-curve centered near t=(1/b)^(1/r)≈0.42,
+    so recall at J≥0.5 is ≈1 while the candidate count stays ∝ true near-dups.
+    The verify join recomputes exact Jaccard on the candidates only.
+    """
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    cand = lsh_candidate_pairs(
+        base,
+        "id",
+        word_shingles(F.trim(F.lower(F.col("text"))), n),
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    sh = _doc_shingles(base, "id", "text", n)
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    return (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dups: pairs within Hamming distance ``max_hamming``.
+
+    Banding: the 64-bit hash splits into 4 16-bit chunks; distance ≤ 3 ⇒ at
+    least one chunk is identical (pigeonhole), so the equi-join on
+    (chunk_index, chunk_value) finds every qualifying pair. One shuffle on
+    the chunk key; bit_count verify is codegen'd.
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+    ).localCheckpoint(eager=False)
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.call_function(
+                            "shiftrightunsigned", F.col("sig"), F.lit(i * 16)
+                        )
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["band", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<double> columns — native aggregate.
+
+    Sequential left-to-right summation, matching the oracle SQL's
+    list_dot_product over DOUBLE[] so both engines produce identical doubles.
+    """
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, brute-force pair join.
+
+    Correctness baseline (oracle-checked). The O(n²) pair join is fine at
+    verification scale; at corpus scale use operators/ann.lsh_topk_cosine to
+    generate candidates and this verify expression on top.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,211 @@
+"""Tests for the training-data pipeline operators: text stats, dedup, ANN.
+
+Strategy mirrors SURVEY.md §5: deterministic golden assertions on small
+planted inputs; the DuckDB-oracle parity for the same operators runs via
+tools/check_oracle.py / the driver harness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mmkg_rag_spark.functions import textstats as ts
+from mmkg_rag_spark.operators import ann, retrieval, textdedup
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(master="local[4]", shuffle_partitions=8, app_name="pytest-tdp")
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "The  quick brown fox jumps over the lazy dog"),  # ws/case variant
+    (2, "a completely different document about spark engines and scale"),
+    (3, "the quick brown fox jumps over the lazy cat today"),  # near-dup of 0
+    (4, "der hund und die katze und der vogel sind nicht da"),  # German
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_counts(docs):
+    rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            ts.token_count(F.col("text")).alias("n"),
+            ts.bpe_token_count(F.col("text")).alias("nb"),
+        ).collect()
+    }
+    assert rows[0].n == 9
+    assert rows[1].n == 9  # double space collapses (regex \s+)
+    assert rows[0].nb == 9  # no punctuation → same as words
+
+
+def test_quality_and_ratios(docs):
+    r = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            ts.stopword_ratio(F.col("text")).alias("sw"),
+            ts.punct_ratio(F.col("text")).alias("p"),
+            ts.quality_score(F.col("text")).alias("q"),
+        )
+        .collect()[0]
+    )
+    assert math.isclose(r.sw, 2 / 9)  # 'the' twice
+    assert r.p == 0.0
+    assert 0.0 < r.q <= 1.0
+
+
+def test_lang_id(docs):
+    rows = {
+        r.doc_id: r.lang
+        for r in docs.select("doc_id", ts.lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert rows[0] == "en"
+    assert rows[4] == "de"
+
+
+def test_fingerprint_normalizes_ws_and_case(docs):
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", ts.fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_exact_duplicates(docs):
+    groups = {r.keep_id: r.dup_count for r in textdedup.exact_duplicates(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert groups[2] == 1
+
+
+def test_simhash_deterministic_and_close(docs):
+    sig = docs.select("doc_id", ts.simhash64(F.col("text")).alias("s"))
+    a = {r.doc_id: r.s for r in sig.collect()}
+    b = {r.doc_id: r.s for r in sig.collect()}
+    assert a == b  # deterministic
+    ham = docs.alias("x").crossJoin(docs.alias("y")).select(
+        F.col("x.doc_id").alias("i"),
+        F.col("y.doc_id").alias("j"),
+        ts.hamming64(
+            ts.simhash64(F.col("x.text")), ts.simhash64(F.col("y.text"))
+        ).alias("h"),
+    )
+    hm = {(r.i, r.j): r.h for r in ham.collect()}
+    assert hm[(0, 1)] == 0  # case/ws-insensitive token set → same signature
+    assert hm[(0, 3)] < hm[(0, 2)]  # near-dup closer than unrelated
+
+
+def test_ngram_jaccard_finds_planted_pair(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in textdedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical after norm
+    assert (0, 3) in pairs  # near-dup
+    assert all(2 not in p for p in pairs)
+
+
+def test_minhash_matches_exact_on_planted(docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in textdedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b)
+        for r in textdedup.minhash_near_duplicates(docs, n=2, threshold=0.5).collect()
+    }
+    assert mh == exact  # verify-join makes precision exact; recall 1.0 here
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {(r.id_a, r.id_b) for r in textdedup.simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert (0, 1) in pairs
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [0.5, 0.5, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_duplicates(vecs):
+    pairs = {(r.id_a, r.id_b): r.cos for r in textdedup.embedding_near_duplicates(vecs, threshold=0.9).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_brute_topk_matches_numpy(vecs):
+    import numpy as np
+
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        (r.nn_id, r.rank)
+        for r in ann.brute_topk_cosine(vecs, q, k=3).orderBy("rank").collect()
+    ]
+    m = np.array([v for _, v in VECS], dtype=np.float64)
+    sims = (m @ m[0]) / (np.linalg.norm(m, axis=1) * np.linalg.norm(m[0]))
+    order = [i for i in np.argsort(-np.round(sims, 6), kind="stable") if i != 0][:3]
+    assert [g[0] for g in got] == [int(i) for i in order]
+
+
+def test_lsh_topk_subset_of_brute(vecs):
+    q = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {
+        (r.query_id, r.nn_id, r.score)
+        for r in ann.brute_topk_cosine(vecs, q, k=4).collect()
+    }
+    approx = {
+        (r.query_id, r.nn_id, r.score)
+        for r in ann.lsh_topk_cosine(vecs, q, k=4, dim=4).collect()
+    }
+    assert approx <= brute or all(
+        any(b[0] == a[0] and b[1] == a[1] for b in brute) for a in approx
+    )
+    assert len(approx) > 0
+
+
+def test_fuzzy_topk(spark):
+    items = spark.createDataFrame(
+        [(1, ["red widget"]), (2, ["blue bolt"]), (3, ["green gear"])],
+        "id long, fields array<string>",
+    )
+    got = retrieval.fuzzy_topk(items, ["red widget"], "fields", ["id"], max_num=2)
+    rows = got.orderBy("rank").collect()
+    assert rows[0].id == 1 and rows[0].score == 100.0
+
+
+def test_khop_neighbors(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "source string, target string",
+    )
+    seeds = spark.createDataFrame([("a",)], "name string")
+    got = {
+        (r.name, r.hop)
+        for r in retrieval.khop_neighbors(edges, seeds, hops=2).collect()
+    }
+    assert got == {("a", 0), ("b", 1), ("c", 2)}
