@@ -123,7 +123,9 @@ def canonicalize_entities(
     entity_mentions: DataFrame, similarity: float = DEDUP_SIMILARITY
 ) -> tuple[DataFrame, DataFrame]:
     """Full D-phase for entities → (merged_entities, name→canonical mapping)."""
-    units = collapse_exact(entity_mentions)
+    # units feeds three consumers (similarity edges, merge, mapping) and the
+    # CC loop forces several actions — cache to avoid re-aggregating mentions.
+    units = collapse_exact(entity_mentions).cache()
     edges = similarity_edges(units, similarity)
     comp = connected_components(edges, src="src", dst="dst")
     units_c = units.join(comp.withColumnRenamed("id", "uid"), "uid", "left").withColumn(

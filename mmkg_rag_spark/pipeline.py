@@ -57,10 +57,16 @@ def build_kg(
     """Run the full construction pipeline on a pages DataFrame."""
     if use_html:
         pages = with_text(pages)
-    pages = pages.select("url", "text")
+    # pages feeds two branches (chunking and M1 image scan) and mentions feed
+    # many downstream actions (LSH, CC iterations, merges, both edge unions):
+    # cache both or every action re-runs the extraction UDF chain. In the
+    # staged runner (run.py) the same role is played by snapshot parquet
+    # between stages — the correct shape at cluster scale, where caching a
+    # pages-wide projection would not fit and a re-scan is the norm.
+    pages = pages.select("url", "text").cache()
 
     chunks = chunk_pages(pages, chunk_size, overlap)
-    mentions = extract_mentions(chunks)
+    mentions = extract_mentions(chunks).cache()
     entity_mentions, relation_mentions = split_mentions(mentions)
 
     nodes, mapping = canonicalize_entities(entity_mentions)

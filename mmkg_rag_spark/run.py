@@ -1,0 +1,168 @@
+"""Resumable staged KG-construction driver (spark-submit entrypoint).
+
+    spark-submit --py-files mmkg_rag_spark.zip -m ...  # cluster
+    python -m mmkg_rag_spark.run --n-docs 200          # sandbox
+
+Runs the pipeline as checkpointed stages. Each stage's output is a catalog
+snapshot keyed by the fingerprint of (stage, params, input snapshot); a
+re-run — e.g. after a crash — **skips every stage whose snapshot already
+exists** and resumes at the first missing one (north-rule resume semantics;
+kill this process at any point and re-invoke with the same args to verify).
+Each stage also appends per-partition lineage/metrics rows (metrics.py).
+
+Stage DAG (SURVEY.md §3.1 restructured):
+  pages → mentions(map) → nodes+mapping(D-phase) → edges(remap)
+        ↘ images+image_edges(M-phase, needs nodes)  → summary
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _stage(catalog, name, snap, input_snap, compute, force=False):
+    """Resume-or-compute one stage; returns the stage's DataFrame."""
+    t0 = time.time()
+    if not force and catalog.has_snapshot(name, snap):
+        print(f"[resume] {name} snap-{snap}: exists, skipping compute")
+        return catalog.read(name, snap)
+    df = compute()
+    path = catalog.write(df, name, snap, meta={"input": input_snap})
+    wall_ms = int((time.time() - t0) * 1000)
+    from .metrics import record_stage
+
+    record_stage(catalog, name, snap, input_snap, path, wall_ms)
+    out = catalog.read(name, snap)
+    print(f"[run   ] {name} snap-{snap}: {out.count()} rows in {wall_ms} ms")
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="staged resumable KG build")
+    ap.add_argument("--n-docs", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--sf-dir", default=None,
+                    help="derive pages from this testdata dir instead of --n-docs")
+    ap.add_argument("--warehouse", default="./warehouse")
+    ap.add_argument("--chunk-size", type=int, default=8000)
+    ap.add_argument("--overlap", type=int, default=400)
+    ap.add_argument("--force", action="store_true", help="recompute all stages")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .operators.dedup import canonicalize_entities, remap_and_merge_relations
+    from .operators.extract import chunk_pages, extract_mentions, split_mentions, with_text
+    from .operators.mmodal import (
+        describe_images,
+        extract_image_instances,
+        filter_valid_images,
+        link_images,
+        score_image_entities,
+    )
+    from .session import get_spark
+    from .sources.catalog import ParquetCatalog, fingerprint
+    from .sources.pages import gen_pages_df, image_manifest
+
+    spark = get_spark(master=args.master, app_name="kg-build")
+    catalog = ParquetCatalog(spark, args.warehouse)
+
+    # -- stage 1: pages ----------------------------------------------------
+    if args.sf_dir:
+        from .sources.docpages import pages_from_documents
+
+        pages_fp = fingerprint("pages", "sf", args.sf_dir)
+        pages = _stage(
+            catalog, "pages", pages_fp, "-",
+            lambda: pages_from_documents(spark, args.sf_dir), args.force,
+        )
+    else:
+        pages_fp = fingerprint("pages", "gen", args.n_docs, args.seed)
+        pages = _stage(
+            catalog, "pages", pages_fp, "-",
+            lambda: gen_pages_df(spark, args.n_docs, args.seed), args.force,
+        )
+
+    # -- stage 2: mention extraction (map-only) ----------------------------
+    mentions_fp = fingerprint("mentions", args.chunk_size, args.overlap, pages_fp)
+    mentions = _stage(
+        catalog, "mentions", mentions_fp, pages_fp,
+        lambda: extract_mentions(
+            chunk_pages(
+                with_text(pages).select("url", "text"),
+                args.chunk_size, args.overlap,
+            )
+        ),
+        args.force,
+    )
+    entity_mentions, relation_mentions = split_mentions(mentions)
+
+    # -- stage 3: canonical nodes + alias mapping (D-phase) ----------------
+    nodes_fp = fingerprint("nodes", mentions_fp)
+
+    def _nodes():
+        nodes, mapping = canonicalize_entities(entity_mentions)
+        # carry the mapping inside one snapshot: tag rows
+        n = nodes.select(
+            F.lit("node").alias("kind"), "name", "label", "description",
+            "aliases", "references", "chunks",
+        )
+        m = mapping.select(
+            F.lit("map").alias("kind"),
+            F.col("member").alias("name"),
+            F.col("canonical").alias("label"),
+            F.lit(None).cast("string").alias("description"),
+            F.lit(None).cast("array<string>").alias("aliases"),
+            F.lit(None).cast("array<string>").alias("references"),
+            F.lit(None).cast("array<int>").alias("chunks"),
+        )
+        return n.unionByName(m)
+
+    nodes_all = _stage(catalog, "nodes", nodes_fp, mentions_fp, _nodes, args.force)
+    nodes = nodes_all.filter(F.col("kind") == "node").drop("kind")
+    mapping = nodes_all.filter(F.col("kind") == "map").select(
+        F.col("name").alias("member"), F.col("label").alias("canonical")
+    )
+
+    # -- stage 4: canonical edges ------------------------------------------
+    edges_fp = fingerprint("edges", nodes_fp)
+    edges = _stage(
+        catalog, "edges", edges_fp, nodes_fp,
+        lambda: remap_and_merge_relations(relation_mentions, mapping), args.force,
+    )
+
+    # -- stage 5: multimodal image edges -----------------------------------
+    img_fp = fingerprint("image_edges", nodes_fp, pages_fp)
+
+    def _image_edges():
+        manifest = spark.createDataFrame([(p,) for p in image_manifest()], "path string")
+        inst = filter_valid_images(
+            extract_image_instances(with_text(pages).select("url", "text")), manifest
+        )
+        top = score_image_entities(describe_images(inst), nodes)
+        return link_images(top)
+
+    image_edges = _stage(catalog, "image_edges", img_fp, nodes_fp, _image_edges, args.force)
+
+    # -- summary -----------------------------------------------------------
+    all_edges = edges.select("source", "label", "target").unionByName(
+        image_edges.select("source", "label", "target")
+    )
+    deg = (
+        all_edges.select(F.col("source").alias("name"))
+        .unionAll(all_edges.select(F.col("target").alias("name")))
+        .groupBy("name").count().orderBy(F.desc("count"), "name")
+    )
+    n_nodes, n_edges, n_img = nodes.count(), edges.count(), image_edges.count()
+    print(f"nodes={n_nodes} edges={n_edges} image_edges={n_img}")
+    print("top degrees:")
+    for r in deg.limit(5).collect():
+        print(f"  {r['name']}: {r['count']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
