@@ -70,7 +70,9 @@ def collapse_exact(entity_mentions: DataFrame) -> DataFrame:
 
 
 def similarity_edges(
-    units: DataFrame, similarity: float = DEDUP_SIMILARITY
+    units: DataFrame,
+    similarity: float = DEDUP_SIMILARITY,
+    pairwise_threshold: int = 300,
 ) -> DataFrame:
     """Stages 2-4: uid pairs whose any-name/alias similarity ≥ threshold."""
     strings = units.select(
@@ -92,23 +94,43 @@ def similarity_edges(
         .filter(F.col("src") != F.col("dst"))
     )
 
-    # fuzzy: LSH over distinct norms, then exact indel-ratio re-check (D1)
+    # fuzzy: candidate pairs over DISTINCT norms + exact indel-ratio check (D1).
+    # Adaptive physical strategy: the distinct-norm set is the *entity
+    # vocabulary*, vastly smaller than the mention stream. When it fits a
+    # driver-side pairwise pass (≤ pairwise_threshold strings ⇒ ≤ ~45k ratio
+    # calls) that beats the LSH machinery's ~6 fixed shuffle jobs; above it,
+    # MinHash-LSH banding + a vectorized re-check UDF is the 10^12-row path.
     norms = strings.select("norm").distinct()
-    cand = lsh_candidate_pairs(
-        norms, "norm", char_shingles(F.col("norm"), 3), num_hashes=128, bands=32
-    )
+    n_norms = norms.count()
+    if n_norms <= pairwise_threshold:
+        from ..kernels.similarity import ratio as _ratio_fn
 
-    @F.pandas_udf("double")
-    def _ratio(a: pd.Series, b: pd.Series) -> pd.Series:
-        from ..kernels.similarity import ratio
+        vals = sorted(r.norm for r in norms.collect())
+        pairs = [
+            (a, b)
+            for i, a in enumerate(vals)
+            for b in vals[i + 1 :]
+            if _ratio_fn(a, b) >= similarity * 100.0
+        ]
+        verified = units.sparkSession.createDataFrame(
+            pairs, "id_a string, id_b string"
+        ) if pairs else units.sparkSession.createDataFrame([], "id_a string, id_b string")
+    else:
+        cand = lsh_candidate_pairs(
+            norms, "norm", char_shingles(F.col("norm"), 3), num_hashes=128, bands=32
+        )
 
-        return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+        @F.pandas_udf("double")
+        def _ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+            from ..kernels.similarity import ratio
 
-    verified = (
-        cand.withColumn("score", _ratio(F.col("id_a"), F.col("id_b")))
-        .filter(F.col("score") >= similarity * 100.0)
-        .select("id_a", "id_b")
-    )
+            return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+
+        verified = (
+            cand.withColumn("score", _ratio(F.col("id_a"), F.col("id_b")))
+            .filter(F.col("score") >= similarity * 100.0)
+            .select("id_a", "id_b")
+        )
     norm_uid = strings.select("norm", "uid").distinct()
     fuzzy = (
         verified.join(norm_uid.withColumnRenamed("norm", "id_a").withColumnRenamed("uid", "src"), "id_a")
@@ -120,14 +142,24 @@ def similarity_edges(
 
 
 def canonicalize_entities(
-    entity_mentions: DataFrame, similarity: float = DEDUP_SIMILARITY
+    entity_mentions: DataFrame,
+    similarity: float = DEDUP_SIMILARITY,
+    pairwise_threshold: int = 300,
+    cc_collect_threshold: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full D-phase for entities → (merged_entities, name→canonical mapping)."""
+    """Full D-phase for entities → (merged_entities, name→canonical mapping).
+
+    The two thresholds select the physical strategy for the similarity pass
+    and the component computation (driver-side below, distributed above);
+    set them to 0 to force the distributed path (the scale tests do).
+    """
     # units feeds three consumers (similarity edges, merge, mapping) and the
     # CC loop forces several actions — cache to avoid re-aggregating mentions.
     units = collapse_exact(entity_mentions).cache()
-    edges = similarity_edges(units, similarity)
-    comp = connected_components(edges, src="src", dst="dst")
+    edges = similarity_edges(units, similarity, pairwise_threshold)
+    comp = connected_components(
+        edges, src="src", dst="dst", collect_threshold=cc_collect_threshold
+    )
     units_c = units.join(comp.withColumnRenamed("id", "uid"), "uid", "left").withColumn(
         "component", F.coalesce("component", "uid")
     )

@@ -1,0 +1,118 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size criterion.
+
+No real cluster exists in this sandbox, so the same KG-construction job runs
+at two parallelism levels — local[N] and local[4N] — over the *same*
+materialized pages parquet, per round instructions. Efficiency =
+(throughput@4N / throughput@N) / 4, target ≥ 0.8.
+
+Each level runs in its own subprocess (one SparkContext per JVM) and times
+two back-to-back builds: the first includes one-time JVM/Python-UDF/codegen
+warmup, the second is steady state — both are reported; efficiency uses
+steady state (warmup is a constant, not a scaling property).
+
+Also measures the single-process reference-replica kernel
+(kernels/refpipeline.build_graph — the faithful mmkg-rag reimplementation)
+on a slice of the same pages for the BASELINE.md "reference single-node
+throughput" comparison.
+
+Usage: python tools/bench_scaling.py [--n-docs 20000] [--base-cores 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+CHILD = r"""
+import json, sys, time
+repo, cores, pages_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, repo)
+from mmkg_rag_spark.session import get_spark
+from mmkg_rag_spark.pipeline import build_kg, degree_summary
+from mmkg_rag_spark.sources.pages import image_manifest
+
+spark = get_spark(master="local[%d]" % cores, app_name="scale-%d" % cores)
+manifest = spark.createDataFrame([(p,) for p in image_manifest()], "path string")
+times = []
+for _ in range(2):
+    pages = spark.read.parquet(pages_path)
+    t0 = time.time()
+    res = build_kg(spark, pages, manifest)
+    degree_summary(res).limit(20).collect()
+    times.append(time.time() - t0)
+    spark.catalog.clearCache()
+n = spark.read.parquet(pages_path).count()
+print(json.dumps({"cores": cores, "cold_sec": round(times[0], 2),
+                  "steady_sec": round(times[1], 2), "n_pages": n}))
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=20000)
+    ap.add_argument("--base-cores", type=int, default=8)
+    ap.add_argument("--replica-docs", type=int, default=1000)
+    ap.add_argument("--out", default=None, help="append JSON result to this file")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    tmp = tempfile.mkdtemp(prefix="scale_pages_")
+    pages_path = os.path.join(tmp, "pages")
+
+    # stage the shared input once (not timed)
+    from mmkg_rag_spark.session import get_spark
+    from mmkg_rag_spark.sources.pages import gen_pages_df, gen_pages_local
+
+    spark = get_spark(app_name="scale-gen")
+    gen_pages_df(spark, args.n_docs).write.mode("overwrite").parquet(pages_path)
+
+    # single-process replica baseline on a slice of the same corpus
+    from mmkg_rag_spark.kernels.refpipeline import build_graph
+
+    rows = gen_pages_local(args.replica_docs)
+    t0 = time.time()
+    build_graph([(r["url"], r["text"]) for r in rows])
+    replica_sec = time.time() - t0
+    replica_pps = args.replica_docs / replica_sec
+    spark.stop()
+
+    results = []
+    for cores in (args.base_cores, args.base_cores * 4):
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD, repo, str(cores), pages_path],
+            capture_output=True, text=True, timeout=3600,
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            print(out.stdout[-2000:], file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"child at {cores} cores produced no result")
+        line = lines[-1]
+        results.append(json.loads(line))
+        print(line)
+
+    n = results[0]["n_pages"]
+    tp = [n / r["steady_sec"] for r in results]
+    eff = (tp[1] / tp[0]) / 4
+    summary = {
+        "job": "kg_build+degree",
+        "n_pages": n,
+        "replica_single_process_pages_per_sec": round(replica_pps, 2),
+        "runs": results,
+        "throughput_pages_per_sec": [round(t, 2) for t in tp],
+        "scaling_efficiency_Nx4": round(eff, 3),
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(summary) + "\n")
+
+
+if __name__ == "__main__":
+    main()
