@@ -97,7 +97,12 @@ def merge_entity_group(group: list[Entity], weights: list[int] | None = None) ->
         label_counts[e.label] += w
     top = max(label_counts.values())
     label = min(l for l, c in label_counts.items() if c == top)
-    descriptions = sorted({e.description for e in group if e.description})
+    # split previously-merged composites back into pieces before the distinct
+    # sort — makes the merge idempotent/associative, so incremental
+    # re-canonicalization (operators/incremental.py) equals a full rebuild
+    descriptions = sorted(
+        {p for e in group if e.description for p in e.description.split(" | ") if p}
+    )
     aliases = sorted(
         {a for e in group for a in ([e.name] + (e.aliases or []))} - {name}
     )

@@ -153,9 +153,55 @@ def canonicalize_entities(
     and the component computation (driver-side below, distributed above);
     set them to 0 to force the distributed path (the scale tests do).
     """
+    return canonicalize_units(
+        collapse_exact(entity_mentions), similarity, pairwise_threshold,
+        cc_collect_threshold,
+    )
+
+
+def nodes_as_units(nodes: DataFrame) -> DataFrame:
+    """Stored canonical nodes → unit shape, for incremental re-canonicalize.
+
+    D8 semantics (pipe.py:85-87): previously persisted entities re-enter the
+    dedup pass alongside the new batch. weight=1 — a stored node is one unit
+    regardless of how many mentions produced it (matches the reference,
+    where stored entities are plain list elements).
+    """
+    return nodes.select(
+        "name", "label", "description",
+        F.coalesce("aliases", F.array()).alias("aliases"),
+        F.coalesce("references", F.array()).alias("references"),
+        F.coalesce("chunks", F.array().cast("array<int>")).alias("chunks"),
+        F.lit(1).alias("weight"),
+    ).withColumn("uid", F.md5(F.concat_ws(_SEP, "name", "label", "description")))
+
+
+def merge_unit_tables(*unit_tables: DataFrame) -> DataFrame:
+    """Union unit tables, re-collapsing units that share (name,label,desc)."""
+    out = unit_tables[0]
+    for t in unit_tables[1:]:
+        out = out.unionByName(t)
+    return (
+        out.groupBy("uid", "name", "label", "description")
+        .agg(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("aliases")))).alias("aliases"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("references")))).alias("references"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunks")))).alias("chunks"),
+            F.sum("weight").alias("weight"),
+        )
+    )
+
+
+def canonicalize_units(
+    units: DataFrame,
+    similarity: float = DEDUP_SIMILARITY,
+    pairwise_threshold: int = 300,
+    cc_collect_threshold: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """D-phase from pre-collapsed units (shared by batch + incremental paths)."""
     # units feeds three consumers (similarity edges, merge, mapping) and the
     # CC loop forces several actions — cache to avoid re-aggregating mentions.
-    units = collapse_exact(entity_mentions).cache()
+    units = units.cache()
     edges = similarity_edges(units, similarity, pairwise_threshold)
     comp = connected_components(
         edges, src="src", dst="dst", collect_threshold=cc_collect_threshold
@@ -213,10 +259,17 @@ def canonicalize_entities(
     return merged.drop("component"), mapping
 
 
-def remap_and_merge_relations(
-    relation_mentions: DataFrame, mapping: DataFrame
-) -> DataFrame:
-    """Stages 7-8: rewrite endpoints to canonical names, merge triples.
+def edges_from_mentions(relation_mentions: DataFrame) -> DataFrame:
+    """Mention-shaped relations (scalar chunk_id) → edge shape (chunks array)."""
+    return relation_mentions.select(
+        "source", "label", "target", "description",
+        F.coalesce("references", F.array()).alias("references"),
+        F.array("chunk_id").cast("array<int>").alias("chunks"),
+    )
+
+
+def remap_and_merge_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Stages 7-8 on edge-shaped rows: canonical endpoints, merged triples.
 
     The mapping join is the north star's alias-dictionary broadcast join —
     AQE converts both left joins to broadcast when the dictionary fits,
@@ -229,7 +282,7 @@ def remap_and_merge_relations(
         F.col("member").alias("target"), F.col("canonical").alias("_dst_c")
     )
     remapped = (
-        relation_mentions.join(src_map, "source", "left")
+        edges.join(src_map, "source", "left")
         .join(dst_map, "target", "left")
         .select(
             F.coalesce("_src_c", "source").alias("source"),
@@ -237,7 +290,7 @@ def remap_and_merge_relations(
             F.coalesce("_dst_c", "target").alias("target"),
             "description",
             "references",
-            "chunk_id",
+            "chunks",
         )
     )
     return (
@@ -247,6 +300,15 @@ def remap_and_merge_relations(
             F.array_sort(
                 F.array_distinct(F.flatten(F.collect_list("references")))
             ).alias("references"),
-            F.array_sort(F.collect_set("chunk_id")).alias("chunks"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("chunks")))
+            ).alias("chunks"),
         )
     )
+
+
+def remap_and_merge_relations(
+    relation_mentions: DataFrame, mapping: DataFrame
+) -> DataFrame:
+    """Back-compat wrapper: mention-shaped input → remap_and_merge_edges."""
+    return remap_and_merge_edges(edges_from_mentions(relation_mentions), mapping)

@@ -71,14 +71,17 @@ def build_kg(
 
     nodes, mapping = canonicalize_entities(entity_mentions)
     nodes = nodes.cache()
-    edges = remap_and_merge_relations(relation_mentions, mapping)
+    edges = remap_and_merge_relations(relation_mentions, mapping).cache()
 
     if manifest is None:
         manifest = spark.createDataFrame([], "path string")
     instances = filter_valid_images(extract_image_instances(pages), manifest)
     described = describe_images(instances).cache()
     top = score_image_entities(described, nodes, strategy=link_strategy)
-    image_edges = link_images(top)
+    # edges/image_edges each feed two consumers (their own output + the
+    # all_edges union consumed by degree/exports) — cache or the whole
+    # M-phase scoring join re-runs per downstream action.
+    image_edges = link_images(top).cache()
     images = images_table(described)
 
     all_edges = edges.select(
