@@ -106,6 +106,76 @@ def khop_neighbors(
     return visited
 
 
+def search_eris(
+    nodes: DataFrame,
+    edges: DataFrame,
+    images: DataFrame,
+    keywords: list[str],
+    max_num: int = MAX_NUM,
+    max_images_num: int = 2,
+    similarity_threshold: float = 10,
+    hop: int = 1,
+) -> dict[str, DataFrame]:
+    """R4 (search_eris, search.py:277-322): full retrieval composition.
+
+    1. seed entities  = fuzzy top-k over [name]+aliases (search.py:118-128)
+    2. seed images    = fuzzy top-k over [caption]+texts (search.py:131-148)
+    3. related        = ``hop``-hop neighbors of the seeds minus the seeds
+                        themselves (anti-join ≙ set subtraction,
+                        search.py:309-310)
+    4. related edges  = edges with either endpoint in seeds ∪ related
+    5. images capped at ``max_images_num`` (search.py:312-313)
+
+    Returns small result DataFrames (reference caps everything at ≤ a few
+    rows) — the expensive inputs are only scanned, never collected.
+    """
+    ent_items = nodes.select(
+        "name",
+        F.array_union(F.array("name"), F.coalesce("aliases", F.array())).alias("fields"),
+    )
+    # result frames are ≤ a few rows but feed several consumers (expansion,
+    # unions, semi-joins) — cache each or every consumer re-runs the fuzzy
+    # scoring window and, transitively, whatever produced nodes/edges.
+    seed_entities = fuzzy_topk(
+        ent_items, keywords, "fields", ["name"], max_num, similarity_threshold
+    ).cache()
+
+    img_items = images.select(
+        "path",
+        F.array_union(F.array("caption"), F.coalesce("texts", F.array())).alias("fields"),
+    )
+    seed_images = fuzzy_topk(
+        img_items, keywords, "fields", ["path"], max_images_num, similarity_threshold
+    ).cache()
+
+    # non-image edge universe (image edges are '#image*'-labelled, mmodal.py:293-300)
+    plain_edges = edges.filter(~F.col("label").startswith("#image"))
+    related = expand_seeds(plain_edges, seed_entities.select("name"), hops=hop).cache()
+
+    universe = (
+        seed_entities.select("name").unionByName(related.select("name")).distinct().cache()
+    )
+    related_edges = plain_edges.join(
+        F.broadcast(universe.withColumnRenamed("name", "source")), "source", "semi"
+    ).unionByName(
+        plain_edges.join(
+            F.broadcast(universe.withColumnRenamed("name", "target")), "target", "semi"
+        )
+    ).dropDuplicates(["source", "label", "target"])
+
+    image_edges = edges.filter(F.col("label").startswith("#image")).join(
+        F.broadcast(universe.withColumnRenamed("name", "source")), "source", "semi"
+    )
+
+    return {
+        "seed_entities": seed_entities,
+        "seed_images": seed_images,
+        "related_entities": related,
+        "related_edges": related_edges,
+        "image_edges": image_edges,
+    }
+
+
 def expand_seeds(
     edges: DataFrame,
     seeds: DataFrame,

@@ -57,36 +57,47 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=20000)
     ap.add_argument("--base-cores", type=int, default=8)
     ap.add_argument("--replica-docs", type=int, default=1000)
+    ap.add_argument("--pages-path", default=None,
+                    help="reuse an already-staged pages parquet")
     ap.add_argument("--out", default=None, help="append JSON result to this file")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
 
-    tmp = tempfile.mkdtemp(prefix="scale_pages_")
-    pages_path = os.path.join(tmp, "pages")
-
-    # stage the shared input once (not timed)
+    from mmkg_rag_spark.kernels.refpipeline import build_graph
     from mmkg_rag_spark.session import get_spark
     from mmkg_rag_spark.sources.pages import gen_pages_df, gen_pages_local
 
-    spark = get_spark(app_name="scale-gen")
-    gen_pages_df(spark, args.n_docs).write.mode("overwrite").parquet(pages_path)
+    if args.pages_path:
+        pages_path = args.pages_path
+    else:
+        tmp = tempfile.mkdtemp(prefix="scale_pages_")
+        pages_path = os.path.join(tmp, "pages")
+        # stage the shared input once (not timed)
+        spark = get_spark(app_name="scale-gen")
+        gen_pages_df(spark, args.n_docs).write.mode("overwrite").parquet(pages_path)
+        spark.stop()
 
     # single-process replica baseline on a slice of the same corpus
-    from mmkg_rag_spark.kernels.refpipeline import build_graph
-
     rows = gen_pages_local(args.replica_docs)
     t0 = time.time()
     build_graph([(r["url"], r["text"]) for r in rows])
     replica_sec = time.time() - t0
     replica_pps = args.replica_docs / replica_sec
-    spark.stop()
 
     results = []
     for cores in (args.base_cores, args.base_cores * 4):
+        env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SCALE_MEM", "48g"))
+        # Pin the WHOLE process tree (JVM task threads + python UDF workers)
+        # to `cores` physical cores: an unpinned local[N] run leaks python
+        # UDF work onto extra cores, silently inflating the small "cluster"
+        # and compressing the measured N→4N ratio. taskset = the sandbox
+        # equivalent of an N-core cluster's resource boundary.
+        cmd = [sys.executable, "-c", CHILD, repo, str(cores), pages_path]
+        if os.path.exists("/usr/bin/taskset") and cores <= (os.cpu_count() or 1):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, "-c", CHILD, repo, str(cores), pages_path],
-            capture_output=True, text=True, timeout=3600,
+            cmd, capture_output=True, text=True, timeout=3600, env=env,
         )
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not lines:
