@@ -110,3 +110,32 @@ def split_mentions(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
         "description", "references",
     )
     return entity_mentions, relation_mentions
+
+
+NORMALIZED_SCHEMA = (
+    "url string, text string, renames array<struct<old:string, new:string>>"
+)
+
+
+def normalize_image_refs(pages: DataFrame) -> DataFrame:
+    """Ingestion-time image-ref normalization (helper.py:150-183, §2.7).
+
+    Rewrites markdown image refs to ``<md5(url)>_<i>.<ext>`` per document and
+    carries the (old,new) rename plan as data — downstream the plan joins
+    against the assets manifest instead of renaming files imperatively.
+    Map-only; deterministic per url.
+    """
+    from ..kernels.textops import md5 as _md5
+    from ..kernels.textops import rename_markdown_images_text
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, texts, plans = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                new_text, plan = rename_markdown_images_text(text, _md5(url)[:12])
+                urls.append(url)
+                texts.append(new_text)
+                plans.append([{"old": o, "new": n} for o, n in plan])
+            yield pd.DataFrame({"url": urls, "text": texts, "renames": plans})
+
+    return pages.select("url", "text").mapInPandas(gen, schema=NORMALIZED_SCHEMA)

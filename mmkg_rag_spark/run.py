@@ -33,7 +33,7 @@ def _stage(catalog, name, snap, input_snap, compute, force=False):
     df = compute()
     path = catalog.write(df, name, snap, meta={"input": input_snap})
     wall_ms = int((time.time() - t0) * 1000)
-    from .metrics import record_stage
+    from mmkg_rag_spark.metrics import record_stage
 
     record_stage(catalog, name, snap, input_snap, path, wall_ms)
     out = catalog.read(name, snap)
@@ -54,25 +54,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
-    from .operators.dedup import canonicalize_entities, remap_and_merge_relations
-    from .operators.extract import chunk_pages, extract_mentions, split_mentions, with_text
-    from .operators.mmodal import (
+    from mmkg_rag_spark.operators.dedup import canonicalize_entities, remap_and_merge_relations
+    from mmkg_rag_spark.operators.extract import chunk_pages, extract_mentions, split_mentions, with_text
+    from mmkg_rag_spark.operators.mmodal import (
         describe_images,
         extract_image_instances,
         filter_valid_images,
         link_images,
         score_image_entities,
     )
-    from .session import get_spark
-    from .sources.catalog import ParquetCatalog, fingerprint
-    from .sources.pages import gen_pages_df, image_manifest
+    from mmkg_rag_spark.session import get_spark
+    from mmkg_rag_spark.sources.catalog import ParquetCatalog, fingerprint
+    from mmkg_rag_spark.sources.pages import gen_pages_df, image_manifest
 
     spark = get_spark(master=args.master, app_name="kg-build")
     catalog = ParquetCatalog(spark, args.warehouse)
 
     # -- stage 1: pages ----------------------------------------------------
     if args.sf_dir:
-        from .sources.docpages import pages_from_documents
+        from mmkg_rag_spark.sources.docpages import pages_from_documents
 
         pages_fp = fingerprint("pages", "sf", args.sf_dir)
         pages = _stage(
@@ -165,4 +165,9 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    # spark-submit runs this file as a bare script (no package context);
+    # the package itself arrives via --py-files or the repo root on sys.path.
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sys.exit(main())

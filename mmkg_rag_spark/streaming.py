@@ -1,0 +1,118 @@
+"""Continuous KG construction over a pages stream (Structured Streaming).
+
+The reference is batch-only (SURVEY.md §2.8: no streaming); this module is
+the engine's scale-path extension: new page files landing in a directory are
+ingested continuously and folded into the stored graph through the SAME
+incremental D8 path the batch engine uses — streaming is a driver loop, not
+a second engine.
+
+Shape:
+    readStream(parquet pages dir)
+      → foreachBatch:
+          micro-batch pages → mention extraction (map-only)
+          → incremental_canonicalize(batch ∪ stored graph)
+          → snapshot write (nodes/edges) + lineage metrics row
+The graph tables stay Iceberg-semantics snapshots (sources/catalog.py), so a
+crashed stream resumes from the last committed snapshot AND the streaming
+checkpoint — exactly-once per micro-batch comes from the pairing of Spark's
+checkpoint (offsets) with the catalog's atomic manifest commit keyed by
+batch id (re-delivered batches hit an existing snapshot and skip).
+
+Stateful windowed operators (watermarks, applyInPandasWithState) are not
+needed: canonicalization state lives in the graph tables themselves, which
+is what lets the stream resume from snapshots rather than operator state.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.extract import chunk_pages, extract_mentions, split_mentions
+from .operators.incremental import incremental_canonicalize
+from .sources.catalog import ParquetCatalog, fingerprint
+from .sources.pages import PAGES_SCHEMA
+
+
+def process_pages_batch(
+    spark: SparkSession,
+    catalog: ParquetCatalog,
+    batch_pages: DataFrame,
+    batch_id: int,
+    chunk_size: int = 8000,
+    overlap: int = 400,
+) -> dict[str, int]:
+    """Fold one micro-batch of pages into the stored graph (idempotent).
+
+    The snapshot id is the fingerprint of (stream, batch_id): a re-delivered
+    batch (restart replay) finds its snapshot committed and no-ops.
+    """
+    snap = fingerprint("stream-batch", batch_id, chunk_size, overlap)
+    if catalog.has_snapshot("nodes", snap):
+        return {"batch_id": batch_id, "skipped": 1}
+
+    t0 = time.time()
+    mentions = extract_mentions(
+        chunk_pages(batch_pages.select("url", "text"), chunk_size, overlap)
+    ).localCheckpoint()
+    em, rm = split_mentions(mentions)
+
+    prior_nodes = prior_edges = None
+    try:
+        prior_nodes = catalog.read("nodes")
+        prior_edges = catalog.read("edges")
+    except FileNotFoundError:
+        pass
+
+    nodes, _, edges = incremental_canonicalize(em, rm, prior_nodes, prior_edges)
+    nodes = nodes.localCheckpoint()
+    edges = edges.localCheckpoint()
+    n_path = catalog.write(nodes, "nodes", snap, meta={"batch_id": batch_id})
+    e_path = catalog.write(edges, "edges", snap, meta={"batch_id": batch_id})
+
+    from .metrics import record_stage
+
+    wall = int((time.time() - t0) * 1000)
+    record_stage(catalog, "stream-nodes", snap, f"batch-{batch_id}", n_path, wall)
+    record_stage(catalog, "stream-edges", snap, f"batch-{batch_id}", e_path, wall)
+    return {
+        "batch_id": batch_id,
+        "nodes": nodes.count(),
+        "edges": edges.count(),
+        "skipped": 0,
+    }
+
+
+def stream_build(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 4,
+):
+    """Continuous construction: watch ``input_dir`` for new pages parquet.
+
+    ``available_now=True`` drains everything currently present then stops
+    (test/backfill mode); False runs until ``query.stop()``.
+    """
+    catalog = ParquetCatalog(spark, warehouse)
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        process_pages_batch(spark, catalog, batch_df, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+    else:
+        q = writer.start()
+    return q

@@ -1,0 +1,76 @@
+"""Continuous construction: streamed batches == one batch build."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mmkg_rag_spark.operators.dedup import canonicalize_entities, remap_and_merge_relations
+from mmkg_rag_spark.operators.extract import (
+    chunk_pages,
+    extract_mentions,
+    normalize_image_refs,
+    split_mentions,
+)
+from mmkg_rag_spark.sources.catalog import ParquetCatalog
+from mmkg_rag_spark.sources.pages import gen_pages_df
+from mmkg_rag_spark.streaming import stream_build
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(master="local[4]", shuffle_partitions=8, app_name="pytest-str")
+
+
+N = 40
+
+
+def test_stream_equals_batch(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    in_dir, wh, ckpt = str(root / "in"), str(root / "wh"), str(root / "ckpt")
+
+    pages = gen_pages_df(spark, N).cache()
+    # land the corpus as several files → several micro-batches
+    pages.repartition(8).write.mode("overwrite").parquet(in_dir)
+
+    q = stream_build(spark, in_dir, wh, ckpt, available_now=True,
+                     max_files_per_trigger=3)
+    q.awaitTermination(300)
+
+    cat = ParquetCatalog(spark, wh)
+    got_nodes = {
+        (r.name, r.label) for r in cat.read("nodes").collect()
+    }
+    got_edges = {
+        (r.source, r.label, r.target) for r in cat.read("edges").collect()
+    }
+
+    em, rm = split_mentions(extract_mentions(chunk_pages(pages.select("url", "text"))))
+    nodes_b, mapping = canonicalize_entities(em)
+    edges_b = remap_and_merge_relations(rm, mapping)
+    want_nodes = {(r.name, r.label) for r in nodes_b.collect()}
+    want_edges = {(r.source, r.label, r.target) for r in edges_b.collect()}
+
+    assert got_nodes == want_nodes
+    assert got_edges == want_edges
+    # restart with nothing new → no further snapshots
+    n_before = len(cat.snapshots("nodes"))
+    q2 = stream_build(spark, in_dir, wh, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert len(cat.snapshots("nodes")) == n_before
+
+
+def test_normalize_image_refs(spark):
+    pages = spark.createDataFrame(
+        [("u1", "a ![x](images/p.png)\nb ![y](q.gif)"), ("u2", "no images")],
+        "url string, text string",
+    )
+    out = {r.url: r for r in normalize_image_refs(pages).collect()}
+    assert len(out["u1"].renames) == 2
+    (o1, n1), (o2, n2) = [(x["old"], x["new"]) for x in out["u1"].renames]
+    assert o1 == "images/p.png" and n1.startswith("images/") and n1.endswith("_0.png")
+    assert o2 == "q.gif" and n2.endswith("_1.gif")
+    assert "![](" in out["u1"].text and "![x](" not in out["u1"].text
+    assert out["u2"].renames == [] and out["u2"].text == "no images"
