@@ -55,6 +55,14 @@ def build_kg(
     use_html: bool = True,
 ) -> KGResult:
     """Run the full construction pipeline on a pages DataFrame."""
+    # Re-split under-partitioned inputs: per-page UDF cost varies ~50×
+    # (long docs), so at partitions ≈ cores one straggler sets the stage
+    # wall. 4 waves/core lets the scheduler balance. No-op for healthy
+    # inputs (a 100 TB table has far more splits than cores), so the
+    # shuffle only ever hits small/mis-written inputs.
+    target = spark.sparkContext.defaultParallelism * 4
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
     if use_html:
         pages = with_text(pages)
     # pages feeds two branches (chunking and M1 image scan) and mentions feed
