@@ -121,6 +121,7 @@ def score_image_entities(
     strategy: str = "auto",
     broadcast_limit: int = 2_000_000,
     salt_buckets: int = 16,
+    candidate_cap: int = IMAGE_CANDIDATE_CAP,
 ) -> DataFrame:
     """M4: relevance-scored (image instance × entity) pairs ≥ 0.1, top-8/image."""
     ents = _entity_terms(entities)
@@ -154,7 +155,11 @@ def score_image_entities(
         ).withColumn("salt", F.pmod(F.xxhash64("url", "path"), F.lit(salt_buckets)))
         ent_tokens = (
             ents.select("entity", F.explode(F.array_distinct(F.flatten(F.transform("terms", tok)))).alias("token"))
-            .crossJoin(F.range(salt_buckets).toDF("salt"))
+            # light side replicated ×salt_buckets (classic salted-join shape)
+            .withColumn(
+                "salt",
+                F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+            )
             .select("entity", "token", F.col("salt").cast("bigint"))
         )
         cand = (
@@ -173,7 +178,7 @@ def score_image_entities(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= IMAGE_CANDIDATE_CAP)
+        .filter(F.col("rank") <= candidate_cap)
         .select("url", "path", "context", "caption", "entity", "score", "rank")
     )
 
