@@ -110,13 +110,15 @@ def minhash_near_duplicates(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard — the web-scale path.
 
-    b=32, r=4 → collision-probability S-curve centered near t=(1/b)^(1/r)≈0.42,
-    so recall at J≥0.5 is ≈1 while the candidate count stays ∝ true near-dups.
+    b=16, r=4 → collision-probability S-curve centered at t=(1/b)^(1/r)=0.5,
+    matching the default threshold: recall at J≥0.5 stays high while the
+    candidate count stays ∝ true near-dups (and the signature costs half of
+    a 128-hash scheme; raise num_hashes for lower thresholds).
     The verify join recomputes exact Jaccard on the candidates only.
     """
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
