@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) over the pure parity kernels.
+
+The reference ships no property tests (SURVEY.md §5); these pin down the
+invariants the Spark operators rely on: similarity metric axioms, chunker
+coverage, parser total-ness (never raises on arbitrary input), and
+fingerprint normalization idempotence.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mmkg_rag_spark.kernels.chunker import split_markdown
+from mmkg_rag_spark.kernels.parsers import (
+    parse_alias,
+    parse_er,
+    parse_string_list,
+    scan_json_objects,
+)
+from mmkg_rag_spark.kernels.similarity import ratio, token_ratio, token_sort_ratio
+
+TEXT = st.text(max_size=400)
+SHORT = st.text(max_size=60)
+
+
+@given(SHORT, SHORT)
+@settings(max_examples=200, deadline=None)
+def test_ratio_axioms(a, b):
+    r = ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert ratio(a, b) == ratio(b, a)
+    assert ratio(a, a) == (100.0 if a else 100.0)
+
+
+@given(SHORT, SHORT)
+@settings(max_examples=200, deadline=None)
+def test_token_sort_invariant_to_word_order(a, b):
+    toks_a = a.split()
+    scrambled = " ".join(reversed(toks_a))
+    assert token_sort_ratio(a, b) == token_sort_ratio(scrambled, b)
+    assert 0.0 <= token_ratio(a, b) <= 100.0
+
+
+@given(TEXT, st.integers(min_value=20, max_value=200))
+@settings(max_examples=100, deadline=None)
+def test_chunker_covers_all_content(text, chunk_size):
+    chunks = split_markdown(text, chunk_size, overlap=chunk_size // 4)
+    # chunks are whitespace-stripped pieces of the input; overlap DUPLICATES
+    # content across chunk boundaries, so joined content is a superset
+    strip_ws = lambda s: "".join(s.split())  # noqa: E731 — all unicode ws
+    joined, orig = strip_ws("".join(chunks)), strip_ws(text)
+    assert set(joined) == set(orig)
+    assert len(joined) >= len(orig)
+    assert all(c.strip() == c and c for c in chunks) or orig == ""
+
+
+@given(TEXT)
+@settings(max_examples=300, deadline=None)
+def test_parsers_total_on_arbitrary_input(text):
+    """Parsers must degrade to empty results, never raise (parser.py contract)."""
+    ents, rels = parse_er(text)
+    assert isinstance(ents, list) and isinstance(rels, list)
+    assert isinstance(parse_alias(text), list)
+    # parse_string_list raises ValueError on unbracketed input BY DESIGN
+    # (reference parity, parser.py:14-40) — but never any other exception
+    try:
+        assert isinstance(parse_string_list(text), list)
+    except ValueError:
+        pass
+    objs = scan_json_objects(text, ["name", "label"])
+    for o in objs:
+        assert o.get("name") is not None and o.get("label") is not None
+
+
+@given(st.dictionaries(st.sampled_from(["name", "label", "description", "x"]),
+                       st.text(min_size=1, max_size=20), min_size=1))
+@settings(max_examples=200, deadline=None)
+def test_json_scanner_field_filter(d):
+    """E2 semantics: object kept iff all requested fields present & non-None."""
+    import json
+
+    blob = "prefix " + json.dumps(d) + " suffix"
+    got = scan_json_objects(blob, ["name", "label"])
+    has_nested = any("{" in v or "}" in v for v in d.values())
+    if not has_nested:
+        expect = 1 if ("name" in d and "label" in d) else 0
+        assert len(got) == expect
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_fingerprint_normalization_idempotent(text):
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    norm2 = re.sub(r"\s+", " ", norm.lower()).strip()
+    assert norm == norm2
