@@ -90,6 +90,7 @@ def connected_components(
         .select(F.col("a").alias("id"), "component")
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # candidate labels flowing along edges: neighbor's current component
         prop = (
@@ -107,5 +108,15 @@ def connected_components(
         )
         comp = prop
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Min-label propagation needs O(diameter) rounds; name-similarity
+        # graphs are near-star (2-4 rounds). Hitting the cap means a
+        # pathological chain — wrong components would silently corrupt the
+        # merge, so fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter (graph diameter exceeds the cap)"
+        )
     return comp
