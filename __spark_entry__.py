@@ -438,6 +438,58 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 """
 
 
+def q_near_dup_survivors(spark, sf_dir):
+    return textdedup.near_dup_survivors(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+# transitive closure of the jaccard≥0.5 pair graph via recursive CTE;
+# survivor = min doc_id of its component; group_size = component size
+SQL_NEAR_DUP_SURVIVORS = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
+  )) AS shingle FROM w
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (
+  SELECT a AS id, least(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+labeled AS (
+  SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+gsz AS (SELECT component, COUNT(*) AS group_size FROM labeled GROUP BY component)
+SELECT l.id AS doc_id, g.group_size
+FROM labeled l JOIN gsz g USING (component)
+WHERE l.id = l.component
+"""
+
+
 def q_events_window_agg(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -528,6 +580,16 @@ def q_ann_topk_lsh(spark, sf_dir):
     return ann.lsh_topk_cosine(e, q, k=5).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.ivf_topk_cosine(e, q, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 def q_fuzzy_topk_parts(spark, sf_dir):
     p = _t(spark, sf_dir, "part").select(
         "p_partkey", F.array("p_name").alias("fields")
@@ -586,12 +648,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "near_dup_survivors": q_near_dup_survivors,
         "events_window_agg": q_events_window_agg,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -617,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "near_dup_survivors": SQL_NEAR_DUP_SURVIVORS,
         "events_window_agg": SQL_EVENTS_WINDOW,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "ann_topk_bruteforce": SQL_ANN_BRUTE,

@@ -165,3 +165,123 @@ def lsh_topk_cosine(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "rank", "score")
     )
+
+
+def ivf_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse quantize, probe, re-score.
+
+    Centroids: deterministic k-means — init from the ``n_lists`` smallest-id
+    vectors, ``kmeans_iters`` Lloyd rounds entirely in DataFrame ops
+    (assignment via broadcast centroid array, update via groupBy mean).
+    Search: each query probes its ``n_probe`` nearest lists; candidates =
+    corpus rows in those lists (an equi-join on list id — THE property that
+    makes IVF the 100 TB path: the corpus is hash-partitioned by list id
+    once, and each query touches n_probe/n_lists of it). Exact cosine re-score
+    + window top-k on candidates only.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).cache()
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    )
+
+    # ---- deterministic k-means (driver holds only K centroids) ----
+    import numpy as np
+
+    cents = np.array(
+        [r.v for r in c.orderBy("nn_id").limit(n_lists).collect()], dtype=np.float64
+    )
+
+    def _dist(vec, cent):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    def _assign_expr(vec, cents_arr):
+        """Column: index of the nearest centroid (min squared L2).
+
+        argmin via sort-of-structs: the distance array is referenced ONCE.
+        (A chained when(d<best,…) min doubles the expression tree per
+        centroid — 2^K nodes, OOMs codegen at K=16.)
+        """
+        arr = F.array(
+            *[
+                F.struct(_dist(vec, cent).alias("d"), F.lit(i).alias("list_id"))
+                for i, cent in enumerate(cents_arr)
+            ]
+        )
+        return F.element_at(F.array_sort(arr), 1)["list_id"]
+
+    for _ in range(kmeans_iters):
+        assigned = c.withColumn("list_id", _assign_expr(F.col("v"), cents))
+        dim = len(cents[0])
+        means = (
+            assigned.select(
+                "list_id", *[F.element_at("v", i + 1).alias(f"d{i}") for i in range(dim)]
+            )
+            .groupBy("list_id")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r.list_id] = [r[f"d{i}"] for i in range(dim)]
+        cents = new
+
+    corpus_l = c.withColumn("list_id", _assign_expr(F.col("v"), cents)).cache()
+
+    # ---- probe: n_probe nearest lists per query ----
+    probe_structs = []
+    for i, cent in enumerate(cents):
+        d = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        probe_structs.append(F.struct(d.alias("d"), F.lit(i).alias("list_id")))
+    q_probe = (
+        q.withColumn(
+            "_probe",
+            F.explode(F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)),
+        )
+        .withColumn("list_id", F.col("_probe.list_id"))
+        .drop("_probe")
+    )
+
+    cand = (
+        q_probe.join(corpus_l, "list_id")
+        .filter(F.col("nn_id") != F.col("query_id"))
+        .select("query_id", "qv", "nn_id", "v")
+    )
+    scored = cand.withColumn(
+        "score", F.round(cosine(F.col("qv"), F.col("v")), 6)
+    ).select("query_id", "nn_id", "score")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", "rank", "score")
+    )

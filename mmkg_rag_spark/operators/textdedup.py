@@ -193,6 +193,39 @@ def simhash_near_duplicates(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def near_dup_survivors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    use_lsh: bool = False,
+) -> DataFrame:
+    """Corpus dedup: cluster near-dup pairs (CC), keep min-id per cluster.
+
+    The composition end users run: pair generation (exact n-gram Jaccard, or
+    MinHash-LSH when ``use_lsh``) → connected components over the pair graph
+    (the same adaptive CC as entity canonicalization) → survivors = docs
+    that are their own component representative. Returns (doc_id, group_size)
+    with group_size = cluster size (1 for unique docs).
+    """
+    from ..functions.components import connected_components
+
+    pair_fn = minhash_near_duplicates if use_lsh else ngram_jaccard_pairs
+    pairs = pair_fn(docs, id_col, text_col, n=n, threshold=threshold)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    ids = docs.select(F.col(id_col).alias("id"))
+    labeled = ids.join(comp, "id", "left").withColumn(
+        "component", F.coalesce("component", "id")
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        labeled.filter(F.col("id") == F.col("component"))
+        .join(sizes, "component")
+        .select(F.col("id").alias(id_col), "group_size")
+    )
+
+
 def cosine(a, b):
     """Cosine similarity of two array<double> columns — native aggregate.
 

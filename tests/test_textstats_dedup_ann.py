@@ -209,3 +209,30 @@ def test_khop_neighbors(spark):
         for r in retrieval.khop_neighbors(edges, seeds, hops=2).collect()
     }
     assert got == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def test_near_dup_survivors(docs):
+    got = {
+        r.doc_id: r.group_size
+        for r in textdedup.near_dup_survivors(docs, n=2, threshold=0.5).collect()
+    }
+    # docs 0,1,3 cluster (pairwise 2-gram jaccard >= 0.5 transitively);
+    # min id 0 survives with group_size 3; 2 and 4 are unique
+    assert got[0] == 3 and 1 not in got and 3 not in got
+    assert got[2] == 1 and got[4] == 1
+
+
+def test_ivf_topk_subset_and_nonempty(vecs):
+    q = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {
+        (r.query_id, r.nn_id, r.score)
+        for r in ann.brute_topk_cosine(vecs, q, k=4).collect()
+    }
+    ivf = {
+        (r.query_id, r.nn_id, r.score)
+        for r in ann.ivf_topk_cosine(vecs, q, k=4, n_lists=2, n_probe=2).collect()
+    }
+    # probing ALL lists (n_probe == n_lists) makes IVF exhaustive → exact
+    assert ivf == brute
