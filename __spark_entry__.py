@@ -558,6 +558,125 @@ SELECT query_id, nn_id, rank, score FROM ranked WHERE rank <= 5
 """
 
 
+def q_minhash_near_dup_md5(spark, sf_dir):
+    """MinHash-LSH near-dup with the md5 hash scheme — fully oracle-checked.
+
+    Same banding/permutations as the production xxhash64 path; the base hash
+    is md5-hex (bit-identical in DuckDB), so the ENTIRE LSH pipeline —
+    signatures, band buckets, bucket-size cap, candidate join, exact-Jaccard
+    verify — is reproduced by the SQL oracle below.
+    """
+    return textdedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, hash_fn="md5"
+    )
+
+
+def _sql_minhash_md5(num_hashes: int = 64, bands: int = 16, seed: int = 1,
+                     max_bucket: int = 2000) -> str:
+    from mmkg_rag_spark.functions.minhash import MERSENNE_P, _perm_consts
+
+    a_c, b_c = _perm_consts(num_hashes, seed)
+    rows = num_hashes // bands
+    P = MERSENNE_P
+    sig_elems = ", ".join(
+        f"COALESCE(list_min(list_transform(h, x -> (x*{a_c[i]} + {b_c[i]}) % {P})), {P})"
+        for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bkey': %s}"
+        % (
+            i,
+            " || ',' || ".join(
+                f"sig[{i * rows + j + 1}]::VARCHAR" for j in range(rows)
+            ),
+        )
+        for i in range(bands)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
+  ) AS sh FROM w
+),
+hs AS (
+  SELECT id, sh, list_transform(
+    sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {P}
+  ) AS h FROM sh
+),
+sig AS (SELECT id, sh, [{sig_elems}] AS sig FROM hs),
+bands AS (
+  SELECT id, b['band'] AS band, b['bkey'] AS bkey
+  FROM sig, unnest([{band_structs}]) AS t(b)
+),
+ok_buckets AS (
+  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= {max_bucket}
+),
+kept AS (SELECT b.* FROM bands b JOIN ok_buckets USING (band, bkey)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b USING (band, bkey)
+  WHERE a.id < b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON c.id_a = sa.id
+  JOIN sh sb ON c.id_b = sb.id
+)
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+FROM verified WHERE jaccard >= 0.5
+"""
+
+
+def q_simhash_near_dup_md5(spark, sf_dir):
+    """SimHash near-dup with the md5 hash scheme — fully oracle-checked."""
+    return textdedup.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _sql_simhash_md5(max_hamming: int = 3) -> str:
+    P_bits = 64
+    bit_votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> ((x >> {b}) & 1)*2 - 1)) > 0 "
+        f"THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(P_bits)
+    )
+    chunk_structs = ", ".join(
+        f"{{'band': {i}, 'chunk': (sig >> {i * 16}) & 65535}}" for i in range(4)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+hs AS (
+  SELECT id, list_transform(t, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+  FROM toks
+),
+sig AS (SELECT id, {bit_votes} AS sig FROM hs),
+chunks AS (
+  SELECT id, sig, c['band'] AS band, c['chunk'] AS chunk
+  FROM sig, unnest([{chunk_structs}]) AS t(c)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM chunks a JOIN chunks b USING (band, chunk)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: LSH / iterative / rapidfuzz)
 # ---------------------------------------------------------------------------
@@ -652,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "minhash_near_dup_md5": q_minhash_near_dup_md5,
+        "simhash_near_dup_md5": q_simhash_near_dup_md5,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -685,4 +806,6 @@ def oracle_sql() -> dict[str, str]:
         "events_window_agg": SQL_EVENTS_WINDOW,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "ann_topk_bruteforce": SQL_ANN_BRUTE,
+        "minhash_near_dup_md5": _sql_minhash_md5(),
+        "simhash_near_dup_md5": _sql_simhash_md5(),
     }

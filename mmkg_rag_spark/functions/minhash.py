@@ -65,8 +65,23 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_hash(g: Column, hash_fn: str = "xxhash64") -> Column:
+    """Base shingle hash mod P.
+
+    ``xxhash64``: fastest, JVM-native — the default scale path.
+    ``md5``     : first 15 hex chars parsed as int — bit-identical in any
+    engine with md5 (DuckDB oracle parity; see __spark_entry__).
+    """
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(g)
+    return F.pmod(h, F.lit(MERSENNE_P))
+
+
 def minhash_signature(
-    shingles: Column, num_hashes: int = 128, seed: int = 1
+    shingles: Column, num_hashes: int = 128, seed: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> Column:
     """MinHash signature (array<bigint> of length num_hashes), fully native.
 
@@ -80,7 +95,7 @@ def minhash_signature(
     arr_a = F.array(*[F.lit(a) for a in a_consts])
     arr_b = F.array(*[F.lit(b) for b in b_consts])
     hashes = F.transform(
-        F.array_distinct(shingles), lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE_P))
+        F.array_distinct(shingles), lambda g: shingle_hash(g, hash_fn)
     )
     idx = F.sequence(F.lit(1), F.lit(num_hashes))
     return F.aggregate(
@@ -100,22 +115,30 @@ def minhash_signature(
     )
 
 
-def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """array<struct<band:int, bkey:bigint>> — one bucket key per band."""
+def lsh_band_keys(
+    sig: Column, bands: int, rows_per_band: int, hash_fn: str = "xxhash64"
+) -> Column:
+    """array<struct<band:int, bkey:string>> — one bucket key per band.
+
+    Default mode compresses the signature slice through xxhash64; md5 mode
+    keeps the raw comma-joined slice so an external SQL oracle reproduces
+    the key byte-for-byte.
+    """
+    def _key(i: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at(sig, i * rows_per_band + j + 1).cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        if hash_fn == "md5":
+            return joined
+        return F.xxhash64(joined).cast("string")
+
     return F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(sig, i * rows_per_band + j + 1).cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bkey"),
-            )
+            F.struct(F.lit(i).alias("band"), _key(i).alias("bkey"))
             for i in range(bands)
         ]
     )
@@ -129,6 +152,7 @@ def lsh_candidate_pairs(
     bands: int = 32,
     seed: int = 1,
     max_bucket: int = 2000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate id pairs (id_a < id_b) sharing ≥1 LSH bucket.
 
@@ -140,10 +164,10 @@ def lsh_candidate_pairs(
     of silent truncation.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingle_col, num_hashes=num_hashes, seed=seed)
+    sig = minhash_signature(shingle_col, num_hashes=num_hashes, seed=seed, hash_fn=hash_fn)
     bucketed = (
         df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-        .select("_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("bk"))
+        .select("_id", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band, hash_fn)).alias("bk"))
         .select("_id", F.col("bk.band").alias("_band"), F.col("bk.bkey").alias("_bkey"))
     )
     counts = bucketed.groupBy("_band", "_bkey").agg(F.count("*").alias("_n"))

@@ -123,17 +123,27 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
-def simhash64(col: Column) -> Column:
+def simhash64(col: Column, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over lower-cased word tokens, fully native.
 
-    Per token h = xxhash64(token); bit b of the result is 1 iff
+    Per token h = hash(token); bit b of the result is 1 iff
     Σ_tokens (2·bit_b(h) − 1) > 0. Expressed as one ``aggregate`` over the
     token array with a 64-slot accumulator — no Python, one projection.
     Near-dup pairs then come from banding the 4×16-bit chunks
     (operators/textdedup.simhash_near_duplicates).
+
+    ``hash_fn="md5"`` uses the 60-bit md5-hex hash (bits 60-63 come out 0 —
+    the vote is −|tokens| there), reproducible in any SQL engine with md5;
+    the default xxhash64 is the faster scale path.
     """
     bit_idx = F.sequence(F.lit(0), F.lit(63))
-    hashes = F.transform(F.array_distinct(words(col)), lambda t: F.xxhash64(t))
+
+    def _h(t):
+        if hash_fn == "md5":
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(t)
+
+    hashes = F.transform(F.array_distinct(words(col)), _h)
     acc = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),

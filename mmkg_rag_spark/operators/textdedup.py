@@ -112,6 +112,7 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard — the web-scale path.
 
@@ -128,6 +129,7 @@ def minhash_near_duplicates(
         word_shingles(F.trim(F.lower(F.col("text"))), n),
         num_hashes=num_hashes,
         bands=bands,
+        hash_fn=hash_fn,
     )
     sh = _doc_shingles(base, "id", "text", n)
     sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
@@ -149,6 +151,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dups: pairs within Hamming distance ``max_hamming``.
 
@@ -158,7 +161,7 @@ def simhash_near_duplicates(
     the chunk key; bit_count verify is codegen'd.
     """
     sigs = docs.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("id"), simhash64(F.col(text_col), hash_fn).alias("sig")
     ).localCheckpoint(eager=False)
     chunks = sigs.select(
         "id",
