@@ -18,9 +18,10 @@ checkpoint — exactly-once per micro-batch comes from the pairing of Spark's
 checkpoint (offsets) with the catalog's atomic manifest commit keyed by
 batch id (re-delivered batches hit an existing snapshot and skip).
 
-Stateful windowed operators (watermarks, applyInPandasWithState) are not
-needed: canonicalization state lives in the graph tables themselves, which
-is what lets the stream resume from snapshots rather than operator state.
+KG canonicalization needs no streaming operator state — it lives in the
+graph tables, which is what lets the stream resume from snapshots. The
+events-side ``windowed_event_counts`` shows the complementary pattern:
+watermarked windowed aggregation whose state Spark bounds and evicts.
 """
 
 from __future__ import annotations
@@ -116,3 +117,44 @@ def stream_build(
     else:
         q = writer.start()
     return q
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming tumbling-window aggregation with late-data handling.
+
+    readStream(events parquet dir) → withWatermark(ts) → window(ts) ×
+    event_type → count + sum(value). The watermark bounds state: windows
+    older than (max event time − watermark) finalize and evict, so state
+    size is O(active windows × types) regardless of stream length — the
+    property that lets this run forever on an unbounded 100 TB/day feed.
+    Returns the streaming DataFrame; callers attach a sink (tests use a
+    memory sink with availableNow, production appends to the catalog).
+    """
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_sv"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round(F.col("_sv").cast("double"), 4).alias("sum_value"),
+        )
+    )

@@ -74,3 +74,43 @@ def test_normalize_image_refs(spark):
     assert o2 == "q.gif" and n2.endswith("_1.gif")
     assert "![](" in out["u1"].text and "![x](" not in out["u1"].text
     assert out["u2"].renames == [] and out["u2"].text == "no images"
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path_factory):
+    """Streaming watermarked window agg == batch groupBy on the same events."""
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.streaming import windowed_event_counts
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("events_in"))
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    events.write.mode("overwrite").parquet(in_dir)
+
+    agg = windowed_event_counts(spark, in_dir, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    want = {
+        (r.ws, r.event_type): (r.n, r.sum_value)
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
