@@ -490,6 +490,61 @@ WHERE l.id = l.component
 """
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via window functions.
+
+    lag(ts) per user → gap > 30 min marks a session start → running sum of
+    markers = session index → per-session aggregate. All native window +
+    aggregation; the streaming twin is streaming.sessionize_events.
+    """
+    e = _t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    marked = e.withColumn(
+        "new_sess",
+        F.when(epoch - F.lag(epoch).over(w_user) > 1800, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias(
+                "duration_sec"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+              - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 def q_events_window_agg(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -768,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "near_dup_survivors": q_near_dup_survivors,
+        "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -803,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "near_dup_survivors": SQL_NEAR_DUP_SURVIVORS,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_window_agg": SQL_EVENTS_WINDOW,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "ann_topk_bruteforce": SQL_ANN_BRUTE,

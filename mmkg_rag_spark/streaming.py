@@ -158,3 +158,85 @@ def windowed_event_counts(
             F.round(F.col("_sv").cast("double"), 4).alias("sum_value"),
         )
     )
+
+
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, n_events long, duration_sec long, "
+    "open boolean"
+)
+
+
+def sessionize_events(
+    spark: SparkSession,
+    input_dir: str,
+    gap_sec: int = 1800,
+):
+    """Custom stateful streaming operator: gap-based sessionization.
+
+    ``applyInPandasWithState`` per user_id: state = (session_start, last_ts,
+    n_events). Events extend the current session while gaps stay ≤ gap_sec;
+    a larger gap CLOSES the session (emitted with open=false) and opens a
+    new one. The still-open session is emitted with open=true each batch so
+    downstream sees live progress; state is per-user O(1). This is the
+    engine's demonstration of arbitrary stateful processing — the batch twin
+    (same semantics on bounded data) is __spark_entry__.q_events_sessionize.
+
+    Events must arrive time-ordered per user within a batch (the parquet
+    feed is) — cross-batch ordering is handled by the saved ``last`` state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = []
+        epochs = sorted(int(x) for pdf in pdfs for x in pdf["epoch"])
+        for t in epochs:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_sec:
+                out.append((user_id, start, n, last - start, False))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        if start is not None:
+            state.update((start, last, n))
+            out.append((user_id, start, n, last - start, True))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "start_epoch", "n_events", "duration_sec", "open"],
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    from pyspark.sql import functions as F
+
+    folded = (
+        stream.select("user_id", F.unix_timestamp("ts").alias("epoch"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=(
+                "user_id long, start_epoch long, n_events long, "
+                "duration_sec long, open boolean"
+            ),
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return folded.select(
+        "user_id",
+        F.to_timestamp(F.from_unixtime("start_epoch")).alias("session_start"),
+        "n_events",
+        "duration_sec",
+        "open",
+    )

@@ -114,3 +114,66 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path_factory):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization across micro-batches == batch twin."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.streaming import sessionize_events
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as se
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("sess_in"))
+    # several files → several micro-batches (maxFilesPerTrigger=1); the
+    # operator's contract is a time-ordered feed, so stagger file mtimes to
+    # pin the file-source processing order to event-time order
+    import time as _time
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    bounds = events.selectExpr(
+        "percentile(unix_timestamp(ts), 0.33) p1",
+        "percentile(unix_timestamp(ts), 0.66) p2",
+    ).collect()[0]
+    slices = [
+        events.filter(F.unix_timestamp("ts") <= bounds.p1),
+        events.filter(
+            (F.unix_timestamp("ts") > bounds.p1)
+            & (F.unix_timestamp("ts") <= bounds.p2)
+        ),
+        events.filter(F.unix_timestamp("ts") > bounds.p2),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    q = (
+        sessionize_events(spark, in_dir)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from sessions").collect()
+    # update mode re-emits the open session each batch: keep max-n per
+    # (user, start) — stale open rows are strict prefixes of their update
+    final = {}
+    for r in rows:
+        k = (r.user_id, r.session_start)
+        if k not in final or r.n_events > final[k][0]:
+            final[k] = (r.n_events, r.duration_sec)
+    got = {(u, s, n, d) for (u, s), (n, d) in final.items()}
+
+    batch = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in se.q_events_sessionize(spark, sf)
+        .withColumn("session_start", F.to_timestamp("session_start"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
