@@ -32,15 +32,20 @@ BENCH_QUERIES = [
     "doc_lang_id",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "near_dup_survivors",
     "minhash_near_dup",
     "simhash_near_dup",
+    "events_sessionize",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "kg_degree_topk",
 ]
 
 # reduce result materialization cost for wide outputs: count instead of collect
-COUNT_ONLY = {"doc_token_stats", "doc_quality", "exact_dedup", "unordered_pair_merge"}
+COUNT_ONLY = {
+    "doc_token_stats", "doc_quality", "exact_dedup", "unordered_pair_merge",
+    "near_dup_survivors", "events_sessionize",
+}
 
 
 def bench_kg(spark, sf_dir: str) -> tuple[float, int]:
