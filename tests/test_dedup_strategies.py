@@ -76,3 +76,58 @@ def test_union_find_local_transitive():
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[8] == comp[9] == 8
     assert comp[5] == 5
+
+
+def test_distributed_lsh_path_at_scale(spark):
+    """The distributed MinHash-LSH + ratio-verify + CC path on 6k mentions.
+
+    1,500 planted clusters × 4 surface variants (exact, token-scrambled,
+    uppercase, alias-carrying). Cluster names differ by whole words, so
+    inter-cluster token-sort similarity sits below the 0.95 threshold —
+    except the occasional legitimately-similar combo pair, hence the ±2
+    tolerance (the reference's greedy grouping merges those too).
+    Norm count (≈3k) exceeds the pairwise threshold → this exercises the
+    REAL scale path: LSH banding, candidate verify UDF, star+fuzzy edges.
+    """
+    import pandas as pd
+
+    W1 = ["Alpha", "Borealis", "Cascade", "Delphinium", "Everest", "Fjord",
+          "Granite", "Horizon", "Iridium", "Juniper", "Krypton", "Lattice",
+          "Meridian", "Nebula", "Obsidian", "Pinnacle"]
+    W2 = ["Systems", "Dynamics", "Research", "Industries", "Networks",
+          "Analytics", "Laboratories", "Holdings", "Partners", "Collective"]
+    W3 = ["North", "Pacific", "Eastern", "Global", "Mountain", "Riverside",
+          "Coastal", "Urban", "Arctic", "Equatorial"]
+    n_clusters = 1500
+
+    def base_name(c):
+        return f"{W1[c % 16]} {W2[(c // 16) % 10]} {W3[(c // 160) % 10]}"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                c, v = i % n_clusters, i // n_clusters
+                base = base_name(c)
+                if v == 0:
+                    name, aliases = base, []
+                elif v == 1:
+                    name, aliases = " ".join(base.split()[::-1]), []
+                elif v == 2:
+                    name, aliases = base.upper(), []
+                else:
+                    name, aliases = base, ["".join(w[0] for w in base.split()) + str(c)]
+                rows.append(("u", 1, name, "ORG", f"org cluster {c}", aliases, []))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "chunk_id", "name", "label", "description",
+                         "aliases", "references"],
+            )
+
+    mentions = spark.range(4 * n_clusters).mapInPandas(gen, SCHEMA)
+    nodes, mapping = canonicalize_entities(mentions)
+    n = nodes.count()
+    assert n_clusters - 2 <= n <= n_clusters
+    # every cluster contributed its scrambled + uppercase surfaces to mapping
+    assert mapping.count() >= 2 * (n_clusters - 2)
