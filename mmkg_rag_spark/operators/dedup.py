@@ -116,8 +116,12 @@ def similarity_edges(
             pairs, "id_a string, id_b string"
         ) if pairs else units.sparkSession.createDataFrame([], "id_a string, id_b string")
     else:
+        # b=16, r=8: S-curve center (1/16)^(1/8) ≈ 0.71 — at the 0.95
+        # threshold recall ≈ 1−(1−0.95⁸)^16 ≈ 1-3e-8, while sub-0.5-similar
+        # junk pairs collide ~50× less than the 32×4 banding would allow,
+        # keeping the python ratio-verify volume ∝ true near-matches.
         cand = lsh_candidate_pairs(
-            norms, "norm", char_shingles(F.col("norm"), 3), num_hashes=128, bands=32
+            norms, "norm", char_shingles(F.col("norm"), 3), num_hashes=128, bands=16
         )
 
         @F.pandas_udf("double")
