@@ -40,14 +40,28 @@ IMAGE_MIN_RELEVANCE = 0.1  # mmodal.py:223
 
 def extract_chunk(chunk: Chunk) -> tuple[list[Entity], list[Relation]]:
     """Replay of ``extract_er_from_chunk`` (text.py:63-145), loop=1, mocked LLM."""
-    entities, relations = parse_er(index_response(chunk.text))
+    index_text = index_response(chunk.text)
+    entities, _ = parse_er(index_text)
+    alias_text = alias_response(chunk.text, [e.name for e in entities])
+    return extract_chunk_from_responses(chunk, index_text, alias_text)
+
+
+def extract_chunk_from_responses(
+    chunk: Chunk, index_text: str, alias_text: str
+) -> tuple[list[Entity], list[Relation]]:
+    """Post-model half of extract_er_from_chunk: parse → alias → complete.
+
+    Separated from the model call so ANY Extractor (mock or endpoint,
+    mmkg_rag_spark/llm.py) feeds the same parsing/promotion path.
+    """
+    entities, relations = parse_er(index_text)
     for e in entities:
         e.chunks = [chunk.id]
     for r in relations:
         r.chunks = [chunk.id]
 
     # find_alias (text.py:16-60): promote longest name, remap relation endpoints
-    aliases = parse_alias(alias_response(chunk.text, [e.name for e in entities]))
+    aliases = parse_alias(alias_text)
     name_mapping: dict[str, str] = {}
     for entity_name, alias_list in aliases:
         entity = next((e for e in entities if e.name == entity_name), None)

@@ -1,0 +1,132 @@
+"""Model-client abstraction: deterministic mock ⇄ OpenAI-compatible endpoint.
+
+SURVEY.md §7.0: the LLM sits behind an ``Extractor`` interface with two
+implementations —
+
+- ``MockExtractor``     : deterministic, reference-parser-faithful responses
+  generated from the planted-mention grammar (kernels/mockllm.py). Default
+  everywhere; keeps the whole engine hermetic and the P/R gate exact.
+- ``EndpointExtractor`` : batched OpenAI-compatible chat-completions client
+  (reference utils/llm.py:29-73 semantics: base_url + api_key + model,
+  max_tokens 8192) over stdlib urllib — no extra dependencies. Prompts are
+  original text that pin the SAME output contract the parsers consume
+  (JSON objects with {name,label,description,aliases,references} /
+  {source,label,target,description,references} fields — parser.py:100-135).
+
+Executors get an extractor via a picklable zero-arg *factory* so each
+worker builds its own client (sockets don't survive pickling). Swapping
+mock → endpoint is a constructor argument, not a code change:
+
+    extract_mentions(chunks, extractor_factory=lambda: EndpointExtractor(
+        base_url=..., api_key=..., model=...))
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from dataclasses import dataclass
+
+from .kernels import mockllm
+
+INDEX_PROMPT = (
+    "Extract every entity and relation from the text below. Reply ONLY with "
+    "one JSON object per finding: entities as "
+    '{"name": ..., "label": ..., "description": ..., "aliases": [...], '
+    '"references": [...]} and relations as '
+    '{"source": ..., "label": ..., "target": ..., "description": ..., '
+    '"references": [...]}. references quote the supporting sentence.\n\nTEXT:\n'
+)
+
+ALIAS_PROMPT = (
+    "For each entity below, list surface aliases found in the text as lines "
+    'of the form <ENTITY_NAME, ["alias1", "alias2"]>. Entities: {names}\n\nTEXT:\n'
+)
+
+DESCRIBE_PROMPT = (
+    "Describe the image at the given path using its surrounding text. Reply "
+    'ONLY with JSON {{"caption": ..., "text_snippets": [...], "description": ...}}.'
+    "\nPATH: {path}\nCONTEXT:\n"
+)
+
+
+class MockExtractor:
+    """Deterministic extractor — emits the mock model's response strings."""
+
+    def index(self, texts: list[str]) -> list[str]:
+        return [mockllm.index_response(t) for t in texts]
+
+    def alias(self, texts: list[str], names: list[list[str]]) -> list[str]:
+        return [mockllm.alias_response(t, n) for t, n in zip(texts, names)]
+
+    def describe_image(self, paths: list[str], contexts: list[str]) -> list[str]:
+        return [
+            mockllm.describe_image_response(p, c) for p, c in zip(paths, contexts)
+        ]
+
+
+@dataclass
+class EndpointExtractor:
+    """Batched OpenAI-compatible client (chat/completions).
+
+    ``transport`` is injectable for tests; default posts JSON with stdlib
+    urllib (no requests dependency). One HTTP call per input — concurrency
+    comes from Spark task parallelism, mirroring how the reference's asyncio
+    fan-out becomes executor fan-out (SURVEY.md §4).
+    """
+
+    base_url: str
+    api_key: str = ""
+    model: str = "gpt-4o-mini"
+    max_tokens: int = 8192  # utils/llm.py:75-86
+    temperature: float = 0.0
+    timeout_sec: int = 120
+    transport: object = None  # Callable[[dict], str] | None
+
+    def _call(self, system: str, user: str) -> str:
+        payload = {
+            "model": self.model,
+            "max_tokens": self.max_tokens,
+            "temperature": self.temperature,
+            "messages": [
+                {"role": "system", "content": system},
+                {"role": "user", "content": user},
+            ],
+        }
+        if self.transport is not None:
+            return self.transport(payload)  # type: ignore[operator]
+        req = urllib.request.Request(
+            self.base_url.rstrip("/") + "/chat/completions",
+            data=json.dumps(payload).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
+            body = json.loads(resp.read())
+        return body["choices"][0]["message"]["content"]
+
+    def index(self, texts: list[str]) -> list[str]:
+        return [
+            self._call("You are a precise information extractor.", INDEX_PROMPT + t)
+            for t in texts
+        ]
+
+    def alias(self, texts: list[str], names: list[list[str]]) -> list[str]:
+        return [
+            self._call(
+                "You find aliases of named entities.",
+                ALIAS_PROMPT.format(names=", ".join(n)) + t,
+            )
+            for t, n in zip(texts, names)
+        ]
+
+    def describe_image(self, paths: list[str], contexts: list[str]) -> list[str]:
+        return [
+            self._call(
+                "You describe images from context.",
+                DESCRIBE_PROMPT.format(path=p) + c,
+            )
+            for p, c in zip(paths, contexts)
+        ]

@@ -70,20 +70,49 @@ def chunk_pages(
     return pages.select("url", "text").mapInPandas(gen, schema=CHUNK_SCHEMA)
 
 
-def extract_mentions(chunks: DataFrame) -> DataFrame:
+def extract_mentions(
+    chunks: DataFrame, extractor_factory=None
+) -> DataFrame:
     """chunks → union mention table (kind 'E' | 'R'); map-only, one model pass.
 
     Mirrors extract_er_from_chunk + find_alias + complete_reference
     (text.py:63-198): each chunk's entity/relation mentions are emitted with
     provenance (url, chunk_id). Alias promotion and endpoint remap happen
     chunk-locally here; corpus-global canonicalization is operators/dedup.py.
+
+    ``extractor_factory``: picklable zero-arg callable building an
+    ``mmkg_rag_spark.llm`` Extractor per python worker (e.g.
+    ``lambda: EndpointExtractor(base_url=..., ...)``). Default None = the
+    deterministic mock kernel path (hermetic, fastest).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extractor = extractor_factory() if extractor_factory is not None else None
         for pdf in batches:
             rows: list[tuple] = []
-            for url, chunk_id, text in zip(pdf["url"], pdf["chunk_id"], pdf["text"]):
-                ents, rels = extract_chunk(Chunk(id=int(chunk_id), text=text))
+            chunk_objs = [
+                Chunk(id=int(cid), text=t)
+                for cid, t in zip(pdf["chunk_id"], pdf["text"])
+            ]
+            if extractor is not None:
+                from ..kernels.parsers import parse_er as _parse_er
+                from ..kernels.refpipeline import extract_chunk_from_responses
+
+                index_texts = extractor.index([c.text for c in chunk_objs])
+                names = [
+                    [e.name for e in _parse_er(ix)[0]] for ix in index_texts
+                ]
+                alias_texts = extractor.alias(
+                    [c.text for c in chunk_objs], names
+                )
+                results = [
+                    extract_chunk_from_responses(c, ix, al)
+                    for c, ix, al in zip(chunk_objs, index_texts, alias_texts)
+                ]
+            else:
+                results = [extract_chunk(c) for c in chunk_objs]
+            for url, c, (ents, rels) in zip(pdf["url"], chunk_objs, results):
+                chunk_id = c.id
                 for e in ents:
                     rows.append((
                         "E", url, int(chunk_id), e.name, e.label,
