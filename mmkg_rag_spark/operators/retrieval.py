@@ -176,6 +176,51 @@ def search_eris(
     }
 
 
+def assemble_context(
+    seed_entities: DataFrame,
+    related_entities: DataFrame,
+    related_edges: DataFrame,
+    nodes: DataFrame,
+) -> str:
+    """R5 prompt-context assembly (generate.py:12-32 semantics, LLM-free).
+
+    Builds the knowledge block the reference feeds its answer LLM: one
+    ``- name, [aliases], description`` line per seed+related entity and one
+    ``- source, target, label, description`` line per relation. The result
+    frames are reference-capped to a handful of rows (max_num defaults), so
+    the collect here is the intended last step of retrieval — everything
+    upstream stayed distributed. Downstream answer generation is an LLM
+    driver above the engine (SURVEY.md §2.6 R5).
+    """
+    universe = (
+        seed_entities.select("name")
+        .unionByName(related_entities.select("name"))
+        .distinct()
+    )
+    ents = (
+        nodes.join(F.broadcast(universe), "name", "semi")
+        .select("name", "aliases", "description")
+        .orderBy("name")
+        .collect()
+    )
+    ent_lines = "\n".join(
+        f"- {e.name}, {list(e.aliases or [])}, {e.description}" for e in ents
+    )
+    rels = related_edges.select(
+        "source", "target", "label", "description"
+    ).orderBy("source", "target", "label").collect()
+    rel_lines = "\n".join(
+        f"- {r.source}, {r.target}, {r.label}, {r.description}" for r in rels
+    )
+    return (
+        "Entities: every entity has a name, aliases, and a description\n"
+        + ent_lines
+        + "\n\nRelations: every relation has a source, target, label, and a description\n"
+        + rel_lines
+        + "\n"
+    )
+
+
 def expand_seeds(
     edges: DataFrame,
     seeds: DataFrame,

@@ -72,3 +72,19 @@ def test_search_eris_2hop(graph):
     related = {r.name for r in res["related_entities"].collect()}
     # hop1: Analytical Engine; hop2: Charles Babbage via the engine
     assert {"Analytical Engine", "Charles Babbage"} <= related
+
+
+def test_assemble_context(graph):
+    from mmkg_rag_spark.operators.retrieval import assemble_context
+
+    nodes, edges, images = graph
+    res = search_eris(
+        nodes, edges, images, ["Ada Lovelace"], max_num=1, similarity_threshold=50
+    )
+    ctx = assemble_context(
+        res["seed_entities"], res["related_entities"], res["related_edges"], nodes
+    )
+    assert "- Ada Lovelace, ['Ada'], pioneer" in ctx
+    assert "- Ada Lovelace, Analytical Engine, worked on," in ctx
+    assert ctx.index("Entities:") < ctx.index("Relations:")
+    assert "Zurich Office" not in ctx  # disconnected entity excluded
