@@ -418,11 +418,15 @@ WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT doc_id AS id, unnest(list_distinct(
     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
   )) AS shingle FROM w
 ),
+-- mirror the engine's max_shingle_freq=1000 boilerplate cap; sizes come
+-- from the same capped set so the metric matches exactly (ADVICE r1)
+capped AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN capped USING (shingle)),
 sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
@@ -451,11 +455,15 @@ WITH RECURSIVE w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT doc_id AS id, unnest(list_distinct(
     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
   )) AS shingle FROM w
 ),
+-- mirror the engine's max_shingle_freq=1000 boilerplate cap; sizes come
+-- from the same capped set so the metric matches exactly (ADVICE r1)
+capped AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN capped USING (shingle)),
 sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
@@ -499,24 +507,38 @@ def q_events_sessionize(spark, sf_dir):
     """
     e = _t(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp("ts")
+    # ts is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false + Spark inferNTZ).
+    # unix_timestamp(ntz) would round-trip through the *session* timezone;
+    # derive the wall-clock epoch from date/time fields instead so parity
+    # with DuckDB's TZ-naive epoch(ts) holds under any harness session TZ.
+    def _epoch(c):
+        return (
+            F.unix_date(F.col(c).cast("date")) * F.lit(86400)
+            + F.hour(c) * 3600
+            + F.minute(c) * 60
+            + F.second(c)
+        ).cast("long")
+
+    epoch = _epoch("ts")
     marked = e.withColumn(
         "new_sess",
         F.when(epoch - F.lag(epoch).over(w_user) > 1800, F.lit(1)).otherwise(F.lit(0)),
     ).withColumn(
+        # cast: DuckDB's window SUM is HUGEINT; pin both engines to int64 so
+        # the driver's value-hash sees identical renderings (VERDICT r1 #1).
         "session_idx",
-        F.sum("new_sess").over(
-            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+        F.sum("new_sess")
+        .over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
     )
     return (
         marked.groupBy("user_id", "session_idx")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # date_format on TIMESTAMP_NTZ renders the stored wall-clock —
+            # TZ-invariant, matching the oracle's strftime on naive ts.
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias(
-                "duration_sec"
-            ),
+            (F.max(epoch) - F.min(epoch)).alias("duration_sec"),
         )
     )
 
@@ -532,10 +554,10 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, ts,
-    SUM(new_sess) OVER (
+    CAST(SUM(new_sess) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS session_idx
+    ) AS BIGINT) AS session_idx
   FROM marked
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -549,6 +571,8 @@ def q_events_window_agg(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
+            # ts is TIMESTAMP_NTZ: date_format renders the stored wall-clock,
+            # TZ-invariant (matches the oracle's strftime on naive ts)
             "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
         )
         .agg(

@@ -13,7 +13,9 @@ their outputs are comparable:
   - canonical name  = longest member name (tie → lexicographically smallest),
     mirroring the reference's longest-name promotion rule (text.py:43)
   - label           = most frequent (tie → lexicographically smallest)
-  - description     = sorted distinct descriptions joined with " | "
+  - description     = sorted distinct descriptions joined with DESC_SEP (a
+    sentinel that cannot occur in source text, so re-splitting on merge is
+    lossless even when a description legitimately contains " | ")
   - aliases         = sorted distinct union of all names+aliases minus canonical
   - references      = sorted distinct union
   - chunks          = sorted distinct union
@@ -28,6 +30,12 @@ from .similarity import pair_similarity
 from .textops import relation_pair_key
 
 DEDUP_SIMILARITY = 0.95  # deduplicate.py:25
+
+# Collision-proof separator for merged descriptions (ADVICE r1): U+241F
+# (SYMBOL FOR UNIT SEPARATOR) never occurs in real web text, unlike the
+# previous " | " which silently split source descriptions containing pipes.
+# Kept printable so the eris text dump stays human-readable.
+DESC_SEP = " ␟ "
 
 
 def entities_match(e1: Entity, e2: Entity, similarity: float = DEDUP_SIMILARITY) -> bool:
@@ -101,7 +109,7 @@ def merge_entity_group(group: list[Entity], weights: list[int] | None = None) ->
     # sort — makes the merge idempotent/associative, so incremental
     # re-canonicalization (operators/incremental.py) equals a full rebuild
     descriptions = sorted(
-        {p for e in group if e.description for p in e.description.split(" | ") if p}
+        {p for e in group if e.description for p in e.description.split(DESC_SEP) if p}
     )
     aliases = sorted(
         {a for e in group for a in ([e.name] + (e.aliases or []))} - {name}
@@ -111,7 +119,7 @@ def merge_entity_group(group: list[Entity], weights: list[int] | None = None) ->
     return Entity(
         name=name,
         label=label,
-        description=" | ".join(descriptions),
+        description=DESC_SEP.join(descriptions),
         aliases=aliases,
         references=references,
         chunks=chunks,

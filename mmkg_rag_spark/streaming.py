@@ -50,7 +50,11 @@ def process_pages_batch(
     batch (restart replay) finds its snapshot committed and no-ops.
     """
     snap = fingerprint("stream-batch", batch_id, chunk_size, overlap)
-    if catalog.has_snapshot("nodes", snap):
+    # Idempotence must check BOTH tables: a crash between the nodes and
+    # edges manifest commits would otherwise make the replay skip the batch
+    # and permanently drop its edges (ADVICE r1). write_all() below orders
+    # data-before-manifest so at most a manifest prefix can be committed.
+    if catalog.has_snapshot("nodes", snap) and catalog.has_snapshot("edges", snap):
         return {"batch_id": batch_id, "skipped": 1}
 
     t0 = time.time()
@@ -69,8 +73,10 @@ def process_pages_batch(
     nodes, _, edges = incremental_canonicalize(em, rm, prior_nodes, prior_edges)
     nodes = nodes.localCheckpoint()
     edges = edges.localCheckpoint()
-    n_path = catalog.write(nodes, "nodes", snap, meta={"batch_id": batch_id})
-    e_path = catalog.write(edges, "edges", snap, meta={"batch_id": batch_id})
+    paths = catalog.write_all(
+        [(nodes, "nodes"), (edges, "edges")], snap, meta={"batch_id": batch_id}
+    )
+    n_path, e_path = paths["nodes"], paths["edges"]
 
     from .metrics import record_stage
 
