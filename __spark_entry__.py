@@ -756,6 +756,66 @@ FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
+def _sql_ann_lsh(
+    k: int = 5, n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: int = 7
+) -> str:
+    """DuckDB twin of ann.lsh_topk_cosine (VERDICT r1 #4).
+
+    The hyperplanes are deterministic SHA-derived constants
+    (operators/ann._hyperplanes), so the exact same sign-bucket keys can be
+    emitted in SQL: per table, bkey = Σ 2^b over planes with positive dot.
+    list_dot_product's sequential summation matches F.aggregate(zip_with)
+    (proven by the hash-green SQL_ANN_BRUTE), so the sign — and therefore
+    the candidate set — is identical; re-score + rank mirror the brute SQL.
+    """
+    from mmkg_rag_spark.operators.ann import _hyperplanes
+
+    def _bkey(col: str, planes) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, "
+            f"[{', '.join(repr(w) for w in plane)}]) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b, plane in enumerate(planes)
+        )
+
+    c_structs, q_structs = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 101 * t)
+        c_structs.append("{'tbl': %d, 'bkey': %s}" % (t, _bkey("v", planes)))
+        q_structs.append("{'tbl': %d, 'bkey': %s}" % (t, _bkey("qv", planes)))
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+c_b AS (
+  SELECT vec_id AS nn_id, t.b['tbl'] AS tbl, t.b['bkey'] AS bkey
+  FROM e, unnest([{', '.join(c_structs)}]) AS t(b)
+),
+q_b AS (
+  SELECT query_id, t.b['tbl'] AS tbl, t.b['bkey'] AS bkey
+  FROM q, unnest([{', '.join(q_structs)}]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT query_id, nn_id
+  FROM q_b JOIN c_b USING (tbl, bkey)
+  WHERE nn_id <> query_id
+),
+scored AS (
+  SELECT c.query_id, c.nn_id,
+    round(list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
+          6) AS score
+  FROM cand c JOIN q ON c.query_id = q.query_id JOIN e ON c.nn_id = e.vec_id
+),
+ranked AS (
+  SELECT query_id, nn_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank
+  FROM scored
+)
+SELECT query_id, nn_id, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: LSH / iterative / rapidfuzz)
 # ---------------------------------------------------------------------------
@@ -889,4 +949,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": SQL_ANN_BRUTE,
         "minhash_near_dup_md5": _sql_minhash_md5(),
         "simhash_near_dup_md5": _sql_simhash_md5(),
+        "ann_topk_lsh": _sql_ann_lsh(),
     }

@@ -47,14 +47,24 @@ def extract_chunk(chunk: Chunk) -> tuple[list[Entity], list[Relation]]:
 
 
 def extract_chunk_from_responses(
-    chunk: Chunk, index_text: str, alias_text: str
+    chunk: Chunk, index_text: str | list[str], alias_text: str
 ) -> tuple[list[Entity], list[Relation]]:
     """Post-model half of extract_er_from_chunk: parse → alias → complete.
 
     Separated from the model call so ANY Extractor (mock or endpoint,
     mmkg_rag_spark/llm.py) feeds the same parsing/promotion path.
+
+    ``index_text`` may be a list of responses — the initial INDEX answer plus
+    gleaning-round additions (text.py:97-122): each is parsed and the
+    findings extended in order, exactly as the reference extends
+    entities/relations across loop rounds before alias promotion.
     """
-    entities, relations = parse_er(index_text)
+    responses = [index_text] if isinstance(index_text, str) else list(index_text)
+    entities, relations = [], []
+    for resp in responses:
+        es, rs = parse_er(resp)
+        entities.extend(es)
+        relations.extend(rs)
     for e in entities:
         e.chunks = [chunk.id]
     for r in relations:

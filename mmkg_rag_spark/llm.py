@@ -43,6 +43,16 @@ ALIAS_PROMPT = (
     'of the form <ENTITY_NAME, ["alias1", "alias2"]>. Entities: {names}\n\nTEXT:\n'
 )
 
+LOOP_PROMPT = (
+    "Some entities or relations may have been missed in your previous answer. "
+    "Extract ONLY the additional ones, in the same JSON-object format."
+)
+
+IF_CONTINUE_PROMPT = (
+    "Answer YES or NO: are there still entities or relations in the text that "
+    "have not been extracted yet?"
+)
+
 DESCRIBE_PROMPT = (
     "Describe the image at the given path using its surrounding text. Reply "
     'ONLY with JSON {{"caption": ..., "text_snippets": [...], "description": ...}}.'
@@ -64,6 +74,14 @@ class MockExtractor:
             mockllm.describe_image_response(p, c) for p, c in zip(paths, contexts)
         ]
 
+    def glean(self, histories: list[list[dict]]) -> list[str]:
+        """Gleaning round (reference text.py:97-122): the mock's first pass is
+        exhaustive by construction, so further rounds find nothing."""
+        return ["" for _ in histories]
+
+    def should_continue(self, histories: list[list[dict]]) -> list[str]:
+        return ["NO" for _ in histories]
+
 
 @dataclass
 class EndpointExtractor:
@@ -83,13 +101,14 @@ class EndpointExtractor:
     timeout_sec: int = 120
     transport: object = None  # Callable[[dict], str] | None
 
-    def _call(self, system: str, user: str) -> str:
+    def _call(self, system: str, user: str, history: list[dict] | None = None) -> str:
         payload = {
             "model": self.model,
             "max_tokens": self.max_tokens,
             "temperature": self.temperature,
             "messages": [
                 {"role": "system", "content": system},
+                *(history or []),
                 {"role": "user", "content": user},
             ],
         }
@@ -129,4 +148,25 @@ class EndpointExtractor:
                 DESCRIBE_PROMPT.format(path=p) + c,
             )
             for p, c in zip(paths, contexts)
+        ]
+
+    def glean(self, histories: list[list[dict]]) -> list[str]:
+        """One gleaning round per conversation (reference text.py:97-122):
+        re-prompt with the prior exchange as history, collect additions."""
+        return [
+            self._call(
+                "You are a precise information extractor.", LOOP_PROMPT, history=h
+            )
+            for h in histories
+        ]
+
+    def should_continue(self, histories: list[list[dict]]) -> list[str]:
+        """YES/NO continuation vote (reference text.py:123-130)."""
+        return [
+            self._call(
+                "You are a precise information extractor.",
+                IF_CONTINUE_PROMPT,
+                history=h,
+            )
+            for h in histories
         ]

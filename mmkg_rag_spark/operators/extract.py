@@ -71,7 +71,7 @@ def chunk_pages(
 
 
 def extract_mentions(
-    chunks: DataFrame, extractor_factory=None
+    chunks: DataFrame, extractor_factory=None, loop: int = 1
 ) -> DataFrame:
     """chunks → union mention table (kind 'E' | 'R'); map-only, one model pass.
 
@@ -84,6 +84,12 @@ def extract_mentions(
     ``mmkg_rag_spark.llm`` Extractor per python worker (e.g.
     ``lambda: EndpointExtractor(base_url=..., ...)``). Default None = the
     deterministic mock kernel path (hermetic, fastest).
+
+    ``loop``: gleaning rounds (reference text.py:97-130, default 1 = none).
+    Each extra round re-prompts with the conversation history, extends the
+    findings with the additions, then asks the YES/NO continuation question
+    — a chunk whose answer contains NO drops out of later rounds. Stays
+    map-side: the loop runs per python worker inside this one stage.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,17 +103,47 @@ def extract_mentions(
             if extractor is not None:
                 from ..kernels.parsers import parse_er as _parse_er
                 from ..kernels.refpipeline import extract_chunk_from_responses
+                from ..llm import INDEX_PROMPT, LOOP_PROMPT
 
-                index_texts = extractor.index([c.text for c in chunk_objs])
+                texts = [c.text for c in chunk_objs]
+                index_texts = extractor.index(texts)
+                responses: list[list[str]] = [[ix] for ix in index_texts]
+                if loop > 1:
+                    histories = [
+                        [
+                            {"role": "user", "content": INDEX_PROMPT + t},
+                            {"role": "assistant", "content": ix},
+                        ]
+                        for t, ix in zip(texts, index_texts)
+                    ]
+                    active = list(range(len(chunk_objs)))
+                    for _ in range(loop - 1):
+                        if not active:
+                            break
+                        gleaned = extractor.glean([histories[i] for i in active])
+                        for i, g in zip(active, gleaned):
+                            responses[i].append(g)
+                            histories[i].extend(
+                                [
+                                    {"role": "user", "content": LOOP_PROMPT},
+                                    {"role": "assistant", "content": g},
+                                ]
+                            )
+                        cont = extractor.should_continue(
+                            [histories[i] for i in active]
+                        )
+                        # reference text.py:129: break when "NO" in answer
+                        active = [
+                            i for i, c in zip(active, cont) if "NO" not in c.upper()
+                        ]
                 names = [
-                    [e.name for e in _parse_er(ix)[0]] for ix in index_texts
+                    [e.name for resp in rs for e in _parse_er(resp)[0]]
+                    for rs in responses
                 ]
-                alias_texts = extractor.alias(
-                    [c.text for c in chunk_objs], names
-                )
+                alias_texts = extractor.alias(texts, names)
                 results = [
-                    extract_chunk_from_responses(c, ix, al)
-                    for c, ix, al in zip(chunk_objs, index_texts, alias_texts)
+                    extract_chunk_from_responses(c, rs, al)
+                    for c, rs, al in zip(chunk_objs, responses, alias_texts)
                 ]
             else:
                 results = [extract_chunk(c) for c in chunk_objs]

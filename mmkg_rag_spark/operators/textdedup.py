@@ -253,23 +253,66 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    use_ann: bool = False,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold, brute-force pair join.
+    """Embedding near-dup pairs: cosine ≥ threshold.
 
-    Correctness baseline (oracle-checked). The O(n²) pair join is fine at
-    verification scale; at corpus scale use operators/ann.lsh_topk_cosine to
-    generate candidates and this verify expression on top.
+    Two physical strategies sharing one verify expression:
+
+    - ``use_ann=False`` (default): brute-force O(n²) pair join — the
+      oracle-checked correctness baseline, verification scale only.
+    - ``use_ann=True``  : the 100 TB path — sign-LSH bucket self-join
+      (operators/ann hyperplanes: deterministic, seeded) generates the
+      candidate pairs, exact cosine re-scores candidates only. Pair work is
+      ∝ bucket co-occupancy, never |D|². At threshold 0.95 (θ ≤ 18°) the
+      per-pair miss probability with 4 planes × 12 tables is
+      (1−0.9⁴)¹² ≈ 3·10⁻⁶ — tests/test_textstats_dedup_ann.py pins
+      ann ≡ brute on the test corpus.
     """
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    return (
-        e.alias("a")
-        .join(e.alias("b"), F.col("a.id") < F.col("b.id"))
-        .select(
+    if use_ann:
+        from .ann import _hyperplanes, _sign_key
+
+        keys = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + 101 * t)
+            keys.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _sign_key(F.col("v"), planes).alias("bkey"),
+                )
+            )
+        b = e.select("id", "v", F.explode(F.array(*keys)).alias("bk")).select(
+            "id", "v", F.col("bk.tbl").alias("tbl"), F.col("bk.bkey").alias("bkey")
+        )
+        pairs = (
+            b.alias("a")
+            .join(b.alias("b"), ["tbl", "bkey"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("a.v").alias("va"),
+                F.col("b.id").alias("id_b"),
+                F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        pairs = e.alias("a").join(e.alias("b"), F.col("a.id") < F.col("b.id")).select(
             F.col("a.id").alias("id_a"),
+            F.col("a.v").alias("va"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+            F.col("b.v").alias("vb"),
+        )
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))

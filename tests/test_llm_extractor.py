@@ -72,6 +72,85 @@ def test_endpoint_extractor_request_and_parse():
     assert "img/x.png" in calls[2]["messages"][1]["content"]
 
 
+def test_gleaning_loop_extends_and_stops_on_no(spark):
+    """loop>1 parity with reference text.py:97-130: round-2 additions are
+    merged into the chunk's mentions; a NO continuation answer stops rounds."""
+    from mmkg_rag_spark.llm import (
+        ALIAS_PROMPT,
+        IF_CONTINUE_PROMPT,
+        INDEX_PROMPT,
+        LOOP_PROMPT,
+    )
+
+    import tempfile
+
+    log_path = tempfile.mktemp(suffix=".calls")
+
+    def transport(payload):
+        user = payload["messages"][-1]["content"]
+        # the transport runs inside the Spark python worker — log calls
+        # through the (shared, local-mode) filesystem, not a closure list
+        with open(log_path, "a") as f:
+            f.write(user.split("\n")[0][:40] + "\n")
+        if user.startswith(INDEX_PROMPT):
+            return (
+                '{"name": "Ada Lovelace", "label": "PERSON", '
+                '"description": "pioneer", "aliases": [], "references": []}'
+            )
+        if user == LOOP_PROMPT:
+            # history must carry the full prior exchange (text.py:93-121)
+            contents = [m["content"] for m in payload["messages"]]
+            assert any(c.startswith(INDEX_PROMPT) for c in contents)
+            assert any("Ada Lovelace" in c for c in contents)
+            return (
+                '{"name": "Grace Hopper", "label": "PERSON", '
+                '"description": "compiler author", "aliases": [], "references": []}'
+            )
+        if user == IF_CONTINUE_PROMPT:
+            return "NO, everything is extracted."
+        assert user.startswith(ALIAS_PROMPT[: ALIAS_PROMPT.index("{")])
+        return ""
+
+    import functools
+
+    factory = functools.partial(
+        EndpointExtractor, base_url="http://example.invalid/v1",
+        transport=transport,
+    )
+    pages = spark.createDataFrame(
+        [("u1", "irrelevant — the transport scripts the answers")],
+        "url string, text string",
+    )
+    # loop=3, but the NO answer after round 2 must stop further gleaning
+    out = extract_mentions(
+        chunk_pages(pages).coalesce(1), extractor_factory=factory, loop=3
+    ).collect()
+    names = sorted(r.name for r in out if r.kind == "E")
+    assert names == ["Ada Lovelace", "Grace Hopper"]
+    with open(log_path) as f:
+        kinds = f.read().splitlines()
+    loop_head = LOOP_PROMPT.split("\n")[0][:40]
+    cont_head = IF_CONTINUE_PROMPT.split("\n")[0][:40]
+    assert sum(1 for k in kinds if k == loop_head) == 1  # stopped after NO
+    assert sum(1 for k in kinds if k == cont_head) == 1
+
+
+def test_mock_gleaning_is_noop(spark):
+    """MockExtractor's first pass is exhaustive: loop=2 output == loop=1."""
+    chunks = chunk_pages(gen_pages_df(spark, 10).select("url", "text")).cache()
+
+    def norm(rows):
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r) for r in rows
+        )
+
+    once = norm(extract_mentions(chunks, extractor_factory=MockExtractor).collect())
+    looped = norm(
+        extract_mentions(chunks, extractor_factory=MockExtractor, loop=2).collect()
+    )
+    assert looped == once and len(once) > 0
+
+
 def test_endpoint_extractor_is_picklable_as_factory():
     """partial() factories survive stdlib pickle (Spark's cloudpickle also
     handles lambdas/closures — this pins the stricter contract)."""

@@ -154,6 +154,38 @@ def test_embedding_near_duplicates(vecs):
     assert (0, 2) not in pairs
 
 
+def test_embedding_ann_path_equals_brute(spark):
+    """use_ann=True (sign-LSH candidates + shared verify) reproduces the
+    brute-force pair set exactly at threshold 0.95 (VERDICT r1 #6: the O(n²)
+    join is opt-in baseline only). The sf testdata embeddings are uniform
+    random (max pair cosine ≈ 0.51), so near-dup clusters are planted here:
+    40 clusters of 2-3 perturbed copies (cos ≈ 0.99) + 200 random vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows, vid = [], 0
+    for c in range(40):
+        base = rng.standard_normal(64)
+        for _ in range(2 + c % 2):
+            rows.append((vid, (base + 0.05 * rng.standard_normal(64)).tolist()))
+            vid += 1
+    for _ in range(200):
+        rows.append((vid, rng.standard_normal(64).tolist()))
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {
+        (r.id_a, r.id_b, r.cos)
+        for r in textdedup.embedding_near_duplicates(e, threshold=0.95).collect()
+    }
+    via_ann = {
+        (r.id_a, r.id_b, r.cos)
+        for r in textdedup.embedding_near_duplicates(
+            e, threshold=0.95, use_ann=True
+        ).collect()
+    }
+    assert via_ann == brute and len(brute) >= 40
+
+
 def test_brute_topk_matches_numpy(vecs):
     import numpy as np
 
