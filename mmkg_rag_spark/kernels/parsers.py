@@ -253,3 +253,23 @@ def parse_classify_response(response: str) -> tuple[str, str | list[str]]:
     except Exception:
         pass
     return "retrieval", []
+
+
+def parse_agent_defines(text: str) -> list | None:
+    """Agent-decomposition parser (parity: retrieval/parser.py:44-69).
+
+    Bug-for-bug: JSONDecodeError → [] and no-JSON-found → [], but any other
+    failure (e.g. the object lacks "agents") falls through the bare logging
+    handler, which returns **None** in the reference — callers must treat
+    None and [] alike (agents.py:47-51 does: ``if not agents: raise``).
+    """
+    m = _GREEDY_JSON_OBJ.search(text)
+    if not m:
+        return []
+    try:
+        data = json.loads(m.group(0))
+        return data["agents"]
+    except json.JSONDecodeError:
+        return []
+    except Exception:
+        return None

@@ -53,6 +53,43 @@ IF_CONTINUE_PROMPT = (
     "have not been extracted yet?"
 )
 
+# --- retrieval-side prompts (R1/R6 drivers, original wording pinning the
+# reference parsers' contracts: retrieval/prompts.py CLASSIFY_SYSTEM /
+# EXTRACT_KEYWORDS / QUERY_DECOMPOSITION / FUSION / GENERATE_KNOWLEDGE) ---
+
+CLASSIFY_SYSTEM_PROMPT = (
+    "Decide whether the question needs knowledge-graph retrieval. Reply ONLY "
+    'with JSON: {"classification": "direct", "response": "<answer>"} when you '
+    'can answer directly, or {"classification": "retrieval", "keywords": '
+    '["k1", "k2"]} with the entity keywords to search.'
+)
+
+EXTRACT_KEYWORDS_PROMPT = (
+    "Extract the entity keywords from the question for knowledge-graph "
+    'retrieval. Reply ONLY with JSON: {"classification": "retrieval", '
+    '"keywords": ["k1", "k2"]}.'
+)
+
+CLASSIFY_USER_PROMPT = "Question: {query}"
+
+DECOMPOSE_SYSTEM_PROMPT = (
+    "Design a few agents to answer the question, one per sub-question. Reply "
+    'ONLY with JSON: {"agents": [{"name": ..., "task": "<sub-question>", '
+    '"suggestions": [...]}]}.'
+)
+
+FUSION_SYSTEM_PROMPT = (
+    "Fuse the sub-answers below into one final answer to the question."
+)
+
+GENERATE_SYSTEM_PROMPT = (
+    "Answer the question using ONLY the knowledge provided."
+)
+
+GENERATE_KNOWLEDGE_PROMPT = (
+    "---Knowledge---\n{knowledge}\n---Question---\n{query}"
+)
+
 DESCRIBE_PROMPT = (
     "Describe the image at the given path using its surrounding text. Reply "
     'ONLY with JSON {{"caption": ..., "text_snippets": [...], "description": ...}}.'
@@ -81,6 +118,32 @@ class MockExtractor:
 
     def should_continue(self, histories: list[list[dict]]) -> list[str]:
         return ["NO" for _ in histories]
+
+    def chat(self, system: str, user: str, history: list[dict] | None = None) -> str:
+        """Deterministic chat for the retrieval drivers (R1/R6), keyed on the
+        system prompt: classify → retrieval with capitalized-phrase keywords;
+        decompose → one agent carrying the whole question; generate/fusion →
+        deterministic echoes. Keeps the QA layer hermetic under test."""
+        import json as _json
+        import re as _re
+
+        if system in (CLASSIFY_SYSTEM_PROMPT, EXTRACT_KEYWORDS_PROMPT):
+            q = user.removeprefix("Question: ")
+            kws = []
+            for m in _re.finditer(r"[A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*", q):
+                if len(m.group(0)) > 2 and m.group(0) not in kws:
+                    kws.append(m.group(0))
+            return _json.dumps({"classification": "retrieval", "keywords": kws})
+        if system == DECOMPOSE_SYSTEM_PROMPT:
+            q = user.removeprefix("Please design a few agents to answer the question.")
+            return _json.dumps(
+                {"agents": [{"name": "agent-1", "task": q, "suggestions": []}]}
+            )
+        if system == FUSION_SYSTEM_PROMPT:
+            return user.split("Answers: \n", 1)[-1]
+        if system == GENERATE_SYSTEM_PROMPT:
+            return "Based on the knowledge provided: " + user.split("\n", 2)[-1][:2000]
+        return ""
 
 
 @dataclass
@@ -170,3 +233,7 @@ class EndpointExtractor:
             )
             for h in histories
         ]
+
+    def chat(self, system: str, user: str, history: list[dict] | None = None) -> str:
+        """Generic chat turn — the retrieval drivers' (R1/R6) model call."""
+        return self._call(system, user, history=history)

@@ -245,6 +245,65 @@ def assemble_context(
     )
 
 
+def assemble_image_context(
+    seed_images: DataFrame,
+    image_edges: DataFrame,
+    images: DataFrame,
+    nodes: DataFrame,
+) -> str:
+    """Image half of the knowledge block (generate_image_prompts parity,
+    generate.py:34-65): images (path, caption, description), entities related
+    to them (sources of their '#image*' edges), and the image relations.
+    All inputs are reference-capped small frames; collect is the intended
+    terminal step (see assemble_context).
+    """
+    img_rows = (
+        images.join(F.broadcast(seed_images.select("path")), "path", "semi")
+        .select("path", "caption", "description")
+        .orderBy("path")
+        .collect()
+    )
+    images_str = (
+        "Images: every image has a path, caption, and a description\n"
+        + "\n".join(f"- {r.path}, {r.caption}, {r.description}" for r in img_rows)
+        + "\n"
+    )
+    rel_rows = image_edges.select(
+        "source", "target", "label", "description"
+    ).orderBy("source", "target", "label").collect()
+    ent_names = sorted({r.source for r in rel_rows})
+    ent_rows = (
+        nodes.filter(F.col("name").isin(ent_names))
+        .select("name", "aliases", "description")
+        .orderBy("name")
+        .collect()
+        if ent_names
+        else []
+    )
+    ents_str = (
+        "Entities related with the images: every entity has a name, aliases, "
+        "and a description\n"
+        + "\n".join(
+            f"- {e.name}, {list(e.aliases or [])}, {e.description}" for e in ent_rows
+        )
+        + "\n"
+    )
+    rels_str = (
+        "Image Relations: every image relation has a source, target, label, "
+        "and a description\n"
+        + "\n".join(
+            f"- {r.source}, {r.target}, {r.label}, {r.description}" for r in rel_rows
+        )
+        + "\n"
+    )
+    return (
+        "The following are the images and their related entities:\n"
+        + images_str
+        + ents_str
+        + rels_str
+    )
+
+
 def expand_seeds(
     edges: DataFrame,
     seeds: DataFrame,
