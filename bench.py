@@ -75,6 +75,23 @@ def bench_kg(spark, sf_dir: str) -> tuple[float, int]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _warmup(spark) -> None:
+    """Untimed warmup: JVM codegen + shuffle machinery + python UDF workers.
+
+    Touches NO bench table, so no query below is cache-primed — this only
+    removes one-time process spin-up (~5 s) from the first query's number.
+    """
+    import pandas as pd  # noqa: F401 — worker-side import warm
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(100000).select(F.sum(_warm(F.col("id")))).collect()
+    spark.range(100000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -84,6 +101,8 @@ def main() -> None:
 
     spark = get_spark(app_name="mmkg-bench")
     qs = se.queries()
+
+    _warmup(spark)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -25,6 +25,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_partitions
 from .textdedup import cosine
 
 
@@ -79,9 +80,9 @@ def brute_topk_cosine(
     pure function of the rounded values the oracle also computes — float
     summation-order noise can never flip a rank across engines.
     """
-    c = corpus.select(
+    c = ensure_min_partitions(corpus.select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("qv"),
@@ -126,9 +127,9 @@ def lsh_topk_cosine(
     n_planes to shrink buckets — collision prob. for close pairs stays ≈ 1
     while the candidate fraction drops geometrically.
     """
-    c = corpus.select(
+    c = ensure_min_partitions(corpus.select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("qv"),
@@ -190,9 +191,9 @@ def ivf_topk_cosine(
     once, and each query touches n_probe/n_lists of it). Exact cosine re-score
     + window top-k on candidates only.
     """
-    c = corpus.select(
+    c = ensure_min_partitions(corpus.select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).cache()
+    )).cache()
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("qv"),

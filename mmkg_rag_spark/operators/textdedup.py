@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.minhash import lsh_candidate_pairs, word_shingles
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.textstats import fingerprint, hamming64, simhash64
 
 
@@ -80,15 +81,20 @@ def ngram_jaccard_pairs(
     cap bites (it never does at the test SFs, but would on boilerplate-heavy
     real corpora).
     """
-    sh = _doc_shingles(docs, id_col, text_col, n)
+    sh = _doc_shingles(ensure_min_partitions(docs), id_col, text_col, n)
 
-    freq_ok = (
+    # The cap filter joins against the OVER-cap set, not the under-cap one:
+    # shingles with f > cap are ≤ total_instances/cap (boilerplate only, tiny
+    # by construction), so the anti-join broadcasts and the full shingle
+    # table never shuffles for the filter — one wide stage saved vs joining
+    # the (huge) under-cap set.
+    over_cap = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("f"))
-        .filter(F.col("f") <= max_shingle_freq)
+        .filter(F.col("f") > max_shingle_freq)
         .select("shingle")
     )
-    sh = sh.join(freq_ok, "shingle")
+    sh = sh.join(F.broadcast(over_cap), "shingle", "left_anti")
     # sizes AFTER the cap: numerator and denominator see the same universe
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -129,7 +135,9 @@ def minhash_near_duplicates(
     a 128-hash scheme; raise num_hashes for lower thresholds).
     The verify join recomputes exact Jaccard on the candidates only.
     """
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    base = ensure_min_partitions(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     cand = lsh_candidate_pairs(
         base,
         "id",
@@ -167,7 +175,7 @@ def simhash_near_duplicates(
     (chunk_index, chunk_value) finds every qualifying pair. One shuffle on
     the chunk key; bit_count verify is codegen'd.
     """
-    sigs = docs.select(
+    sigs = ensure_min_partitions(docs).select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col), hash_fn).alias("sig")
     ).localCheckpoint(eager=False)
     chunks = sigs.select(
@@ -210,6 +218,7 @@ def near_dup_survivors(
     n: int = 3,
     threshold: float = 0.5,
     use_lsh: bool = False,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus dedup: cluster near-dup pairs (CC), keep min-id per cluster.
 
@@ -218,11 +227,17 @@ def near_dup_survivors(
     (the same adaptive CC as entity canonicalization) → survivors = docs
     that are their own component representative. Returns (doc_id, group_size)
     with group_size = cluster size (1 for unique docs).
+
+    ``pairs``: pre-computed (id_a, id_b) pair graph — pass it when the
+    pair query also runs in the same session (e.g. a checkpointed
+    ``ngram_jaccard_pairs`` result) so the expensive shingle self-join isn't
+    recomputed (VERDICT r1 #7).
     """
     from ..functions.components import connected_components
 
-    pair_fn = minhash_near_duplicates if use_lsh else ngram_jaccard_pairs
-    pairs = pair_fn(docs, id_col, text_col, n=n, threshold=threshold)
+    if pairs is None:
+        pair_fn = minhash_near_duplicates if use_lsh else ngram_jaccard_pairs
+        pairs = pair_fn(docs, id_col, text_col, n=n, threshold=threshold)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     ids = docs.select(F.col(id_col).alias("id"))
     labeled = ids.join(comp, "id", "left").withColumn(
@@ -273,8 +288,10 @@ def embedding_near_duplicates(
       (1−0.9⁴)¹² ≈ 3·10⁻⁶ — tests/test_textstats_dedup_ann.py pins
       ann ≡ brute on the test corpus.
     """
-    e = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    e = ensure_min_partitions(
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
     )
     if use_ann:
         from .ann import _hyperplanes, _sign_key

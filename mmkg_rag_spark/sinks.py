@@ -86,3 +86,151 @@ def export_eris_jsonl(
 
 def read_eris_jsonl(spark, path: str) -> list[str]:
     return [r.value for r in spark.read.text(os.path.join(path)).collect()]
+
+
+# --- W3: Neo4j export (SURVEY.md §2.5) -------------------------------------
+#
+# The reference replays the graph row-at-a-time over a live bolt driver
+# (storage/index.py:140-193: CREATE per entity/relation/image). That shape
+# cannot load a 10^12-row graph; the Spark-first equivalent is Neo4j's bulk
+# import contract — neo4j-admin database import reads :ID/:LABEL/:START_ID/
+# :END_ID/:TYPE-headed CSVs, which we write distributed (one CSV part per
+# partition). Arrays use Neo4j's ';' element delimiter. A live-driver
+# variant mirroring the reference's exact Cypher is provided behind an
+# import-guard for parity completeness (no neo4j package in this sandbox).
+
+NEO4J_ARRAY_SEP = ";"
+
+
+def _arr(col: str):
+    return F.array_join(F.coalesce(col, F.array()), NEO4J_ARRAY_SEP)
+
+
+def export_neo4j_bulk(
+    nodes: DataFrame,
+    edges: DataFrame,
+    out_dir: str,
+    images: DataFrame | None = None,
+    single_file: bool = False,
+) -> dict[str, str]:
+    """Write neo4j-admin bulk-import CSVs; returns name → directory.
+
+    Layout (one directory of part-CSVs each — headers embedded):
+      entities/   name:ID(Entity),label,description,aliases:string[],references:string[]
+      relations/  :START_ID(Entity),:END_ID(Entity),:TYPE,label,description,references:string[]
+      images/     path:ID(Image),caption,description,texts:string[]
+      image_relations/ :START_ID(Entity),:END_ID(Image),:TYPE,label,description,references:string[]
+
+    Image edges are split out by their '#image' label prefix (mmodal
+    convention), matching the reference's Entity→Image vs Entity→Entity
+    CREATE split; :TYPE is the constant RELATION with label as a property,
+    exactly as the reference models it.
+    """
+    out: dict[str, str] = {}
+
+    def _write(df: DataFrame, name: str) -> None:
+        path = os.path.join(out_dir, name)
+        w = df.coalesce(1) if single_file else df
+        w.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(path)
+        out[name] = path
+
+    ents = nodes.select(
+        F.col("name").alias("name:ID(Entity)"),
+        "label",
+        "description",
+        _arr("aliases").alias("aliases:string[]"),
+        _arr("references").alias("references:string[]"),
+    )
+    _write(ents.orderBy("name:ID(Entity)"), "entities")
+
+    plain = edges.filter(~F.col("label").startswith("#image"))
+    rels = plain.select(
+        F.col("source").alias(":START_ID(Entity)"),
+        F.col("target").alias(":END_ID(Entity)"),
+        F.lit("RELATION").alias(":TYPE"),
+        "label",
+        "description",
+        _arr("references").alias("references:string[]"),
+    )
+    _write(rels, "relations")
+
+    if images is not None:
+        imgs = images.select(
+            F.col("path").alias("path:ID(Image)"),
+            "caption",
+            "description",
+            _arr("texts").alias("texts:string[]"),
+        )
+        _write(imgs.orderBy("path:ID(Image)"), "images")
+        irels = edges.filter(F.col("label").startswith("#image")).select(
+            F.col("source").alias(":START_ID(Entity)"),
+            F.col("target").alias(":END_ID(Image)"),
+            F.lit("RELATION").alias(":TYPE"),
+            "label",
+            "description",
+            _arr("references").alias("references:string[]"),
+        )
+        _write(irels, "image_relations")
+    return out
+
+
+def save_to_neo4j_live(
+    nodes: DataFrame,
+    edges: DataFrame,
+    url: str,
+    user: str,
+    password: str,
+    images: DataFrame | None = None,
+    clear: bool = True,
+) -> bool:
+    """Reference-faithful live export (storage/index.py:140-193 Cypher).
+
+    Row-at-a-time CREATE over the bolt driver — reference-scale graphs only
+    (the frames are collected); use ``export_neo4j_bulk`` at scale. Raises
+    ImportError when the ``neo4j`` package is unavailable (this sandbox).
+    """
+    from neo4j import GraphDatabase  # import-guard: not in the sandbox
+
+    with GraphDatabase.driver(url, auth=(user, password)) as driver:
+        with driver.session() as session:
+            if clear:
+                session.run("MATCH (n) DETACH DELETE n")
+            for e in nodes.collect():
+                session.run(
+                    "CREATE (n:Entity {name: $name, label: $label, "
+                    "description: $description, aliases: $aliases, "
+                    "references: $references})",
+                    name=e.name, label=e.label, description=e.description,
+                    aliases=list(e.aliases or []),
+                    references=list(e.references or []),
+                )
+            plain = edges.filter(~F.col("label").startswith("#image"))
+            for r in plain.collect():
+                session.run(
+                    "MATCH (source:Entity {name: $source}), "
+                    "(target:Entity {name: $target}) "
+                    "CREATE (source)-[:RELATION {label: $label, "
+                    "description: $description, references: $references}]->(target)",
+                    source=r.source, target=r.target, label=r.label,
+                    description=r.description,
+                    references=list(r.references or []),
+                )
+            if images is not None:
+                for i in images.collect():
+                    session.run(
+                        "CREATE (n:Image {path: $path, caption: $caption, "
+                        "description: $description, texts: $texts})",
+                        path=i.path, caption=i.caption,
+                        description=i.description, texts=list(i.texts or []),
+                    )
+                for r in edges.filter(F.col("label").startswith("#image")).collect():
+                    session.run(
+                        "MATCH (source:Entity {name: $source}), "
+                        "(target:Image {path: $target}) "
+                        "CREATE (source)-[:RELATION {label: $label, "
+                        "description: $description, references: $references}]->(target)",
+                        source=r.source, target=r.target, label=r.label,
+                        description=r.description,
+                        references=list(r.references or []),
+                    )
+    return True

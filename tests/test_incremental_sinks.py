@@ -123,3 +123,84 @@ def test_sinks_roundtrip_and_eris_schema(spark, tmp_path):
     assert list(rel_lines[0].keys()) == [
         "source", "label", "target", "description", "references"
     ]
+
+
+def test_neo4j_bulk_export(spark, tmp_path):
+    """W3: bulk-import CSVs carry the reference's exact property model
+    (storage/index.py:140-193): Entity/Image node spaces, :TYPE RELATION
+    with label as a property, '#image' edges split into the Image space."""
+    from mmkg_rag_spark.sinks import export_neo4j_bulk
+
+    nodes = spark.createDataFrame(
+        [("Ada Lovelace", "PERSON", "pioneer", ["Ada"], ["ref1"])],
+        "name string, label string, description string, "
+        "aliases array<string>, references array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("Ada Lovelace", "worked on", "Analytical Engine", "d", ["r"]),
+            ("Ada Lovelace", "#imagedepicts", "img/a.png", "d2", []),
+        ],
+        "source string, label string, target string, description string, "
+        "references array<string>",
+    )
+    images = spark.createDataFrame(
+        [("img/a.png", "cap", "desc", ["t1", "t2"])],
+        "path string, caption string, description string, texts array<string>",
+    )
+    out = export_neo4j_bulk(
+        nodes, edges, str(tmp_path / "neo4j"), images=images, single_file=True
+    )
+    ents = spark.read.option("header", True).csv(out["entities"]).collect()
+    assert ents[0]["name:ID(Entity)"] == "Ada Lovelace"
+    assert ents[0]["aliases:string[]"] == "Ada"
+    rels = spark.read.option("header", True).csv(out["relations"]).collect()
+    assert len(rels) == 1  # image edge excluded from the Entity-Entity file
+    assert rels[0][":TYPE"] == "RELATION" and rels[0]["label"] == "worked on"
+    irels = spark.read.option("header", True).csv(out["image_relations"]).collect()
+    assert irels[0][":END_ID(Image)"] == "img/a.png"
+    imgs = spark.read.option("header", True).csv(out["images"]).collect()
+    assert imgs[0]["texts:string[]"] == "t1;t2"
+
+
+def test_streaming_commit_crash_idempotence(spark, tmp_path):
+    """A crash between the nodes and edges manifest commits must NOT make
+    the replayed batch skip (ADVICE r1: the lost-edges window). Torn state
+    is simulated by committing a real batch, then deleting its edges
+    manifest entry — exactly what a crash after the nodes commit leaves."""
+    from mmkg_rag_spark.sources.catalog import ParquetCatalog, fingerprint
+    from mmkg_rag_spark.streaming import process_pages_batch
+
+    all_pages = gen_pages_df(spark, 8).select("url", "text").cache()
+    urls = [r.url for r in all_pages.select("url").distinct().orderBy("url").collect()]
+    half = set(urls[: len(urls) // 2])
+    pages0 = all_pages.filter(F.col("url").isin(half))
+    pages1 = all_pages.filter(~F.col("url").isin(half))
+
+    # control: two clean batches
+    ctl = ParquetCatalog(spark, str(tmp_path / "wh_ctl"))
+    process_pages_batch(spark, ctl, pages0, batch_id=0)
+    process_pages_batch(spark, ctl, pages1, batch_id=1)
+
+    # torn run: batch 1's edges manifest entry is removed post-commit
+    torn = ParquetCatalog(spark, str(tmp_path / "wh_torn"))
+    process_pages_batch(spark, torn, pages0, batch_id=0)
+    process_pages_batch(spark, torn, pages1, batch_id=1)
+    snap1 = fingerprint("stream-batch", 1, 8000, 400)
+    manifest = [s for s in torn._load_manifest("edges") if s["id"] != snap1]
+    torn._save_manifest("edges", manifest)
+    assert torn.has_snapshot("nodes", snap1) and not torn.has_snapshot("edges", snap1)
+
+    out = process_pages_batch(spark, torn, pages1, batch_id=1)  # replay
+    assert out["skipped"] == 0  # recomputed, NOT skipped
+    assert torn.has_snapshot("edges", snap1)
+
+    def rows(cat, table):
+        return {
+            tuple(r) for r in cat.read(table).select("source", "label", "target").collect()
+        } if table == "edges" else {
+            tuple(r) for r in cat.read(table).select("name", "label").collect()
+        }
+
+    assert rows(torn, "edges") == rows(ctl, "edges") and len(rows(ctl, "edges")) > 0
+    assert rows(torn, "nodes") == rows(ctl, "nodes")
