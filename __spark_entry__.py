@@ -42,6 +42,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parallelism-guarded table read for CPU-heavy per-row queries.
+
+    The sf test parquets are single-row-group files (one scan partition);
+    expression-dense per-row work (lang-id marker scans, quality ratios,
+    BPE-ish regex counts) would run on one core. No-op on healthy layouts.
+    """
+    from mmkg_rag_spark.functions.partitioning import ensure_min_partitions
+
+    return ensure_min_partitions(_t(spark, sf_dir, name))
+
+
 _KG_CACHE: dict[str, object] = {}
 
 
@@ -323,7 +335,7 @@ FROM documents
 
 
 def q_doc_token_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         ts.token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -342,7 +354,7 @@ FROM documents
 
 
 def q_doc_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.round(ts.quality_score(F.col("text")), 4).alias("quality"),
@@ -363,7 +375,7 @@ FROM documents
 
 
 def q_doc_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return (
         d.select(ts.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
@@ -378,7 +390,7 @@ FROM documents GROUP BY 1
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return (
         d.select("source", ts.fingerprint(F.col("text")).alias("fp"))
         .groupBy("source")

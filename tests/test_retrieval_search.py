@@ -88,3 +88,26 @@ def test_assemble_context(graph):
     assert "- Ada Lovelace, Analytical Engine, worked on," in ctx
     assert ctx.index("Entities:") < ctx.index("Relations:")
     assert "Zurich Office" not in ctx  # disconnected entity excluded
+
+
+def test_khop_large_frontier_unhinted_path(spark):
+    """VERDICT r1 #3: frontiers above the broadcast threshold fall back to an
+    unhinted join; both physical paths must agree on a graph whose hop-1
+    frontier is large (star: one seed fans out to 500 neighbors, each with a
+    hop-2 pendant)."""
+    from mmkg_rag_spark.operators.retrieval import khop_neighbors
+
+    rows = []
+    for i in range(500):
+        rows.append(("hub", f"n{i}"))
+        rows.append((f"n{i}", f"leaf{i}"))
+    edges = spark.createDataFrame(rows, "source string, target string")
+    seeds = spark.createDataFrame([("hub",)], "name string")
+
+    broad = khop_neighbors(edges, seeds, hops=2)
+    forced = khop_neighbors(edges, seeds, hops=2, broadcast_frontier_max=10)
+    b = {(r.name, r.hop) for r in broad.collect()}
+    f = {(r.name, r.hop) for r in forced.collect()}
+    assert f == b
+    assert ("n7", 1) in b and ("leaf7", 2) in b and ("hub", 0) in b
+    assert len(b) == 1001
