@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mmkg_rag_spark.functions import textstats as ts  # noqa: E402
-from mmkg_rag_spark.operators import ann, retrieval, textdedup  # noqa: E402
+from mmkg_rag_spark.operators import ann, curation, retrieval, textdedup  # noqa: E402
 
 DEFAULT_SF = "/root/testdata/sf0.001"
 
@@ -782,6 +782,103 @@ FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
+# ---------------------------------------------------------------------------
+# training-data curation (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination: corpus docs sharing any 5-gram with
+    the (deterministic doc_id%97==0) benchmark slice."""
+    d = _tp(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return curation.decontaminate(corpus, bench, n=5)
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       || ' ' || toks[i+4] for i in range(1, len(toks)-3)]
+  )) AS gram FROM w
+),
+bg AS (SELECT DISTINCT gram FROM g WHERE id % 97 = 0)
+SELECT g.id AS doc_id, COUNT(*) AS n_hits
+FROM g JOIN bg USING (gram)
+WHERE g.id % 97 <> 0
+GROUP BY 1
+"""
+
+
+def q_pack_shards(spark, sf_dir):
+    """Two-phase distributed prefix sum → ~2000-token training shards."""
+    return curation.assign_shards(
+        _tp(spark, sf_dir, "documents"), shard_tokens=2000
+    ).withColumn("shard_id", F.col("shard_id").cast("long"))
+
+
+SQL_PACK_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id, {ts.sql_token_count('text')} AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  CAST(floor(cum_before / 2000.0) AS BIGINT) AS shard_id
+FROM c
+"""
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII scrub over documents with deterministically planted PII spans
+    (the synthetic corpus contains none) — counts + scrubbed fingerprint."""
+    d = _tp(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("call 555-123-4567"))
+            .otherwise(F.lit("host 10.0.0.1")),
+        ),
+    )
+    return curation.scrub_pii(d).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("scrubbed").alias("scrub_fp"),
+    )
+
+
+SQL_SCRUB_PII = r"""
+WITH planted AS (
+  SELECT doc_id,
+    concat_ws(' ', text, 'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+      CASE WHEN doc_id % 3 = 0 THEN 'call 555-123-4567' ELSE 'host 10.0.0.1' END
+    ) AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_fp
+FROM planted
+"""
+
+
 def _sql_ann_lsh(
     k: int = 5, n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: int = 7
 ) -> str:
@@ -932,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
+        "pack_shards": q_pack_shards,
+        "scrub_pii": q_scrub_pii,
         "near_dup_survivors": q_near_dup_survivors,
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
@@ -968,6 +1068,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "decontaminate": SQL_DECONTAMINATE,
+        "pack_shards": SQL_PACK_SHARDS,
+        "scrub_pii": SQL_SCRUB_PII,
         "near_dup_survivors": SQL_NEAR_DUP_SURVIVORS,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_window_agg": SQL_EVENTS_WINDOW,

@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_lang_id",
     "exact_dedup",
+    "decontaminate",
+    "pack_shards",
+    "scrub_pii",
     "ngram_jaccard_pairs",
     "near_dup_survivors",
     "minhash_near_dup",
@@ -44,7 +47,8 @@ BENCH_QUERIES = [
 # reduce result materialization cost for wide outputs: count instead of collect
 COUNT_ONLY = {
     "doc_token_stats", "doc_quality", "exact_dedup", "unordered_pair_merge",
-    "near_dup_survivors", "events_sessionize",
+    "near_dup_survivors", "events_sessionize", "decontaminate", "pack_shards",
+    "scrub_pii",
 }
 
 

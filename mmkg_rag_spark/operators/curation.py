@@ -1,0 +1,147 @@
+"""Training-data curation operators (pipeline stages beyond the reference).
+
+Three stages every large-scale LLM-training corpus pipeline runs between
+dedup and materialization:
+
+- ``decontaminate``  : flag documents sharing any word n-gram with a
+  benchmark/eval set — the standard n-gram decontamination pass. The
+  benchmark side is tiny (eval suites are ~10³-10⁵ docs), so its n-gram
+  hash set broadcasts and the corpus is scanned once, map-side; the only
+  shuffle is the per-doc hit count.
+- ``assign_shards``  : pack documents into ~``shard_tokens``-token training
+  shards in deterministic ``doc_id`` order via a **two-phase distributed
+  prefix sum** — per-bucket window cumsum + tiny bucket-offset table —
+  instead of one global-order window (which Spark executes as a
+  single-partition sort: the classic scale trap this module exists to
+  avoid).
+- ``scrub_pii``      : redact emails / dashed phone numbers / IPv4s with
+  sentinel tokens, map-only. Patterns are RE2-safe (no lookaround) so the
+  same regex runs identically in Spark (Java regex) and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.minhash import word_shingles
+from ..functions.partitioning import ensure_min_partitions
+from ..functions.textstats import token_count
+
+# RE2-compatible; applied in this order on both engines
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def _doc_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) distinct lower-cased word n-grams per document."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.trim(F.lower(F.col(text_col))), n))
+        ).alias("gram"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-overlap contamination: (doc_id, n_hits) for flagged docs.
+
+    ``n_hits`` = number of distinct doc n-grams that appear anywhere in the
+    benchmark set. The benchmark grams are deduplicated then broadcast —
+    eval suites are small by nature, so the 10^12-row corpus side never
+    shuffles for the membership test; the hit-count groupBy is the only
+    wide stage, keyed by doc id (uniform).
+    """
+    bench_grams = (
+        _doc_ngrams(benchmark, id_col, text_col, n).select("gram").distinct()
+    )
+    doc_grams = _doc_ngrams(ensure_min_partitions(docs), id_col, text_col, n)
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "semi")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def assign_shards(
+    docs: DataFrame,
+    shard_tokens: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Deterministic shard packing: (doc_id, n_tokens, shard_id).
+
+    Documents are laid out in ``id_col`` order and cut into consecutive
+    shards of ~``shard_tokens`` whitespace tokens:
+    ``shard_id = floor(cumsum_before_doc / shard_tokens)``.
+
+    Physical plan — two-phase prefix sum, never a global-order window:
+      1. within-bucket cumsum: window partitioned by ``bucket = id div B``
+         (parallel across buckets),
+      2. bucket offsets: one tiny aggregate (|buckets| = n/B rows) cumsum'd
+         and joined back broadcast.
+    At 10^12 docs pick B so |buckets| stays ~10^6 (the offset table is a
+    few MB); the corpus shuffles once on the bucket key.
+    """
+    base = ensure_min_partitions(docs).select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", (F.col("id") / F.lit(bucket_size)).cast("long"))
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+
+    totals = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btotal"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the ONLY global window runs over |buckets| rows — driver-scale by
+    # construction, not corpus-scale
+    offsets = totals.withColumn(
+        "offset", F.sum("btotal").over(w_b) - F.col("btotal")
+    ).select("bucket", "offset")
+
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_before", F.col("offset") + F.col("cum_in") - F.col("n_tokens"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.floor(F.col("cum_before") / F.lit(shard_tokens)).alias("shard_id"),
+        )
+    )
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact PII spans; adds ``out_col`` plus per-type counts.
+
+    Map-only (one projection, whole-stage codegen); counts are computed
+    BEFORE replacement so overlapping pattern classes (phone/IPv4 digits)
+    report what each pattern saw in the original text.
+    """
+    out = docs
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))).cast("long"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(out_col, scrubbed)

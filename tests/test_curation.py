@@ -1,0 +1,74 @@
+"""Training-data curation operators (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mmkg_rag_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(master="local[4]", shuffle_partitions=8, app_name="pytest-cur")
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words nothing shared here at all ok"),
+            (3, "quick brown fox jumps over repeated in this doc too yes"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over the fence")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_hits for r in curation.decontaminate(docs, bench, n=5).collect()}
+    assert 1 in out and 3 in out and 2 not in out
+    assert out[1] >= 1  # shares "the quick brown fox jumps" etc.
+
+
+def test_assign_shards_matches_naive_cumsum(spark):
+    """Two-phase distributed prefix sum ≡ the naive global window, including
+    across bucket boundaries (bucket_size smaller than the doc count)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (7 + i % 13))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in curation.assign_shards(
+            docs, shard_tokens=50, bucket_size=16
+        ).collect()
+    }
+    cum = 0
+    for i in range(200):
+        n = 7 + i % 13
+        assert out[i] == (n, cum // 50), f"doc {i}"
+        cum += n
+    # shards are contiguous runs in doc_id order
+    shards = [out[i][1] for i in range(200)]
+    assert shards == sorted(shards)
+
+
+def test_scrub_pii_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@sub.example.org and bob@ex.io now"),
+            (2, "call 555-123-4567 or visit 192.168.0.1 please"),
+            (3, "clean text with no personal information at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.scrub_pii(docs).collect()}
+    assert rows[1].n_email == 2 and "<EMAIL>" in rows[1].scrubbed
+    assert "alice" not in rows[1].scrubbed
+    assert rows[2].n_phone == 1 and rows[2].n_ipv4 == 1
+    assert "<PHONE>" in rows[2].scrubbed and "<IP>" in rows[2].scrubbed
+    assert rows[3].scrubbed == rows[3].text
+    assert (rows[3].n_email, rows[3].n_phone, rows[3].n_ipv4) == (0, 0, 0)

@@ -1,0 +1,66 @@
+"""Expected-value goldens for the driver queries without a SQL oracle.
+
+The non-SQL-expressible queries (rapidfuzz scoring, the iterative KG build,
+IVF k-means) get only a rows-ran check from the driver harness; these
+goldens pin their exact outputs at sf0.001 so a semantic regression cannot
+hide behind a stable row count (VERDICT r1 #4 tail).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(master="local[8]", shuffle_partitions=16, app_name="pytest-golden")
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as se
+
+    return se.queries()
+
+
+def test_fuzzy_topk_parts_golden(spark, queries):
+    rows = [tuple(r) for r in queries["fuzzy_topk_parts"](spark, SF).collect()]
+    assert rows == [(74, 100.0, 1), (93, 100.0, 2), (104, 100.0, 3)]
+
+
+def test_kg_degree_topk_golden(spark, queries):
+    top = [tuple(r) for r in queries["kg_degree_topk"](spark, SF).limit(5).collect()]
+    assert top == [
+        ("Acme Laboratories", "ORG", 155),
+        ("Robotics Tyrell", "ORG", 139),
+        ("Area Metropolitan Zurich", "GPE", 67),
+        ("Area Metropolitan Windhoek", "GPE", 64),
+        ("Area Metropolitan Perth", "GPE", 62),
+    ]
+
+
+def test_kg_tables_golden_counts(spark, queries):
+    assert queries["kg_nodes"](spark, SF).count() == 31
+    assert queries["kg_edges"](spark, SF).count() == 1090
+    assert queries["kg_search_eris"](spark, SF).count() == 492
+
+
+def test_ann_topk_ivf_golden(spark, queries):
+    head = [
+        tuple(r)
+        for r in queries["ann_topk_ivf"](spark, SF)
+        .orderBy("query_id", "rank")
+        .limit(5)
+        .collect()
+    ]
+    assert head == [
+        (0, 17, 1, 0.334456),
+        (0, 225, 2, 0.315127),
+        (0, 12, 3, 0.311027),
+        (0, 483, 4, 0.300451),
+        (0, 73, 5, 0.297238),
+    ]
