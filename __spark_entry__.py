@@ -9,11 +9,14 @@ pages derived from ``sf0.001`` and returns the degree summary.
   anti-join, unordered-pair grouping, set ops, scalar string funcs, regex
   scan) — oracle-checked on the TPC-H-ish tables;
 - training-data pipeline operators (token/quality/lang/fingerprint stats,
-  exact + n-gram-Jaccard + embedding-cosine dedup, brute-force ANN) —
-  oracle-checked on ``documents``/``embeddings``;
-- non-SQL-expressible ops (MinHash-LSH, SimHash, sign-LSH ANN, rapidfuzz
-  fuzzy top-k, the full KG pipeline with iterative connected components) —
-  rows-only entries, exercised at sf0.01 either way.
+  exact + n-gram-Jaccard + embedding-cosine dedup, the full ANN family
+  brute/sign-LSH/IVF — the LSH via deterministic-literal hyperplanes, the
+  IVF by reproducing the rounded k-means in SQL — plus decontamination,
+  shard packing, PII scrub) — oracle-checked on ``documents``/``embeddings``;
+- non-SQL-expressible ops (xxhash64-mode MinHash/SimHash — their md5-mode
+  twins ARE oracle-checked, rapidfuzz fuzzy top-k, the full KG pipeline
+  with iterative connected components) — rows-only entries with pytest
+  goldens (tests/test_goldens.py), exercised at sf0.01 either way.
 
 Float policy for oracle parity: all cross-engine doubles are produced by
 identical expression trees (same op order ⇒ identical IEEE results) or exact
@@ -939,6 +942,95 @@ SELECT query_id, nn_id, rank, score FROM ranked WHERE rank <= {k}
 """
 
 
+def _sql_ann_ivf(
+    k: int = 5, n_lists: int = 16, n_probe: int = 4, dim: int = 64,
+    kmeans_iters: int = 2,
+) -> str:
+    """DuckDB twin of ann.ivf_topk_cosine — the k-means is reproduced IN SQL.
+
+    Parity design: both engines round every centroid distance to 6 dp
+    before the argmin and every centroid mean to 9 dp, so assignments and
+    centroids are pure functions of the rounded values — summation-order
+    float noise (Spark's sequential zip_with vs DuckDB's list_sum /
+    partition-merge AVG) cannot flip anything. The Lloyd loop is unrolled
+    (kmeans_iters CTE pairs), init = the n_lists smallest-id vectors,
+    empty lists keep their previous centroid (COALESCE left join), exactly
+    like the operator.
+    """
+    def dist(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), 6)"
+        )
+
+    avg_list = ", ".join(f"round(avg(v[{i + 1}]), 9)" for i in range(dim))
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT e.vec_id, e.v, c.list_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {dist('e.v', 'c.v')}, c.list_id) AS rn
+    FROM e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_lists})
+)""",
+    ]
+    prev = "c0"
+    for it in range(1, kmeans_iters + 1):
+        ctes.append(assign_cte(f"a{it}", prev))
+        ctes.append(
+            f"m{it} AS (SELECT list_id, list_value({avg_list}) AS v "
+            f"FROM a{it} GROUP BY list_id)"
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT c.list_id, COALESCE(m.v, c.v) AS v
+  FROM {prev} c LEFT JOIN m{it} m USING (list_id)
+)"""
+        )
+        prev = f"c{it}"
+    ctes.append(assign_cte("a_final", prev))
+    ctes.append(
+        f"""probe AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, c.list_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {dist('q.qv', 'c.v')}, c.list_id) AS rn
+    FROM q CROSS JOIN {prev} c
+  ) WHERE rn <= {n_probe}
+)"""
+    )
+    ctes.append(
+        """scored AS (
+  SELECT p.query_id, a.vec_id AS nn_id,
+    round(list_dot_product(p.qv, a.v)
+          / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))),
+          6) AS score
+  FROM probe p JOIN a_final a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+)"""
+    )
+    ctes.append(
+        """ranked AS (
+  SELECT query_id, nn_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id) AS rank
+  FROM scored
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, nn_id, rank, score FROM ranked WHERE rank <= {k}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: LSH / iterative / rapidfuzz)
 # ---------------------------------------------------------------------------
@@ -1079,4 +1171,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_md5": _sql_minhash_md5(),
         "simhash_near_dup_md5": _sql_simhash_md5(),
         "ann_topk_lsh": _sql_ann_lsh(),
+        "ann_topk_ivf": _sql_ann_ivf(),
     }

@@ -223,10 +223,19 @@ def ivf_topk_cosine(
         argmin via sort-of-structs: the distance array is referenced ONCE.
         (A chained when(d<best,…) min doubles the expression tree per
         centroid — 2^K nodes, OOMs codegen at K=16.)
+
+        Distances are rounded to 6 decimals before the argmin so the chosen
+        list is a pure function of the rounded values — summation-order
+        float noise (different partial-sum trees across engines/partitions)
+        can never flip an assignment, which is what lets a SQL oracle
+        reproduce the whole k-means exactly.
         """
         arr = F.array(
             *[
-                F.struct(_dist(vec, cent).alias("d"), F.lit(i).alias("list_id"))
+                F.struct(
+                    F.round(_dist(vec, cent), 6).alias("d"),
+                    F.lit(i).alias("list_id"),
+                )
                 for i, cent in enumerate(cents_arr)
             ]
         )
@@ -245,7 +254,10 @@ def ivf_topk_cosine(
         )
         new = cents.copy()
         for r in means:
-            new[r.list_id] = [r[f"d{i}"] for i in range(dim)]
+            # 9-dp rounding: F.avg's partition-merge order differs from any
+            # other engine's AVG; rounding collapses the ~1e-15 noise so the
+            # centroid coordinates are engine-independent
+            new[r.list_id] = [round(r[f"d{i}"], 9) for i in range(dim)]
         cents = new
 
     corpus_l = c.withColumn("list_id", _assign_expr(F.col("v"), cents)).cache()
@@ -262,7 +274,9 @@ def ivf_topk_cosine(
             F.lit(0.0),
             lambda s, x: s + x,
         )
-        probe_structs.append(F.struct(d.alias("d"), F.lit(i).alias("list_id")))
+        probe_structs.append(
+            F.struct(F.round(d, 6).alias("d"), F.lit(i).alias("list_id"))
+        )
     q_probe = (
         q.withColumn(
             "_probe",

@@ -29,6 +29,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.extract import chunk_pages, extract_mentions, split_mentions
 from .operators.incremental import incremental_canonicalize
@@ -164,6 +165,38 @@ def windowed_event_counts(
             F.round(F.col("_sv").cast("double"), 4).alias("sum_value"),
         )
     )
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def dedup_documents_stream(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "0 seconds",
+):
+    """Streaming exact dedup: first occurrence of each text fingerprint wins.
+
+    readStream(documents parquet dir) → md5 fingerprint →
+    ``dropDuplicates`` on it — Spark keeps one state row per distinct
+    fingerprint and suppresses re-deliveries across micro-batches, which is
+    exactly the training-pipeline contract "never emit the same document
+    twice" on a continuous feed. The batch twin is
+    operators/textdedup.exact_duplicates; on an unbounded feed add an
+    event-time column and a watermark so fingerprint state ages out instead
+    of growing forever (the synthetic docs table has no timestamp, so the
+    default keeps all state — fine for bounded backfills).
+    Returns the streaming DataFrame; callers attach a sink.
+    """
+    from .functions.textstats import fingerprint
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    deduped = (
+        stream.withColumn("fp", fingerprint(F.col("text")))
+        .dropDuplicates(["fp"])
+        .select("doc_id", "fp", "source")
+    )
+    return deduped
 
 
 SESSION_STATE_SCHEMA = "start long, last long, n long"

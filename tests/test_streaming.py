@@ -177,3 +177,39 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path_factory):
+    """Streaming dropDuplicates(fingerprint) keeps one row per distinct text
+    across micro-batches — same survivor keys as the batch exact dedup."""
+    import shutil
+
+    from mmkg_rag_spark.operators.textdedup import exact_duplicates
+    from mmkg_rag_spark.streaming import dedup_documents_stream
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d = tmp_path_factory.mktemp("docs_stream")
+    # two copies -> re-deliveries of every doc in a later micro-batch
+    shutil.copy(src, d / "part-0.parquet")
+    docs = spark.read.parquet(src)
+    docs.withColumn("doc_id", F.col("doc_id") + 10_000).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "later"))
+    for f in (d / "later").glob("part-*.parquet"):
+        shutil.move(str(f), d / "part-1.parquet")
+    shutil.rmtree(d / "later")
+
+    out = dedup_documents_stream(spark, str(d))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_docs")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fp FROM dedup_docs").collect()
+    fps = [r.fp for r in got]
+    assert len(fps) == len(set(fps))  # no fingerprint emitted twice
+    batch_fps = {r.fp for r in exact_duplicates(docs).collect()}
+    assert set(fps) == batch_fps  # same distinct-document universe
