@@ -1,11 +1,17 @@
 """Multimodal binary-column operators (training-data pipeline).
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
-typed metadata — the Spark-side plumbing (schema, partition sizing, Arrow
-batch shape, UDF signatures) is real and tested; the codec kernels are
-STUBBED behind deterministic fakes because no image/audio libraries exist in
-this container. Swap ``_decode_image_stub``/... for PIL/ffmpeg calls on a
-real cluster; nothing else changes.
+typed metadata. Codec status:
+
+- **REAL** (stdlib + numpy, no external libs): PPM/PGM (P6/P5) and
+  uncompressed 24-bit BMP — full decode to pixel arrays, nearest-neighbor
+  resize with PPM-encoded thumbnails, and content-based embeddings
+  (8×8 mean-pooled luminance grid, L2-normalized — near-duplicate images
+  embed near each other, which is what the ANN operators consume).
+- **STUBBED** (deterministic fakes): compressed formats (PNG/JPEG/video)
+  need PIL/ffmpeg, absent in this container. The stubs keep the schema,
+  batch shape, and error-channel contracts identical, so swapping them for
+  real codecs on a cluster changes nothing else.
 
 Scale notes:
 - Binary payloads make *bytes per row* huge and rows per task few: these
@@ -63,7 +69,128 @@ def balance_by_bytes(
     return media.repartition(n)
 
 
-# --- stub codecs (deterministic fakes; replace with PIL/ffmpeg on cluster) --
+# --- real codecs (stdlib + numpy): PPM/PGM and uncompressed 24-bit BMP -----
+
+def _parse_pnm(b: bytes) -> np.ndarray:
+    """Decode binary PPM (P6, RGB) / PGM (P5, gray) → uint8 array (H,W,C).
+
+    Netpbm header: magic, then whitespace-separated width/height/maxval with
+    ``#`` comments allowed, one whitespace byte, then the raster.
+    """
+    magic = b[:2]
+    channels = 3 if magic == b"P6" else 1
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        fields.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise ValueError("unsupported PNM (maxval > 255 or bad dims)")
+    need = w * h * channels
+    raster = b[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PNM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+
+
+def _parse_bmp(b: bytes) -> np.ndarray:
+    """Decode uncompressed 24-bit BMP → uint8 array (H,W,3).
+
+    BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER: rows bottom-up, BGR order,
+    each row padded to 4 bytes.
+    """
+    import struct
+
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flipped = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = data_off + row_bytes * h
+    if len(b) < need or w <= 0 or h == 0:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(
+        b[data_off : data_off + row_bytes * h], dtype=np.uint8
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image_array(content: bytes) -> np.ndarray | None:
+    """Pixel array for formats this engine decodes natively, else None.
+
+    None = "not a format we decode here" (falls back to the deterministic
+    stub); malformed data in a RECOGNIZED format raises — that is the
+    per-row error-channel contract.
+    """
+    if content[:2] in (b"P6", b"P5"):
+        return _parse_pnm(content)
+    if content[:2] == b"BM":
+        return _parse_bmp(content)
+    return None
+
+
+def _resize_nearest(arr: np.ndarray, max_side: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    yi = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xi = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return arr[yi][:, xi]
+
+
+def _encode_ppm(arr: np.ndarray) -> bytes:
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _embed_pixels(arr: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Content-based embedding: 8×8 mean-pooled luminance grid, L2-normed.
+
+    Grid mean-pooling is translation-stable enough that near-duplicate
+    images (recompressed / lightly noised / rescaled) land at high cosine —
+    the property operators/ann.py + embedding_near_duplicates consume.
+    """
+    g = arr.astype(np.float64).mean(axis=2)
+    side = int(dim ** 0.5)
+    h, w = g.shape
+    ys = np.linspace(0, h, side + 1).astype(np.int64)
+    xs = np.linspace(0, w, side + 1).astype(np.int64)
+    pooled = np.empty((side, side), dtype=np.float64)
+    for i in range(side):
+        for j in range(side):
+            block = g[ys[i]:max(ys[i] + 1, ys[i + 1]), xs[j]:max(xs[j] + 1, xs[j + 1])]
+            pooled[i, j] = block.mean()
+    v = pooled.ravel() - pooled.mean()
+    n = np.linalg.norm(v)
+    if n < 1e-12:  # flat image: fall back to a constant unit direction
+        v = np.ones(dim, dtype=np.float64)
+        n = np.linalg.norm(v)
+    return (v / n).astype(np.float32)
+
+
+# --- stub codecs (compressed formats; replace with PIL/ffmpeg on cluster) --
 
 def _decode_image_stub(content: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: dimensions derived from a content hash.
@@ -104,8 +231,13 @@ def decode_images(media: DataFrame) -> DataFrame:
             rows = []
             for mid, url, content in zip(pdf["media_id"], pdf["url"], pdf["content"]):
                 try:
-                    w, h, c = _decode_image_stub(bytes(content) if content is not None else b"")
-                    rows.append((int(mid), url, w, h, c, True, None))
+                    b = bytes(content) if content is not None else b""
+                    arr = decode_image_array(b)
+                    if arr is not None:
+                        h, w, c = arr.shape
+                    else:
+                        w, h, c = _decode_image_stub(b)
+                    rows.append((int(mid), url, int(w), int(h), int(c), True, None))
                 except Exception as exc:  # noqa: BLE001 — per-row error channel
                     rows.append((int(mid), url, None, None, None, False, str(exc)))
             yield pd.DataFrame(
@@ -132,14 +264,27 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, url, content in zip(pdf["media_id"], pdf["url"], pdf["content"]):
+                b = bytes(content)
                 try:
-                    w, h, _ = _decode_image_stub(bytes(content))
+                    arr = decode_image_array(b)
+                except Exception:  # noqa: BLE001
+                    continue
+                if arr is not None:
+                    # real path: nearest-neighbor downscale, PPM thumbnail
+                    small = _resize_nearest(arr, max_side)
+                    rows.append(
+                        (int(mid), url, int(small.shape[1]), int(small.shape[0]),
+                         _encode_ppm(small))
+                    )
+                    continue
+                try:
+                    w, h, _ = _decode_image_stub(b)
                 except Exception:  # noqa: BLE001
                     continue
                 scale = min(1.0, max_side / max(w, h))
                 rows.append(
                     (int(mid), url, int(w * scale), int(h * scale),
-                     hashlib.sha256(bytes(content)).digest())
+                     hashlib.sha256(b).digest())
                 )
             yield pd.DataFrame(
                 rows,
@@ -156,9 +301,16 @@ def embed_images(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, urls, vecs = [], [], []
             for mid, url, content in zip(pdf["media_id"], pdf["url"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    arr = decode_image_array(b)
+                except Exception:  # noqa: BLE001
+                    arr = None
                 ids.append(int(mid))
                 urls.append(url)
-                vecs.append(_embed_stub(bytes(content)).tolist())
+                vecs.append(
+                    (_embed_pixels(arr) if arr is not None else _embed_stub(b)).tolist()
+                )
             yield pd.DataFrame({"media_id": ids, "url": urls, "embedding": vecs})
 
     return media.select("media_id", "url", "content").mapInPandas(gen, schema=EMBED_SCHEMA)

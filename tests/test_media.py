@@ -71,3 +71,96 @@ def test_balance_by_bytes(media_df):
     out = media.balance_by_bytes(media_df, target_partition_bytes=10_000)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 5
+
+
+def _make_ppm(w, h, fn):
+    import numpy as np
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            arr[y, x] = fn(x, y)
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + arr.tobytes(), arr
+
+
+def _make_bmp(w, h, fn):
+    """Uncompressed 24-bit bottom-up BMP."""
+    import struct
+
+    import numpy as np
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            arr[y, x] = fn(x, y)
+    row_bytes = (w * 3 + 3) & ~3
+    raster = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        raster += row + b"\x00" * (row_bytes - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + info + raster, arr
+
+
+def test_real_codec_decode(spark):
+    import numpy as np
+
+    ppm, parr = _make_ppm(6, 4, lambda x, y: (x * 40, y * 60, 10))
+    bmp, barr = _make_bmp(5, 3, lambda x, y: (x * 50, y * 80, 200))
+    got_p = media.decode_image_array(ppm)
+    got_b = media.decode_image_array(bmp)
+    assert got_p.shape == (4, 6, 3) and np.array_equal(got_p, parr)
+    assert got_b.shape == (3, 5, 3) and np.array_equal(got_b, barr)
+
+    df = spark.createDataFrame(
+        [
+            (10, "p", "image", ppm, {}),
+            (11, "b", "image", bmp, {}),
+            (12, "bad", "image", b"P6\n6 4\n255\n" + b"\x00" * 5, {}),  # truncated
+        ],
+        media.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in media.decode_images(df).collect()}
+    assert (out[10].width, out[10].height, out[10].channels) == (6, 4, 3)
+    assert (out[11].width, out[11].height) == (5, 3)
+    assert not out[12].decode_ok and "truncated" in out[12].decode_error
+
+
+def test_real_codec_resize_roundtrip(spark):
+    ppm, _ = _make_ppm(64, 32, lambda x, y: (x * 4, y * 8, 0))
+    df = spark.createDataFrame([(20, "p", "image", ppm, {})], media.MEDIA_SCHEMA)
+    out = media.resize_images(df, max_side=16).collect()[0]
+    assert (out.thumb_width, out.thumb_height) == (16, 8)
+    thumb_arr = media.decode_image_array(bytes(out.thumb))  # thumb is valid PPM
+    assert thumb_arr.shape == (8, 16, 3)
+
+
+def test_real_codec_embedding_similarity(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(32, 32, 3)).astype("uint8")
+    noisy = np.clip(
+        base.astype(int) + rng.integers(-8, 9, size=base.shape), 0, 255
+    ).astype("uint8")
+    other = rng.integers(0, 255, size=(32, 32, 3)).astype("uint8")
+
+    def ppm(a):
+        return b"P6\n%d %d\n255\n" % (a.shape[1], a.shape[0]) + a.tobytes()
+
+    df = spark.createDataFrame(
+        [
+            (0, "base", "image", ppm(base), {}),
+            (1, "noisy", "image", ppm(noisy), {}),
+            (2, "other", "image", ppm(other), {}),
+        ],
+        media.MEDIA_SCHEMA,
+    )
+    vecs = {r.media_id: np.array(r.embedding) for r in media.embed_images(df).collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(vecs[0], vecs[1]) > 0.9   # near-duplicate embeds close
+    assert cos(vecs[0], vecs[2]) < 0.5   # unrelated image does not
