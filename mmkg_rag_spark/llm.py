@@ -140,7 +140,10 @@ class MockExtractor:
                 {"agents": [{"name": "agent-1", "task": q, "suggestions": []}]}
             )
         if system == FUSION_SYSTEM_PROMPT:
-            return user.split("Answers: \n", 1)[-1]
+            # the driver's fusion prompt carries the last answer's characters
+            # newline-joined (reference agents.py:104-110, kept bug-for-bug);
+            # the mock "fuses" by reconstructing the readable text
+            return user.split("Answers: \n", 1)[-1].replace("\n", "")
         if system == GENERATE_SYSTEM_PROMPT:
             return "Based on the knowledge provided: " + user.split("\n", 2)[-1][:2000]
         return ""

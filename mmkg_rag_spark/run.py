@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--overlap", type=int, default=400)
     ap.add_argument("--force", action="store_true", help="recompute all stages")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--ask", default=None, metavar="QUESTION",
+                    help="after the build, answer QUESTION over the graph "
+                         "(multi-agent QA; set MMKG_LLM_BASE_URL / _API_KEY / "
+                         "_MODEL for a real endpoint, else the hermetic mock)")
     args = ap.parse_args(argv)
 
     from mmkg_rag_spark.operators.dedup import canonicalize_entities, remap_and_merge_relations
@@ -147,6 +151,23 @@ def main(argv: list[str] | None = None) -> int:
 
     image_edges = _stage(catalog, "image_edges", img_fp, nodes_fp, _image_edges, args.force)
 
+    # -- stage 5b: images table (only when QA needs it) --------------------
+    images = None
+    if args.ask:
+        from mmkg_rag_spark.operators.mmodal import images_table
+
+        def _images():
+            manifest = spark.createDataFrame(
+                [(p,) for p in image_manifest()], "path string"
+            )
+            inst = filter_valid_images(
+                extract_image_instances(with_text(pages).select("url", "text")),
+                manifest,
+            )
+            return images_table(describe_images(inst))
+
+        images = _stage(catalog, "images", img_fp, nodes_fp, _images, args.force)
+
     # -- summary -----------------------------------------------------------
     all_edges = edges.select("source", "label", "target").unionByName(
         image_edges.select("source", "label", "target")
@@ -161,6 +182,30 @@ def main(argv: list[str] | None = None) -> int:
     print("top degrees:")
     for r in deg.limit(5).collect():
         print(f"  {r['name']}: {r['count']}")
+
+    # -- optional QA over the built graph (R6 driver) ----------------------
+    if args.ask:
+        import os as _os
+
+        from mmkg_rag_spark.qa import agent_response
+
+        extractor = None
+        if _os.environ.get("MMKG_LLM_BASE_URL"):
+            from mmkg_rag_spark.llm import EndpointExtractor
+
+            extractor = EndpointExtractor(
+                base_url=_os.environ["MMKG_LLM_BASE_URL"],
+                api_key=_os.environ.get("MMKG_LLM_API_KEY", ""),
+                model=_os.environ.get("MMKG_LLM_MODEL", "gpt-4o-mini"),
+            )
+        qa_edges = edges.select(
+            "source", "label", "target", "description", "references"
+        ).unionByName(
+            image_edges.select("source", "label", "target", "description", "references")
+        )
+        answer = agent_response(args.ask, nodes, qa_edges, images, extractor)
+        print(f"question: {args.ask}")
+        print(f"answer: {answer}")
     return 0
 
 
