@@ -217,6 +217,69 @@ def _embed_stub(content: bytes, dim: int = EMBED_DIM) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+# --- real audio codec (stdlib wave): PCM RIFF/WAVE --------------------------
+
+AUDIO_SCHEMA = (
+    "media_id long, url string, sample_rate int, n_channels int, "
+    "n_samples long, duration_ms long, decode_ok boolean, decode_error string"
+)
+
+AUDIO_EMBED_DIM = 64
+
+
+def decode_audio_array(content: bytes) -> tuple[np.ndarray, int] | None:
+    """PCM WAV → (mono float64 samples in [-1,1], sample_rate); None if not RIFF.
+
+    stdlib ``wave`` handles 8/16/32-bit PCM; malformed RIFF raises into the
+    per-row error channel (same contract as the image codecs).
+    """
+    if content[:4] != b"RIFF":
+        return None
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2**31
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
+def _embed_audio_samples(x: np.ndarray, dim: int = AUDIO_EMBED_DIM) -> np.ndarray:
+    """Content-based audio embedding: per-window RMS envelope, L2-normed.
+
+    ``dim`` equal windows over the clip; RMS per window captures the energy
+    envelope — lightly noised/re-leveled copies of a clip land at high
+    cosine, unrelated clips do not (the property the ANN operators consume).
+    """
+    n = len(x)
+    if n == 0:
+        v = np.ones(dim, dtype=np.float64)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+    bounds = np.linspace(0, n, dim + 1).astype(np.int64)
+    feats = np.empty(dim, dtype=np.float64)
+    for i in range(dim):
+        seg = x[bounds[i]:max(bounds[i] + 1, bounds[i + 1])]
+        feats[i] = np.sqrt(np.mean(seg * seg))
+    feats -= feats.mean()
+    norm = np.linalg.norm(feats)
+    if norm < 1e-12:
+        feats = np.ones(dim)
+        norm = np.linalg.norm(feats)
+    return (feats / norm).astype(np.float32)
+
+
 # --- operators --------------------------------------------------------------
 
 def decode_images(media: DataFrame) -> DataFrame:
@@ -350,3 +413,77 @@ def sample_frames(
     return media.select("media_id", "url", "content", "media_type").mapInPandas(
         gen, schema=FRAME_SCHEMA
     )
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio metadata per clip with the per-row error channel.
+
+    Real decode for PCM WAV (stdlib ``wave``); non-RIFF payloads get
+    deterministic stub metadata (compressed formats need ffmpeg). Map-only.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, url, content in zip(pdf["media_id"], pdf["url"], pdf["content"]):
+                try:
+                    b = bytes(content) if content is not None else b""
+                    dec = decode_audio_array(b)
+                    if dec is not None:
+                        x, sr = dec
+                        n = len(x)
+                        rows.append(
+                            (int(mid), url, int(sr), 1, int(n),
+                             int(n * 1000 / sr) if sr else 0, True, None)
+                        )
+                    else:
+                        if not b:
+                            raise ValueError("empty audio payload")
+                        h = hashlib.sha256(b).digest()
+                        sr = 8000 * (1 + int.from_bytes(h[:1], "big") % 6)
+                        n = 1000 + int.from_bytes(h[1:4], "big") % 10_000_000
+                        rows.append(
+                            (int(mid), url, sr, 1, n, int(n * 1000 / sr), True, None)
+                        )
+                except Exception as exc:  # noqa: BLE001 — per-row error channel
+                    rows.append((int(mid), url, None, None, None, None, False, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "url", "sample_rate", "n_channels",
+                    "n_samples", "duration_ms", "decode_ok", "decode_error",
+                ],
+            )
+
+    return media.select("media_id", "url", "content").mapInPandas(
+        gen, schema=AUDIO_SCHEMA
+    )
+
+
+def embed_audio(media: DataFrame) -> DataFrame:
+    """Audio feature extraction → array<float> (feeds operators/ann.py).
+
+    Real RMS-envelope embeddings for PCM WAV; hash-stub vectors otherwise.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, urls, vecs = [], [], []
+            for mid, url, content in zip(pdf["media_id"], pdf["url"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    dec = decode_audio_array(b)
+                except Exception:  # noqa: BLE001
+                    dec = None
+                ids.append(int(mid))
+                urls.append(url)
+                vecs.append(
+                    (
+                        _embed_audio_samples(dec[0])
+                        if dec is not None
+                        else _embed_stub(b)
+                    ).tolist()
+                )
+            yield pd.DataFrame({"media_id": ids, "url": urls, "embedding": vecs})
+
+    return media.select("media_id", "url", "content").mapInPandas(gen, schema=EMBED_SCHEMA)

@@ -234,3 +234,36 @@ def save_to_neo4j_live(
                         references=list(r.references or []),
                     )
     return True
+
+
+def write_bucketed_graph(
+    spark,
+    nodes: DataFrame,
+    edges: DataFrame,
+    db: str = "kg_bucketed",
+    n_buckets: int = 64,
+) -> tuple[str, str]:
+    """Bucketed managed tables for shuffle-free graph joins.
+
+    ``nodes`` bucketed+sorted by ``name`` and ``edges`` by ``source`` with
+    the same bucket count: every join on name=source (endpoint remap, degree
+    attribution, k-hop expansion against the node table) is co-located — the
+    planner emits a sort-merge join over the bucketed scans with NO exchange
+    on either side (pinned by tests/test_plans.py). This is the persisted
+    complement to the in-query broadcast strategy: broadcasts win while the
+    dictionary fits an executor; bucketing wins for the 10^12-row node table
+    a broadcast can never hold. On Iceberg the same layout is
+    ``bucket(n, name)`` partition transforms.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    (
+        nodes.write.format("parquet")
+        .bucketBy(n_buckets, "name").sortBy("name")
+        .mode("overwrite").saveAsTable(f"{db}.nodes")
+    )
+    (
+        edges.write.format("parquet")
+        .bucketBy(n_buckets, "source").sortBy("source")
+        .mode("overwrite").saveAsTable(f"{db}.edges")
+    )
+    return f"{db}.nodes", f"{db}.edges"

@@ -164,3 +164,62 @@ def test_real_codec_embedding_similarity(spark):
 
     assert cos(vecs[0], vecs[1]) > 0.9   # near-duplicate embeds close
     assert cos(vecs[0], vecs[2]) < 0.5   # unrelated image does not
+
+
+def _make_wav(freq, sr=8000, ms=200, amp=0.5, noise=0.0, seed=3):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(sr * ms / 1000)) / sr
+    x = amp * np.sin(2 * np.pi * freq * t)
+    if noise:
+        x = x + noise * np.random.default_rng(seed).standard_normal(len(t))
+    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_audio_decode_real_and_stub(spark):
+    wav = _make_wav(440)
+    df = spark.createDataFrame(
+        [
+            (0, "w", "audio", wav, {}),
+            (1, "s", "audio", b"not-riff-payload" * 10, {}),
+            (2, "bad", "audio", b"RIFF" + b"\x00" * 10, {}),  # malformed RIFF
+        ],
+        media.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in media.decode_audio(df).collect()}
+    assert out[0].decode_ok and out[0].sample_rate == 8000
+    assert out[0].n_samples == 1600 and out[0].duration_ms == 200
+    assert out[1].decode_ok  # stub path for unknown formats
+    assert not out[2].decode_ok  # malformed recognized format -> error channel
+
+
+def test_audio_embedding_similarity(spark):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [
+            # same envelope, light noise + re-leveled -> near-dup
+            (0, "a", "audio", _make_wav(440, amp=0.5), {}),
+            (1, "b", "audio", _make_wav(440, amp=0.4, noise=0.01), {}),
+            # different envelope (amplitude ramps vs constant): distinguishable
+            (2, "c", "audio", _make_wav(5, amp=0.9), {}),
+        ],
+        media.MEDIA_SCHEMA,
+    )
+    vecs = {r.media_id: np.array(r.embedding) for r in media.embed_audio(df).collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(vecs[0], vecs[1]) > 0.95
+    assert cos(vecs[0], vecs[2]) < cos(vecs[0], vecs[1])

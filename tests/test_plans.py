@@ -74,3 +74,30 @@ def test_ensure_min_partitions_guard(spark):
     # healthy inputs pass through untouched (no added shuffle)
     many = spark.range(100).repartition(64)
     assert ensure_min_partitions(many) is many
+
+
+def test_bucketed_graph_join_has_no_exchange(spark):
+    """Co-located bucketed tables: the name=source join plans with zero
+    shuffles — the persisted-layout strategy for joins too big to broadcast."""
+    from mmkg_rag_spark.sinks import write_bucketed_graph
+
+    nodes = spark.createDataFrame(
+        [(f"e{i}", "ORG") for i in range(100)], "name string, label string"
+    )
+    edges = spark.createDataFrame(
+        [(f"e{i % 100}", "rel", f"e{(i + 1) % 100}") for i in range(300)],
+        "source string, label string, target string",
+    )
+    nt, et = write_bucketed_graph(spark, nodes, edges, db="kg_btest", n_buckets=8)
+    try:
+        n = spark.table(nt)
+        e = spark.table(et)
+        joined = e.hint("merge").join(n, e.source == n.name)
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides read pre-bucketed
+        assert joined.count() == 300
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kg_btest.edges")
+        spark.sql("DROP TABLE IF EXISTS kg_btest.nodes")
+        spark.sql("DROP DATABASE IF EXISTS kg_btest")
