@@ -101,3 +101,29 @@ def test_bucketed_graph_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS kg_btest.edges")
         spark.sql("DROP TABLE IF EXISTS kg_btest.nodes")
         spark.sql("DROP DATABASE IF EXISTS kg_btest")
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — the corpus side never
+    shuffles for the membership test."""
+    import __spark_entry__ as se
+
+    df = se.queries()["decontaminate"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pack_shards_no_corpus_global_window(spark):
+    """The only partition-less window runs over the bucket-offset table
+    (|buckets| rows), never the corpus: the corpus-side window is
+    partitioned by bucket."""
+    from mmkg_rag_spark.operators.curation import assign_shards
+
+    docs = spark.range(5000).selectExpr(
+        "id as doc_id", "repeat('w ', 20) as text"
+    )
+    plan = _plan(assign_shards(docs, shard_tokens=100, bucket_size=100))
+    # corpus window partitioned by bucket
+    assert "partitionBy=[bucket" in plan.replace(" ", "") or "bucket" in plan
+    # offsets join is a broadcast (tiny table)
+    assert "BroadcastHashJoin" in plan
