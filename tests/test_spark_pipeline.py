@@ -117,3 +117,20 @@ def test_images_match(engine_result, oracle_result):
     assert {r["path"] for r in engine_result["images"]} == {
         i.path for i in oracle_result["images"]
     }
+
+
+@pytest.mark.parametrize("seed,n", [(7, 40), (1234, 40)])
+def test_triple_parity_across_seeds(spark, seed, n):
+    """Differential gate at other corpus seeds: engine triples must equal
+    the replica's exactly — parity is a property of the pipeline, not of
+    the one fixture corpus the main gate uses."""
+    from mmkg_rag_spark.pipeline import build_kg
+
+    manifest = spark.createDataFrame([(p,) for p in image_manifest()], "path string")
+    res = build_kg(spark, gen_pages_df(spark, n, seed=seed).drop("text"), manifest)
+    got = {(r.source, r.label, r.target) for r in res.edges.collect()}
+
+    docs = [(r["url"], r["text"]) for r in gen_pages_local(n, seed=seed)]
+    _, rels, _, _ = build_graph(docs, valid_paths=set(image_manifest()))
+    want = {(r.source, r.label, r.target) for r in rels}
+    assert got == want and len(want) > 0
