@@ -44,13 +44,19 @@ def process_pages_batch(
     batch_id: int,
     chunk_size: int = 8000,
     overlap: int = 400,
+    extractor_factory=None,
+    loop: int = 1,
 ) -> dict[str, int]:
     """Fold one micro-batch of pages into the stored graph (idempotent).
 
     The snapshot id is the fingerprint of (stream, batch_id): a re-delivered
     batch (restart replay) finds its snapshot committed and no-ops.
+
+    ``extractor_factory``/``loop``: same contract as
+    operators.extract.extract_mentions — swap the mock for an endpoint
+    client and/or enable gleaning rounds on the streaming path too.
     """
-    snap = fingerprint("stream-batch", batch_id, chunk_size, overlap)
+    snap = fingerprint("stream-batch", batch_id, chunk_size, overlap, loop)
     # Idempotence must check BOTH tables: a crash between the nodes and
     # edges manifest commits would otherwise make the replay skip the batch
     # and permanently drop its edges (ADVICE r1). write_all() below orders
@@ -60,7 +66,9 @@ def process_pages_batch(
 
     t0 = time.time()
     mentions = extract_mentions(
-        chunk_pages(batch_pages.select("url", "text"), chunk_size, overlap)
+        chunk_pages(batch_pages.select("url", "text"), chunk_size, overlap),
+        extractor_factory=extractor_factory,
+        loop=loop,
     ).localCheckpoint()
     em, rm = split_mentions(mentions)
 
@@ -99,6 +107,8 @@ def stream_build(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 4,
+    extractor_factory=None,
+    loop: int = 1,
 ):
     """Continuous construction: watch ``input_dir`` for new pages parquet.
 
@@ -113,7 +123,10 @@ def stream_build(
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        process_pages_batch(spark, catalog, batch_df, batch_id)
+        process_pages_batch(
+            spark, catalog, batch_df, batch_id,
+            extractor_factory=extractor_factory, loop=loop,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

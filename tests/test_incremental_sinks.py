@@ -186,7 +186,7 @@ def test_streaming_commit_crash_idempotence(spark, tmp_path):
     torn = ParquetCatalog(spark, str(tmp_path / "wh_torn"))
     process_pages_batch(spark, torn, pages0, batch_id=0)
     process_pages_batch(spark, torn, pages1, batch_id=1)
-    snap1 = fingerprint("stream-batch", 1, 8000, 400)
+    snap1 = fingerprint("stream-batch", 1, 8000, 400, 1)
     manifest = [s for s in torn._load_manifest("edges") if s["id"] != snap1]
     torn._save_manifest("edges", manifest)
     assert torn.has_snapshot("nodes", snap1) and not torn.has_snapshot("edges", snap1)
