@@ -64,9 +64,12 @@ def connected_components(
     the 10^12-row path.
     """
     edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges <= collect_threshold:
-        pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+    # ONE bounded job decides the strategy: limit(threshold+1) short-circuits,
+    # so the decision never materializes a huge graph just to count it
+    # (count() would), and when the graph is small the same rows ARE the data.
+    probe = edges.select(src, dst).limit(collect_threshold + 1).collect()
+    if len(probe) <= collect_threshold:
+        pairs = [(r[0], r[1]) for r in probe]
         spark = edges.sparkSession
         schema_t = dict(edges.dtypes)[src]
         edges.unpersist()

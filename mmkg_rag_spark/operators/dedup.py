@@ -101,11 +101,13 @@ def similarity_edges(
     # calls) that beats the LSH machinery's ~6 fixed shuffle jobs; above it,
     # MinHash-LSH banding + a vectorized re-check UDF is the 10^12-row path.
     norms = strings.select("norm").distinct()
-    n_norms = norms.count()
-    if n_norms <= pairwise_threshold:
+    # one bounded job decides the strategy AND fetches the data when small
+    # (limit short-circuits; a count() would materialize the whole distinct)
+    probe = norms.limit(pairwise_threshold + 1).collect()
+    if len(probe) <= pairwise_threshold:
         from ..kernels.similarity import ratio as _ratio_fn
 
-        vals = sorted(r.norm for r in norms.collect())
+        vals = sorted(r.norm for r in probe)
         pairs = [
             (a, b)
             for i, a in enumerate(vals)
