@@ -817,6 +817,51 @@ GROUP BY 1
 """
 
 
+def q_curate_corpus(spark, sf_dir):
+    """End-to-end curation composition: lang/quality/token filters ∩ near-dup
+    survivors ∖ benchmark-contaminated (the deterministic doc_id%97==0 slice
+    is the 'eval set' — its docs are removed as trivially contaminated)."""
+    d = _tp(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return curation.curate_corpus(
+        d, bench, pairs=_ngram_pairs(spark, sf_dir)
+    )
+
+
+def _sql_curate_corpus() -> str:
+    surv = SQL_NEAR_DUP_SURVIVORS.strip()
+    return f"""
+WITH surv AS ({surv}),
+w5 AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+g5 AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       || ' ' || toks[i+4] for i in range(1, len(toks)-3)]
+  )) AS gram FROM w5
+),
+bg5 AS (SELECT DISTINCT gram FROM g5 WHERE id % 97 = 0),
+-- contamination over the FULL corpus (benchmark docs flag themselves and
+-- are removed — eval docs must not enter the training set)
+cont AS (SELECT DISTINCT g5.id AS doc_id FROM g5 JOIN bg5 USING (gram)),
+stats AS (
+  SELECT doc_id,
+    {ts.sql_token_count('text')} AS n_tokens,
+    round({ts.sql_quality_score('text')}, 4) AS quality,
+    {ts.sql_lang_id('text')} AS lang_pred
+  FROM documents
+)
+SELECT s.doc_id, s.n_tokens, s.quality
+FROM stats s
+JOIN surv ON s.doc_id = surv.doc_id
+LEFT JOIN cont ON s.doc_id = cont.doc_id
+WHERE cont.doc_id IS NULL AND s.lang_pred IN ('en')
+  AND s.quality >= 0.5 AND s.n_tokens BETWEEN 20 AND 1000000
+"""
+
+
 def q_pack_shards(spark, sf_dir):
     """Two-phase distributed prefix sum → ~2000-token training shards."""
     return curation.assign_shards(
@@ -1122,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
+        "curate_corpus": q_curate_corpus,
         "pack_shards": q_pack_shards,
         "scrub_pii": q_scrub_pii,
         "near_dup_survivors": q_near_dup_survivors,
@@ -1161,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "decontaminate": SQL_DECONTAMINATE,
+        "curate_corpus": _sql_curate_corpus(),
         "pack_shards": SQL_PACK_SHARDS,
         "scrub_pii": SQL_SCRUB_PII,
         "near_dup_survivors": SQL_NEAR_DUP_SURVIVORS,

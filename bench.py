@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "scrub_pii",
     "ngram_jaccard_pairs",
     "near_dup_survivors",
+    "curate_corpus",
     "minhash_near_dup",
     "simhash_near_dup",
     "events_sessionize",
@@ -48,7 +49,7 @@ BENCH_QUERIES = [
 COUNT_ONLY = {
     "doc_token_stats", "doc_quality", "exact_dedup", "unordered_pair_merge",
     "near_dup_survivors", "events_sessionize", "decontaminate", "pack_shards",
-    "scrub_pii",
+    "scrub_pii", "curate_corpus",
 }
 
 

@@ -145,3 +145,55 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn(out_col, scrubbed)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    max_tokens: int = 1_000_000,
+    jaccard_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    decontam_n: int = 5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """The end-to-end curation composition a training corpus actually runs:
+
+        language filter ∧ quality floor ∧ token-length band
+        ∩ near-duplicate survivors (CC-clustered, min-id wins)
+        ∖ benchmark-contaminated docs (shared n-grams with the eval set)
+
+    Returns (doc_id, n_tokens, quality) of the surviving training docs.
+    Each leg is an already-scale-shaped operator: the stats filters are one
+    map-side projection, survivorship is the capped shingle join + CC, and
+    decontamination broadcasts the benchmark gram set. ``pairs`` forwards a
+    pre-computed near-dup pair graph (see near_dup_survivors).
+    """
+    from ..functions.textstats import lang_id, quality_score, token_count
+    from .textdedup import near_dup_survivors
+
+    stats = ensure_min_partitions(docs).select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col(text_col)), 4).alias("quality"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+    )
+    base = stats.filter(
+        F.col("lang_pred").isin(list(langs))
+        & (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    surv = near_dup_survivors(
+        docs, id_col, text_col, n=jaccard_n, threshold=jaccard_threshold,
+        pairs=pairs,
+    ).select(id_col)
+    cont = decontaminate(docs, benchmark, id_col, text_col, n=decontam_n).select(id_col)
+    return (
+        base.join(surv, id_col, "semi")
+        .join(cont, id_col, "anti")
+        .select(id_col, "n_tokens", "quality")
+    )
