@@ -57,3 +57,54 @@ def test_reference_completion_roundtrip(spark):
     assert len(rows) == 1
     refs = rows[0].references
     assert refs and all("..." not in r for r in refs)
+
+
+def test_catalog_seq_backward_compat(spark, tmp_path):
+    """Manifests written before the seq field existed (ts-only entries) must
+    still resolve 'latest' correctly, and new commits must win over them."""
+    from mmkg_rag_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([(1,)], "v long")
+    cat.write(df1, "t", "snapA")
+    # strip seq to simulate a legacy manifest entry
+    m = cat._load_manifest("t")
+    for e in m:
+        e.pop("seq", None)
+    cat._save_manifest("t", m)
+    assert cat.read("t").first().v == 1
+    # a new commit (seq=1) beats the legacy entry even with an older ts
+    df2 = spark.createDataFrame([(2,)], "v long")
+    cat.write(df2, "t", "snapB")
+    m = cat._load_manifest("t")
+    next(e for e in m if e["id"] == "snapB")["ts"] = 0.0  # clock skew
+    cat._save_manifest("t", m)
+    assert cat.read("t").first().v == 2
+
+
+def test_decontaminate_empty_benchmark(spark):
+    from mmkg_rag_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "some words repeated over and over again")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate(docs, empty, n=3).count() == 0
+
+
+def test_khop_empty_seeds(spark):
+    from mmkg_rag_spark.operators.retrieval import khop_neighbors
+
+    edges = spark.createDataFrame([("a", "b")], "source string, target string")
+    seeds = spark.createDataFrame([], "name string")
+    assert khop_neighbors(edges, seeds, hops=2).count() == 0
+
+
+def test_assign_shards_empty_and_single(spark):
+    from mmkg_rag_spark.operators.curation import assign_shards
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert assign_shards(empty).count() == 0
+    one = spark.createDataFrame([(5, "a b c")], "doc_id long, text string")
+    row = assign_shards(one, shard_tokens=10).collect()[0]
+    assert (row.doc_id, row.n_tokens, row.shard_id) == (5, 3, 0)
