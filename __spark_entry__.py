@@ -596,6 +596,47 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each click gets the latest prior-or-equal purchase value
+    per user (operators/temporal.asof_join — union + keyed window, never a
+    quadratic per-key theta-join). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from mmkg_rag_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, key_cols=["user_id"], value_cols=["purchase_value"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_value",
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, round(value, 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def q_events_window_agg(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -1173,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_survivors": q_near_dup_survivors,
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
+        "events_asof_join": q_events_asof_join,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "minhash_near_dup_md5": q_minhash_near_dup_md5,
@@ -1213,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_survivors": SQL_NEAR_DUP_SURVIVORS,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_window_agg": SQL_EVENTS_WINDOW,
+        "events_asof_join": SQL_EVENTS_ASOF,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "ann_topk_bruteforce": SQL_ANN_BRUTE,
         "minhash_near_dup_md5": _sql_minhash_md5(),

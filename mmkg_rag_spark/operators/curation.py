@@ -197,3 +197,4 @@ def curate_corpus(
         .join(cont, id_col, "anti")
         .select(id_col, "n_tokens", "quality")
     )
+

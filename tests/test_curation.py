@@ -72,3 +72,32 @@ def test_scrub_pii_planted(spark):
     assert "<PHONE>" in rows[2].scrubbed and "<IP>" in rows[2].scrubbed
     assert rows[3].scrubbed == rows[3].text
     assert (rows[3].n_email, rows[3].n_phone, rows[3].n_ipv4) == (0, 0, 0)
+
+
+def test_asof_join_semantics(spark):
+    """kdb/DuckDB ASOF semantics: latest right row at-or-before each left
+    row per key; equal timestamps match (inclusive); no prior row → NULL."""
+    from mmkg_rag_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, 5), (1, 101, 10), (1, 102, 20), (1, 103, 30),
+            (2, 200, 7),
+        ],
+        "user_id long, event_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 25, 2.5), (2, 99, 9.0)],
+        "user_id long, ts long, purchase_value double",
+    )
+    out = {
+        r.event_id: r.purchase_value
+        for r in asof_join(
+            left, right, key_cols=["user_id"], value_cols=["purchase_value"]
+        ).collect()
+    }
+    assert out[100] is None          # ts=5: no purchase yet
+    assert out[101] == 1.0           # ts=10: equal timestamp matches
+    assert out[102] == 2.0           # ts=20 (not the later 25)
+    assert out[103] == 2.5           # ts=30: latest prior
+    assert out[200] is None          # other key, purchase at 99 > 7
