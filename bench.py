@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "unordered_pair_merge",
     "khop_suppliers",
     "events_window_agg",
+    "events_asof_join",
     "doc_token_stats",
     "doc_quality",
     "doc_lang_id",
@@ -49,7 +50,7 @@ BENCH_QUERIES = [
 COUNT_ONLY = {
     "doc_token_stats", "doc_quality", "exact_dedup", "unordered_pair_merge",
     "near_dup_survivors", "events_sessionize", "decontaminate", "pack_shards",
-    "scrub_pii", "curate_corpus",
+    "scrub_pii", "curate_corpus", "events_asof_join",
 }
 
 
