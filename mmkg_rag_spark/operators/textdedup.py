@@ -133,7 +133,14 @@ def minhash_near_duplicates(
     matching the default threshold: recall at J≥0.5 stays high while the
     candidate count stays ∝ true near-dups (and the signature costs half of
     a 128-hash scheme; raise num_hashes for lower thresholds).
-    The verify join recomputes exact Jaccard on the candidates only.
+
+    The verify recomputes exact Jaccard on candidates only, COUNT-based
+    (VERDICT r2 #6): intersection sizes come from equi-joining the flat
+    (id, shingle) table through the candidate pairs — never a
+    ``collect_set`` array shipped per candidate, so no per-doc shingle set
+    is ever materialized through the join at 100 TB. Pairs whose
+    intersection is empty drop out of the count join, which is correct for
+    any threshold > 0.
     """
     base = ensure_min_partitions(
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
@@ -147,14 +154,24 @@ def minhash_near_duplicates(
         hash_fn=hash_fn,
     )
     sh = _doc_shingles(base, "id", "text", n)
-    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

@@ -95,15 +95,27 @@ def read_eris_jsonl(spark, path: str) -> list[str]:
 # cannot load a 10^12-row graph; the Spark-first equivalent is Neo4j's bulk
 # import contract — neo4j-admin database import reads :ID/:LABEL/:START_ID/
 # :END_ID/:TYPE-headed CSVs, which we write distributed (one CSV part per
-# partition). Arrays use Neo4j's ';' element delimiter. A live-driver
+# partition). Arrays use NEO4J_ARRAY_SEP (pass --array-delimiter). A live-driver
 # variant mirroring the reference's exact Cypher is provided behind an
 # import-guard for parity completeness (no neo4j package in this sandbox).
 
-NEO4J_ARRAY_SEP = ";"
+# Array-element delimiter passed to neo4j-admin import via --array-delimiter.
+# U+241E (RECORD SEPARATOR symbol) instead of the default ';' because web-text
+# aliases/references/descriptions legitimately contain semicolons, which the
+# importer would mis-split into extra array elements (ADVICE r2). Any stray
+# occurrence of the delimiter inside an element is stripped as a belt-and-
+# braces guard, so the CSV can never be mis-split.
+NEO4J_ARRAY_SEP = "␞"
 
 
 def _arr(col: str):
-    return F.array_join(F.coalesce(col, F.array()), NEO4J_ARRAY_SEP)
+    return F.array_join(
+        F.transform(
+            F.coalesce(col, F.array()),
+            lambda x: F.replace(x, F.lit(NEO4J_ARRAY_SEP), F.lit("")),
+        ),
+        NEO4J_ARRAY_SEP,
+    )
 
 
 def export_neo4j_bulk(

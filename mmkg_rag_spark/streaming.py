@@ -139,8 +139,11 @@ def stream_build(
     return q
 
 
+# ts is TIMESTAMP_NTZ: declaring it ``timestamp`` (LTZ) would reinterpret
+# the parquet wall-clock through the session zone at scan time — the same
+# TZ trap as unix_timestamp, one layer earlier (VERDICT r2 #3).
 EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -160,19 +163,30 @@ def windowed_event_counts(
     property that lets this run forever on an unbounded 100 TB/day feed.
     Returns the streaming DataFrame; callers attach a sink (tests use a
     memory sink with availableNow, production appends to the catalog).
+
+    Watermarks only accept TIMESTAMP (LTZ), so the NTZ wall-clock is pinned
+    to a session-independent instant (wall-clock-as-UTC via ntz_epoch)
+    before watermarking, and the window start converts back the same way —
+    results are identical under any session timezone.
     """
     from pyspark.sql import functions as F
 
+    from .functions.timeops import ntz_epoch, ntz_from_epoch
+
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
     return (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        stream.withColumn("ts_utc", F.timestamp_seconds(ntz_epoch("ts")))
+        .withWatermark("ts_utc", watermark)
+        .groupBy(F.window("ts_utc", window_duration).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).alias("_sv"),
         )
         .select(
-            F.col("win.start").alias("window_start"),
+            # unix_timestamp(LTZ) is the instant — session-TZ-independent
+            ntz_from_epoch(F.unix_timestamp(F.col("win.start"))).alias(
+                "window_start"
+            ),
             "event_type",
             "n",
             F.round(F.col("_sv").cast("double"), 4).alias("sum_value"),
@@ -214,8 +228,8 @@ def dedup_documents_stream(
 
 SESSION_STATE_SCHEMA = "start long, last long, n long"
 SESSION_OUTPUT_SCHEMA = (
-    "user_id long, session_start timestamp, n_events long, duration_sec long, "
-    "open boolean"
+    "user_id long, session_start timestamp_ntz, n_events long, "
+    "duration_sec long, open boolean"
 )
 
 
@@ -269,10 +283,14 @@ def sessionize_events(
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
-    from pyspark.sql import functions as F
+    # TZ-proof epoch derivation: unix_timestamp on the NTZ ts would route
+    # through the session timezone — a DST transition in a non-UTC session
+    # would shift epochs an hour mid-stream and split/merge sessions
+    # (VERDICT r2 #3). ntz_epoch is pure wall-clock arithmetic.
+    from .functions.timeops import ntz_epoch, ntz_from_epoch
 
     folded = (
-        stream.select("user_id", F.unix_timestamp("ts").alias("epoch"))
+        stream.select("user_id", ntz_epoch("ts").alias("epoch"))
         .groupBy("user_id")
         .applyInPandasWithState(
             fold,
@@ -287,7 +305,7 @@ def sessionize_events(
     )
     return folded.select(
         "user_id",
-        F.to_timestamp(F.from_unixtime("start_epoch")).alias("session_start"),
+        ntz_from_epoch("start_epoch").alias("session_start"),
         "n_events",
         "duration_sec",
         "open",

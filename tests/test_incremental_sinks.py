@@ -160,7 +160,41 @@ def test_neo4j_bulk_export(spark, tmp_path):
     irels = spark.read.option("header", True).csv(out["image_relations"]).collect()
     assert irels[0][":END_ID(Image)"] == "img/a.png"
     imgs = spark.read.option("header", True).csv(out["images"]).collect()
-    assert imgs[0]["texts:string[]"] == "t1;t2"
+    from mmkg_rag_spark.sinks import NEO4J_ARRAY_SEP
+
+    assert imgs[0]["texts:string[]"] == f"t1{NEO4J_ARRAY_SEP}t2"
+
+
+def test_neo4j_bulk_export_semicolon_safe(spark, tmp_path):
+    """ADVICE r2: web-text aliases/references contain semicolons; the array
+    delimiter must not be ';' (which neo4j-admin would mis-split) and stray
+    delimiter chars inside elements are stripped."""
+    from mmkg_rag_spark.sinks import NEO4J_ARRAY_SEP, export_neo4j_bulk
+
+    assert NEO4J_ARRAY_SEP != ";"
+    nodes = spark.createDataFrame(
+        [
+            (
+                "X; Y Corp",
+                "ORG",
+                "a; b",
+                ["alias; with semicolon", f"evil{NEO4J_ARRAY_SEP}elem"],
+                ["http://e.com/a;b"],
+            )
+        ],
+        "name string, label string, description string, "
+        "aliases array<string>, references array<string>",
+    )
+    edges = spark.createDataFrame(
+        [],
+        "source string, label string, target string, description string, "
+        "references array<string>",
+    )
+    out = export_neo4j_bulk(nodes, edges, str(tmp_path / "n4j"), single_file=True)
+    row = spark.read.option("header", True).csv(out["entities"]).collect()[0]
+    aliases = row["aliases:string[]"].split(NEO4J_ARRAY_SEP)
+    assert aliases == ["alias; with semicolon", "evilelem"]
+    assert row["references:string[]"] == "http://e.com/a;b"
 
 
 def test_streaming_commit_crash_idempotence(spark, tmp_path):

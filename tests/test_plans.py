@@ -127,3 +127,34 @@ def test_pack_shards_no_corpus_global_window(spark):
     assert "partitionBy=[bucket" in plan.replace(" ", "") or "bucket" in plan
     # offsets join is a broadcast (tiny table)
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_verify_is_count_based(spark):
+    """VERDICT r2 #6: the exact-Jaccard verify must come from integer
+    intersection/size counts on the flat shingle table — no collect_set
+    arrays shipped through the candidate join."""
+    from mmkg_rag_spark.operators.textdedup import minhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_near_duplicates(docs))
+    assert "collect_set" not in plan
+
+
+def test_pack_shards_string_ids_no_corpus_global_window(spark):
+    """VERDICT r2 #5: string doc ids take the prefix-bucket path and keep
+    the same two-phase shape — corpus window partitioned by bucket, offsets
+    broadcast, no corpus-scale SinglePartition window."""
+    from mmkg_rag_spark.operators.curation import assign_shards
+
+    docs = spark.range(5000).selectExpr(
+        "concat('doc-', lpad(cast(id as string), 6, '0')) as doc_id",
+        "repeat('w ', 20) as text",
+    )
+    out = assign_shards(docs, shard_tokens=100, bucket_prefix_len=8)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side window must be keyed by the prefix bucket
+    assert "hashpartitioning(bucket" in plan

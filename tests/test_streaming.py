@@ -179,6 +179,60 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
     assert got == batch and len(got) > 0
 
 
+def test_sessionize_tz_proof(spark, tmp_path_factory):
+    """VERDICT r2 #3: the stream under America/New_York must produce
+    IDENTICAL sessions to UTC. The event times straddle the 2024-03-10
+    US spring-forward gap (02:00→03:00 local doesn't exist), where
+    unix_timestamp-on-NTZ would shift epochs an hour mid-stream and
+    merge the two sessions."""
+    import datetime as dt
+
+    from mmkg_rag_spark.streaming import sessionize_events
+
+    times = [  # wall-clock (NTZ); gaps: 1200s, 4200s (>1800 → split), 1800s
+        dt.datetime(2024, 3, 10, 1, 0, 0),
+        dt.datetime(2024, 3, 10, 1, 20, 0),
+        dt.datetime(2024, 3, 10, 2, 30, 0),
+        dt.datetime(2024, 3, 10, 3, 0, 0),
+    ]
+    rows = [(i, t, 1, "click", 1.0, "{}") for i, t in enumerate(times)]
+    in_dir = str(tmp_path_factory.mktemp("sess_tz"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    def run(tz, name):
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            q = (
+                sessionize_events(spark, in_dir)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                (r.user_id, r.session_start, r.n_events, r.duration_sec, r.open)
+                for r in spark.sql(f"select * from {name}").collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    got_utc = run("UTC", "sess_utc")
+    got_ny = run("America/New_York", "sess_ny")
+    assert got_utc == got_ny
+    # and the sessions are the wall-clock-correct ones
+    assert got_utc == {
+        (1, dt.datetime(2024, 3, 10, 1, 0, 0), 2, 1200, False),
+        (1, dt.datetime(2024, 3, 10, 2, 30, 0), 2, 1800, True),
+    }
+
+
 def test_stream_dedup_matches_batch(spark, tmp_path_factory):
     """Streaming dropDuplicates(fingerprint) keeps one row per distinct text
     across micro-batches — same survivor keys as the batch exact dedup."""
