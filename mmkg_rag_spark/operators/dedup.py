@@ -117,6 +117,9 @@ def similarity_edges(
         verified = units.sparkSession.createDataFrame(
             pairs, "id_a string, id_b string"
         ) if pairs else units.sparkSession.createDataFrame([], "id_a string, id_b string")
+        # driver-created and ≤ threshold² rows — broadcast so the two
+        # norm→uid joins below are map-side (no exchange pair per join)
+        verified = F.broadcast(verified)
     else:
         # b=16, r=8: S-curve center (1/16)^(1/8) ≈ 0.71 — at the 0.95
         # threshold recall ≈ 1−(1−0.95⁸)^16 ≈ 1-3e-8, while sub-0.5-similar
@@ -209,10 +212,18 @@ def canonicalize_units(
     # CC loop forces several actions — cache to avoid re-aggregating mentions.
     units = units.cache()
     edges = similarity_edges(units, similarity, pairwise_threshold)
+    cc_info: dict = {}
     comp = connected_components(
-        edges, src="src", dst="dst", collect_threshold=cc_collect_threshold
+        edges, src="src", dst="dst", collect_threshold=cc_collect_threshold,
+        out_info=cc_info,
     )
-    units_c = units.join(comp.withColumnRenamed("id", "uid"), "uid", "left").withColumn(
+    # driver-path component tables are ≤ cc_collect_threshold rows by
+    # construction — broadcast them so the units join is map-side (AQE could
+    # only discover this after materializing both shuffle sides)
+    comp_r = comp.withColumnRenamed("id", "uid")
+    if cc_info.get("driver_path"):
+        comp_r = F.broadcast(comp_r)
+    units_c = units.join(comp_r, "uid", "left").withColumn(
         "component", F.coalesce("component", "uid")
     )
 
@@ -250,14 +261,14 @@ def canonicalize_units(
         .applyInPandas(_merge, schema=MERGED_ENTITY_SCHEMA)
     )
     merged = merged.cache()
+    canon = merged.select(F.col("component"), F.col("name").alias("canonical"))
+    if cc_info.get("driver_path"):
+        # |merged with component| ≤ |CC vertices| ≤ cc_collect_threshold:
+        # broadcast the 2-col canonical dictionary, skipping two exchanges
+        canon = F.broadcast(canon)
     mapping = (
         units_c.select("component", F.col("name").alias("member"))
-        .join(
-            merged.select(
-                F.col("component"), F.col("name").alias("canonical")
-            ),
-            "component",
-        )
+        .join(canon, "component")
         .filter(F.col("member") != F.col("canonical"))
         .select("member", "canonical")
         .distinct()
@@ -274,13 +285,21 @@ def edges_from_mentions(relation_mentions: DataFrame) -> DataFrame:
     )
 
 
-def remap_and_merge_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+def remap_and_merge_edges(
+    edges: DataFrame, mapping: DataFrame, broadcast_mapping: bool = True
+) -> DataFrame:
     """Stages 7-8 on edge-shaped rows: canonical endpoints, merged triples.
 
     The mapping join is the north star's alias-dictionary broadcast join —
-    AQE converts both left joins to broadcast when the dictionary fits,
-    otherwise they shuffle on the (already hash-partitionable) name key.
+    broadcast EXPLICITLY (default): the dictionary is the merged-away
+    entity vocabulary, bounded and small relative to the mention stream at
+    every scale, and relying on AQE instead costs the full exchange pair
+    per join before the runtime conversion can happen. Pass
+    ``broadcast_mapping=False`` for a pathological dictionary that cannot
+    fit an executor — the joins then shuffle on the name key.
     """
+    if broadcast_mapping:
+        mapping = F.broadcast(mapping)
     src_map = mapping.select(
         F.col("member").alias("source"), F.col("canonical").alias("_src_c")
     )

@@ -120,10 +120,23 @@ def score_image_entities(
     entities: DataFrame,
     strategy: str = "auto",
     broadcast_limit: int = 2_000_000,
+    pair_limit: int = 500_000,
     salt_buckets: int = 16,
     candidate_cap: int = IMAGE_CANDIDATE_CAP,
 ) -> DataFrame:
-    """M4: relevance-scored (image instance × entity) pairs ≥ 0.1, top-8/image."""
+    """M4: relevance-scored (image instance × entity) pairs ≥ 0.1, top-8/image.
+
+    ``auto`` picks on BOTH axes: blocked when the entity table can't
+    broadcast, AND when the cross-product |images|·|entities| would push
+    more than ``pair_limit`` pairs through the relevance UDF — the UDF is
+    the cost, not the join, so a broadcastable entity table can still lose
+    to token blocking by orders of magnitude in scored pairs. Blocking is
+    the documented scale approximation (not exact): char-level indel
+    similarity can lift token-disjoint pairs to ~0.3-0.45, and those are
+    pruned; every ≥0.5 pair survives (tests/test_mmodal_strategies.py).
+    Callers needing reference-exact cross-product semantics pass
+    ``strategy="broadcast"`` explicitly.
+    """
     ents = _entity_terms(entities)
     imgs = images.filter(
         (F.coalesce(F.size("texts"), F.lit(0)) > 0) | (F.col("caption") != "")
@@ -131,7 +144,11 @@ def score_image_entities(
 
     if strategy == "auto":
         n = ents.limit(broadcast_limit + 1).count()
-        strategy = "broadcast" if n <= broadcast_limit else "blocked"
+        if n > broadcast_limit:
+            strategy = "blocked"
+        else:
+            n_imgs = imgs.count()
+            strategy = "broadcast" if n * n_imgs <= pair_limit else "blocked"
 
     if strategy == "broadcast":
         pairs = imgs.crossJoin(F.broadcast(ents))

@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce INSIDE .cache() materialization too — otherwise
+        # every cached reduce output keeps the raw shuffle.partitions count
+        # and downstream map stages inherit hundreds of near-empty tasks
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # generous broadcast ceiling: alias dictionaries & dim tables
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

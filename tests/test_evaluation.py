@@ -1,0 +1,203 @@
+"""Evaluation harness (mmkg_rag_spark/evaluation.py).
+
+Parity targets: question generation (reference
+tests/evaluation/questions_generate.py:95-200), batch s/m search runner
+(search.py:16-74), judge comparison + win-rate statistics
+(compare.py:149-280) — all hermetic via MockExtractor or scripted
+EndpointExtractor transports, never the network.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mmkg_rag_spark import evaluation as ev
+from mmkg_rag_spark.llm import (
+    DECOMPOSE_SYSTEM_PROMPT,
+    GENERATE_PERSONA_PROMPT,
+    GENERATE_QUESTION_PROMPT,
+    GENERATE_TASK_PROMPT,
+    JUDGE_SYSTEM_PROMPT,
+    EndpointExtractor,
+    MockExtractor,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(master="local[4]", shuffle_partitions=8, app_name="pytest-eval")
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("Ada Lovelace", "PERSON", "pioneer", ["Ada"]),
+            ("Analytical Engine", "TECH", "machine", []),
+        ],
+        "name string, label string, description string, aliases array<string>",
+    )
+    edges = spark.createDataFrame(
+        [("Ada Lovelace", "worked on", "Analytical Engine", "", [])],
+        "source string, label string, target string, description string, "
+        "references array<string>",
+    )
+    images = spark.createDataFrame(
+        [],
+        "path string, caption string, texts array<string>, description string",
+    )
+    return nodes, edges, images
+
+
+def _scripted(script):
+    def transport(payload):
+        system = payload["messages"][0]["content"]
+        user = payload["messages"][-1]["content"]
+        return script(system, user)
+
+    return EndpointExtractor(base_url="http://example.invalid/v1", transport=transport)
+
+
+# --- question generation ---------------------------------------------------
+
+def test_question_set_shape_and_cleaning():
+    """N personas × N tasks × N questions = N³ rows, numbered prefixes
+    stripped (questions_generate.py:172-200 with N=5 → the paper's 125)."""
+    rows = ev.generate_question_set("A corpus of test documents.", n=2)
+    assert len(rows) == 8
+    for r in rows:
+        assert set(r) == {"user", "task", "question"}
+        for v in r.values():
+            assert not v[0].isdigit()  # '1. ' prefixes cleaned
+    # the tree branches: distinct tasks per user, distinct questions per task
+    assert len({r["question"] for r in rows}) == 8
+
+
+def test_question_generation_scripted_prefix_cleaning():
+    def script(system, user):
+        if system == GENERATE_PERSONA_PROMPT:
+            return "1. A historian\n2. A linguist"
+        if system == GENERATE_TASK_PROMPT:
+            return "1. Map influences\n2. Trace citations"
+        if system == GENERATE_QUESTION_PROMPT:
+            return "1. Who influenced whom?\n2. Which texts cite which?"
+        raise AssertionError(f"unexpected system prompt: {system}")
+
+    rows = ev.generate_question_set("desc", n=2, extractor=_scripted(script))
+    assert rows[0] == {
+        "user": "A historian",
+        "task": "Map influences",
+        "question": "Who influenced whom?",
+    }
+    assert len(rows) == 8
+
+
+# --- batch search runner ---------------------------------------------------
+
+def test_run_search_answers_both_methods(spark, graph):
+    nodes, edges, images = graph
+    questions = [
+        {"question": "Who is Ada Lovelace?"},
+        {"question": "What is the Analytical Engine?"},
+    ]
+    out = ev.run_search(questions, nodes, edges, images, methods="sm", batch=1)
+    for q in out:
+        assert q["s_answer"] and q["m_answer"]
+
+
+def test_run_search_batch_error_isolation(spark, graph):
+    """A method failing for a batch skips ONLY that method's answers for
+    that batch and the run continues (search.py:51-67 try/continue)."""
+    nodes, edges, images = graph
+    mock = MockExtractor()
+
+    def script(system, user):
+        if system == DECOMPOSE_SYSTEM_PROMPT:  # m path explodes
+            raise RuntimeError("boom")
+        return mock.chat(system, user)
+
+    class Hybrid:
+        def chat(self, system, user, history=None):
+            return script(system, user)
+
+    questions = [{"question": "Who is Ada Lovelace?"}]
+    out = ev.run_search(
+        questions, nodes, edges, images, methods="sm", batch=10,
+        extractor=Hybrid(),
+    )
+    assert "s_answer" in out[0] and "m_answer" not in out[0]
+
+
+# --- judge + win-rate statistics -------------------------------------------
+
+def test_compare_answers_scripted_and_fallback():
+    ex = _scripted(lambda s, u: '{"winner": 2, "explanation": "m better"}')
+    res = ev.compare_answers("q", "a1", "a2", ev.METRICS[0], ex)
+    assert res == {"winner": 2, "explanation": "m better"}
+    # unparseable judge output → the reference's tie fallback
+    ex_bad = _scripted(lambda s, u: "no json here")
+    res = ev.compare_answers("q", "a1", "a2", ev.METRICS[0], ex_bad)
+    assert res["winner"] == 0 and "No winner" in res["explanation"]
+    # out-of-range winner clamps to tie
+    ex_oor = _scripted(lambda s, u: '{"winner": 7, "explanation": "x"}')
+    assert ev.compare_answers("q", "a", "b", ev.METRICS[0], ex_oor)["winner"] == 0
+
+
+def test_win_rate_statistics_match_reference_math():
+    """Hand-computed fixture: the per-metric tallies must equal the
+    reference's statistics_compare output shape and counts
+    (compare.py:258-280)."""
+    by_metric = {
+        "Comprehensiveness": ["1", "1", "2"],
+        "Diversity": ["0", "2", "2"],
+        "Empowerment": ["1", "0", "0"],
+        "Directness": ["2", "2", "2"],
+    }
+
+    def script(system, user):
+        assert system == JUDGE_SYSTEM_PROMPT
+        metric = user.split("--Metric--\n\n", 1)[1].split(".", 1)[0]
+        qid = int(user.split("---Question---\n\nq", 1)[1].split("\n", 1)[0])
+        return json.dumps(
+            {"winner": int(by_metric[metric][qid]), "explanation": ""}
+        )
+
+    qas = [
+        {"question": f"q{i}", "s_answer": "sa", "m_answer": "ma"}
+        for i in range(3)
+    ]
+    judged = ev.compare_all(qas, batch=2, extractor=_scripted(script))
+    stats = ev.win_rate_statistics(judged)
+    assert stats == {
+        "Comprehensiveness": {"s": 2, "m": 1, "0": 0},
+        "Diversity": {"s": 0, "m": 2, "0": 1},
+        "Empowerment": {"s": 1, "m": 0, "0": 2},
+        "Directness": {"s": 0, "m": 3, "0": 0},
+    }
+    # every question row carries all four judged metrics
+    assert all(len(q["metrics"]) == 4 for q in judged)
+
+
+def test_evaluate_end_to_end_hermetic(spark, graph):
+    """Full harness on the mock: n=1 → 1 question, s+m answered, 4 metric
+    judgements, win counts summing to n_questions per metric; deterministic
+    across runs."""
+    nodes, edges, images = graph
+    judged, stats = ev.evaluate(
+        "A tiny corpus about Ada Lovelace.", nodes, edges, images, n=1
+    )
+    assert len(judged) == 1
+    assert judged[0]["s_answer"] and judged[0]["m_answer"]
+    assert set(stats) == {
+        "Comprehensiveness", "Diversity", "Empowerment", "Directness"
+    }
+    for counts in stats.values():
+        assert sum(counts.values()) == 1
+    judged2, stats2 = ev.evaluate(
+        "A tiny corpus about Ada Lovelace.", nodes, edges, images, n=1
+    )
+    assert stats2 == stats
