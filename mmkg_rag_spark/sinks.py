@@ -267,7 +267,18 @@ def write_bucketed_graph(
     a broadcast can never hold. On Iceberg the same layout is
     ``bucket(n, name)`` partition transforms.
     """
+    import shutil
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    # the session catalog is in-memory but the warehouse dir persists:
+    # a table directory left by a previous process would fail saveAsTable
+    # with LOCATION_ALREADY_EXISTS — drop & clear both layers first
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    ).removeprefix("file:")
+    for t in ("nodes", "edges"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(os.path.join(warehouse, f"{db}.db", t), ignore_errors=True)
     (
         nodes.write.format("parquet")
         .bucketBy(n_buckets, "name").sortBy("name")
