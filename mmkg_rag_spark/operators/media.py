@@ -3,15 +3,18 @@
 Images/audio/video ride through the engine as opaque ``binary`` columns with
 typed metadata. Codec status:
 
-- **REAL** (stdlib + numpy, no external libs): PPM/PGM (P6/P5) and
-  uncompressed 24-bit BMP — full decode to pixel arrays, nearest-neighbor
-  resize with PPM-encoded thumbnails, and content-based embeddings
-  (8×8 mean-pooled luminance grid, L2-normalized — near-duplicate images
-  embed near each other, which is what the ANN operators consume).
-- **STUBBED** (deterministic fakes): compressed formats (PNG/JPEG/video)
-  need PIL/ffmpeg, absent in this container. The stubs keep the schema,
-  batch shape, and error-channel contracts identical, so swapping them for
-  real codecs on a cluster changes nothing else.
+- **REAL** (stdlib + numpy, no external libs): PPM/PGM (P6/P5),
+  uncompressed 24-bit BMP, and **PNG** (8-bit gray / RGB / palette /
+  gray+alpha / RGBA, non-interlaced — full chunk+CRC parsing, zlib
+  inflate, all five scanline filters reconstructed; plus a PNG encoder) —
+  full decode to pixel arrays, nearest-neighbor resize with PPM-encoded
+  thumbnails, and content-based embeddings (8×8 mean-pooled luminance
+  grid, L2-normalized — near-duplicate images embed near each other,
+  which is what the ANN operators consume).
+- **STUBBED** (deterministic fakes): JPEG and video need PIL/ffmpeg,
+  absent in this container. The stubs keep the schema, batch shape, and
+  error-channel contracts identical, so swapping them for real codecs on
+  a cluster changes nothing else.
 
 Scale notes:
 - Binary payloads make *bytes per row* huge and rows per task few: these
@@ -135,6 +138,127 @@ def _parse_bmp(b: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → raw channels per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png(b: bytes) -> np.ndarray:
+    """Decode PNG → uint8 array (H,W,C) — REAL, stdlib zlib only.
+
+    Supported: 8-bit depth, color types 0 (gray) / 2 (RGB) / 3 (palette) /
+    4 (gray+alpha) / 6 (RGBA), non-interlaced — i.e. what encoders emit for
+    web images at 8-bit. Chunk CRCs are verified; all five scanline filters
+    (None/Sub/Up/Average/Paeth) are reconstructed. Alpha is dropped
+    (gray+alpha → gray, RGBA → RGB) so downstream thumbnail/embedding
+    paths see 1- or 3-channel arrays like the other codecs. Interlaced or
+    16-bit inputs raise into the per-row error channel.
+    """
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 12 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", b, pos + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {typ.decode()} chunk CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})"
+        )
+    nch = _PNG_CHANNELS.get(ctype)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if w <= 0 or h <= 0 or len(raw) != h * (stride + 1):
+        raise ValueError("bad PNG raster size")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = nch
+    for y in range(h):
+        f = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — fully vectorized
+            rec = (line + prev) & 0xFF
+        elif f == 1:  # Sub — sequential in-row (left-neighbor recurrence)
+            rec = line
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif f == 3:  # Average
+            rec = line
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec.astype(np.uint8)
+    arr = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        arr = plte[arr[:, :, 0]]
+    elif ctype == 4:
+        arr = arr[:, :, :1]
+    elif ctype == 6:
+        arr = arr[:, :, :3]
+    return np.ascontiguousarray(arr)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode a (H,W,1|3|4) uint8 array as a valid PNG (filter 0, one IDAT)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    ctype = {1: 0, 3: 2, 4: 6}[arr.shape[2]]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_array(content: bytes) -> np.ndarray | None:
     """Pixel array for formats this engine decodes natively, else None.
 
@@ -146,6 +270,8 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
         return _parse_pnm(content)
     if content[:2] == b"BM":
         return _parse_bmp(content)
+    if content[:8] == _PNG_SIG:
+        return _parse_png(content)
     return None
 
 
