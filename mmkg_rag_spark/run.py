@@ -56,6 +56,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="after the build, answer QUESTION over the graph "
                          "(multi-agent QA; set MMKG_LLM_BASE_URL / _API_KEY / "
                          "_MODEL for a real endpoint, else the hermetic mock)")
+    ap.add_argument("--evaluate", default=None, metavar="CORPUS_DESC",
+                    help="after the build, run the evaluation harness over "
+                         "the graph: generate persona/task questions from "
+                         "CORPUS_DESC, answer via s (single) and m "
+                         "(multi-agent) search, judge on the four GraphRAG "
+                         "metrics, print win-rate statistics (reference "
+                         "tests/evaluation pipeline; same endpoint env vars "
+                         "as --ask, hermetic mock otherwise)")
+    ap.add_argument("--eval-n", type=int, default=2,
+                    help="N for the persona/task/question sweep (N^3 "
+                         "questions; the GraphRAG paper uses 5)")
     args = ap.parse_args(argv)
 
     from mmkg_rag_spark.operators.dedup import canonicalize_entities, remap_and_merge_relations
@@ -206,6 +217,39 @@ def main(argv: list[str] | None = None) -> int:
         answer = agent_response(args.ask, nodes, qa_edges, images, extractor)
         print(f"question: {args.ask}")
         print(f"answer: {answer}")
+
+    # -- optional evaluation harness over the built graph ------------------
+    if args.evaluate:
+        import json as _json
+        import os as _os
+
+        from mmkg_rag_spark.evaluation import evaluate
+
+        extractor = None
+        if _os.environ.get("MMKG_LLM_BASE_URL"):
+            from mmkg_rag_spark.llm import EndpointExtractor
+
+            extractor = EndpointExtractor(
+                base_url=_os.environ["MMKG_LLM_BASE_URL"],
+                api_key=_os.environ.get("MMKG_LLM_API_KEY", ""),
+                model=_os.environ.get("MMKG_LLM_MODEL", "gpt-4o-mini"),
+            )
+        ev_edges = edges.select(
+            "source", "label", "target", "description", "references"
+        ).unionByName(
+            image_edges.select("source", "label", "target", "description", "references")
+        )
+        judged, stats = evaluate(
+            args.evaluate, nodes, ev_edges, images,
+            n=args.eval_n, extractor=extractor,
+        )
+        print(f"evaluated {len(judged)} questions (s vs m, 4 metrics):")
+        for metric, counts in stats.items():
+            print(
+                f"  {metric}: {counts['s']} s wins, {counts['m']} m wins, "
+                f"{counts['0']} ties"
+            )
+        print(_json.dumps({"win_rates": stats}))
     return 0
 
 

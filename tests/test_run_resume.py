@@ -108,3 +108,27 @@ def test_catalog_manifest_roundtrip(spark, tmp_path_factory):
     assert len(snaps) == 1 and snaps[0]["input"] == "-"
     manifest = json.load(open(os.path.join(wh, "t", "manifest.json")))
     assert manifest[0]["id"] == fp
+
+def test_cli_evaluate_prints_win_rates(spark, tmp_path_factory):
+    """--evaluate runs the hermetic evaluation harness over the built graph
+    and prints per-metric win-rate statistics plus a JSON summary line."""
+    import json
+
+    from mmkg_rag_spark.run import main
+
+    wh = str(tmp_path_factory.mktemp("wh_eval"))
+    out = io.StringIO()
+    with redirect_stdout(out):
+        assert main([
+            "--n-docs", "20", "--warehouse", wh, "--master", "local[4]",
+            "--evaluate", "A corpus about organizations.", "--eval-n", "1",
+        ]) == 0
+    text = out.getvalue()
+    assert "evaluated 1 questions" in text
+    stats = json.loads(
+        [ln for ln in text.splitlines() if ln.startswith('{"win_rates"')][-1]
+    )["win_rates"]
+    assert set(stats) == {
+        "Comprehensiveness", "Diversity", "Empowerment", "Directness"
+    }
+    assert all(sum(c.values()) == 1 for c in stats.values())
