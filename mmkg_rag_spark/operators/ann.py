@@ -65,6 +65,50 @@ def _sign_key(vec, planes: list[list[float]]):
     return key
 
 
+def _bucket_key_structs(vec, tables_planes: list[list[list[float]]]):
+    """array<struct<tbl,bkey>> — ALL tables' sign-bucket keys in ONE expression.
+
+    Building T×P separate ``aggregate`` folds (one per plane, the naive
+    shape) costs ~16× more than a single literal plane-matrix walked by
+    nested ``transform``/``aggregate`` lambdas — the JIT/codegen cost of T×P
+    distinct expression trees, not a data cost (the same cliff hit by the
+    MinHash signatures in round 1). The per-plane dot is the identical
+    sequential left-to-right zip_with fold, so the keys — and the DuckDB
+    oracle's candidate sets — are bit-identical to the per-plane form.
+    """
+    matrix = F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(w) for w in plane]) for plane in planes]
+            )
+            for planes in tables_planes
+        ]
+    )
+
+    def _dot(p):
+        return F.aggregate(
+            F.zip_with(vec, p, lambda x, w: x * w), F.lit(0.0), lambda s, v: s + v
+        )
+
+    def _bkey(planes):
+        return F.aggregate(
+            F.transform(
+                planes,
+                lambda p, i: F.when(
+                    _dot(p) > 0,
+                    F.call_function("shiftleft", F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s.bitwiseOR(x),
+        )
+
+    return F.transform(
+        matrix,
+        lambda planes, t: F.struct(t.alias("tbl"), _bkey(planes).alias("bkey")),
+    )
+
+
 def brute_topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -252,22 +296,17 @@ def lsh_topk_cosine(
         F.col(query_vec_col).cast("array<double>").alias("qv"),
     )
 
-    c_keys = []
-    q_keys = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 101 * t)
-        c_keys.append(
-            F.struct(F.lit(t).alias("tbl"), _sign_key(F.col("v"), planes).alias("bkey"))
-        )
-        q_keys.append(
-            F.struct(F.lit(t).alias("tbl"), _sign_key(F.col("qv"), planes).alias("bkey"))
-        )
-    c_b = c.select("nn_id", "v", F.explode(F.array(*c_keys)).alias("bk")).select(
-        "nn_id", "v", "bk.tbl", "bk.bkey"
-    )
-    q_b = q.select("query_id", "qv", F.explode(F.array(*q_keys)).alias("bk")).select(
-        "query_id", "qv", "bk.tbl", "bk.bkey"
-    )
+    tables_planes = [
+        _hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)
+    ]
+    c_b = c.select(
+        "nn_id", "v",
+        F.explode(_bucket_key_structs(F.col("v"), tables_planes)).alias("bk"),
+    ).select("nn_id", "v", "bk.tbl", "bk.bkey")
+    q_b = q.select(
+        "query_id", "qv",
+        F.explode(_bucket_key_structs(F.col("qv"), tables_planes)).alias("bk"),
+    ).select("query_id", "qv", "bk.tbl", "bk.bkey")
     cand = (
         q_b.join(c_b, ["tbl", "bkey"])
         .filter(F.col("nn_id") != F.col("query_id"))

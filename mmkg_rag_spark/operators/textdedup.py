@@ -311,18 +311,15 @@ def embedding_near_duplicates(
         )
     )
     if use_ann:
-        from .ann import _hyperplanes, _sign_key
+        from .ann import _bucket_key_structs, _hyperplanes
 
-        keys = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed + 101 * t)
-            keys.append(
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _sign_key(F.col("v"), planes).alias("bkey"),
-                )
-            )
-        b = e.select("id", "v", F.explode(F.array(*keys)).alias("bk")).select(
+        tables_planes = [
+            _hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)
+        ]
+        b = e.select(
+            "id", "v",
+            F.explode(_bucket_key_structs(F.col("v"), tables_planes)).alias("bk"),
+        ).select(
             "id", "v", F.col("bk.tbl").alias("tbl"), F.col("bk.bkey").alias("bkey")
         )
         pairs = (
