@@ -259,6 +259,184 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes, clear/EOI, 12-bit cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while len(out) < expected:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(init)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or code > eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def _parse_gif(b: bytes) -> np.ndarray:
+    """Decode GIF (87a/89a) first frame → uint8 array (H,W,3) — REAL LZW.
+
+    Handles global/local color tables, interlacing (the four-pass row
+    order), and skips extension blocks. Animation is out of scope: the
+    first image frame is the decode result (frame sampling for animations
+    rides the video operators). Malformed streams raise into the per-row
+    error channel.
+    """
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        if len(gct) != n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(b):
+            raise ValueError("truncated GIF image descriptor")
+        _, _, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            if len(palette) != n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image with no color table")
+        if w <= 0 or h <= 0:
+            raise ValueError("bad GIF dimensions")
+        min_code_size = b[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+        chunks = []
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            chunks.append(b[pos + 1 : pos + 1 + ln])
+            if len(chunks[-1]) != ln:
+                raise ValueError("truncated GIF data sub-block")
+            pos += 1 + ln
+        idx = np.frombuffer(
+            _lzw_decode(b"".join(chunks), min_code_size, w * h), np.uint8
+        )
+        if len(idx) < w * h:
+            raise ValueError("short GIF pixel data")
+        grid = idx[: w * h].reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            de = np.empty_like(grid)
+            de[order] = grid
+            grid = de
+        if int(grid.max(initial=0)) >= len(palette):
+            raise ValueError("GIF index outside color table")
+        return np.ascontiguousarray(palette[grid])
+    raise ValueError("truncated GIF (no trailer)")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode a (H,W,3) uint8 array (≤256 distinct colors) as a valid GIF.
+
+    Uses the classic clear-code-per-symbol LZW stream (code width never
+    grows) — byte-inefficient but spec-valid and dependency-free; exists to
+    produce real fixtures for the decoder and round-trip tests.
+    """
+    import struct
+
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs ≤256 distinct colors")
+    size_bits = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    n = 1 << size_bits
+    pal = np.zeros((n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    min_code = size_bits
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    cs = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in inverse.astype(np.int64):
+        emit(int(v))
+        emit(clear)  # reset each step: code width stays fixed
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([len(out[i : i + 255])]) + bytes(out[i : i + 255])
+        for i in range(0, len(out), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code]) + blocks + b"\x00\x3b"
+    )
+
+
 def decode_image_array(content: bytes) -> np.ndarray | None:
     """Pixel array for formats this engine decodes natively, else None.
 
@@ -272,6 +450,8 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
         return _parse_bmp(content)
     if content[:8] == _PNG_SIG:
         return _parse_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _parse_gif(content)
     return None
 
 

@@ -347,3 +347,52 @@ def test_png_flows_through_decode_operator(spark):
     )
     row = media.decode_images(df).collect()[0]
     assert (row.width, row.height, row.channels, row.decode_ok) == (34, 12, 3, True)
+
+
+# --- real GIF codec (LZW; round-3) ------------------------------------------
+
+def test_gif_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    palette = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [200, 100, 50]],
+        dtype=np.uint8,
+    )
+    arr = palette[rng.integers(0, 5, (11, 13))]
+    dec = media.decode_image_array(media.encode_gif(arr))
+    assert dec.shape == (11, 13, 3) and (dec == arr).all()
+
+
+def test_gif_interlaced_and_extensions():
+    """Interlace row order is undone, and extension blocks are skipped."""
+    import numpy as np
+
+    arr = np.stack(
+        [np.full((6, 3), 40 * i, dtype=np.uint8) for i in range(8)]
+    ).reshape(8, 6, 3)
+    # rows in the 4-pass interlace arrival order, flag patched on
+    order = np.concatenate(
+        [np.arange(0, 8, 8), np.arange(4, 8, 8), np.arange(2, 8, 4),
+         np.arange(1, 8, 2)]
+    )
+    gif = bytearray(media.encode_gif(arr[order]))
+    n = 2 << (gif[10] & 0x07)
+    ipacked_at = 13 + 3 * n + 9
+    assert gif[13 + 3 * n] == 0x2C and gif[ipacked_at] == 0
+    gif[ipacked_at] = 0x40
+    # splice a graphic-control extension before the image descriptor
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    gif2 = bytes(gif[: 13 + 3 * n]) + ext + bytes(gif[13 + 3 * n :])
+    dec = media.decode_image_array(gif2)
+    assert (dec == arr).all()
+
+
+def test_gif_rejects_truncation():
+    import numpy as np
+
+    good = media.encode_gif(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        media.decode_image_array(good[: len(good) // 2])
+    with pytest.raises(ValueError):
+        media.decode_image_array(b"GIF89a\x00")
