@@ -989,7 +989,8 @@ FROM planted
 
 
 def _sql_ann_lsh(
-    k: int = 5, n_planes: int = 4, n_tables: int = 8, dim: int = 64, seed: int = 7
+    k: int = 5, n_planes: int = 4, n_tables: int = 8, n_probes: int = 0,
+    dim: int = 64, seed: int = 7
 ) -> str:
     """DuckDB twin of ann.lsh_topk_cosine (VERDICT r1 #4).
 
@@ -999,6 +1000,9 @@ def _sql_ann_lsh(
     list_dot_product's sequential summation matches F.aggregate(zip_with)
     (proven by the hash-green SQL_ANN_BRUTE), so the sign — and therefore
     the candidate set — is identical; re-score + rank mirror the brute SQL.
+    Multi-probe mirrors the Spark side exactly: the base query key per
+    table XORs with each probe mask (0 plus 1-bit flips), computed AFTER
+    the base-key CTE so the plane dots are evaluated once per table.
     """
     from mmkg_rag_spark.operators.ann import _hyperplanes
 
@@ -1016,17 +1020,28 @@ def _sql_ann_lsh(
         c_structs.append("{'tbl': %d, 'bkey': %s}" % (t, _bkey("v", planes)))
         q_structs.append("{'tbl': %d, 'bkey': %s}" % (t, _bkey("qv", planes)))
 
+    masks = [0] + [1 << i for i in range(min(n_probes, n_planes))]
+    q_probe = (
+        "SELECT query_id, tbl, bkey::BIGINT AS bkey FROM q_b0"
+        if n_probes == 0
+        else (
+            "SELECT query_id, tbl, xor(bkey::BIGINT, m)::BIGINT AS bkey "
+            f"FROM q_b0, unnest([{', '.join(str(m) for m in masks)}]) AS mm(m)"
+        )
+    )
+
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 c_b AS (
-  SELECT vec_id AS nn_id, t.b['tbl'] AS tbl, t.b['bkey'] AS bkey
+  SELECT vec_id AS nn_id, t.b['tbl'] AS tbl, t.b['bkey']::BIGINT AS bkey
   FROM e, unnest([{', '.join(c_structs)}]) AS t(b)
 ),
-q_b AS (
+q_b0 AS (
   SELECT query_id, t.b['tbl'] AS tbl, t.b['bkey'] AS bkey
   FROM q, unnest([{', '.join(q_structs)}]) AS t(b)
 ),
+q_b AS ({q_probe}),
 cand AS (
   SELECT DISTINCT query_id, nn_id
   FROM q_b JOIN c_b USING (tbl, bkey)
@@ -1156,12 +1171,15 @@ def q_ann_topk_lsh(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # n_planes/n_tables pinned explicitly: the oracle SQL unrolls THESE
-    # hyperplanes literally — auto-tuning (n_planes=None) must not retune
-    # this query out from under its oracle.
-    return ann.lsh_topk_cosine(e, q, k=5, n_planes=4, n_tables=8).withColumn(
-        "rank", F.col("rank").cast("long")
-    )
+    # Config pinned explicitly: the oracle SQL unrolls THESE hyperplanes
+    # literally — auto-tuning (n_planes=None) must not retune this query
+    # out from under its oracle. Multi-probe p=8/T=8/m=8 matches the old
+    # p=4/T=8 recall (≈0.82 at 60° neighbors) at a ~25% expected candidate
+    # fraction instead of ~40% — the scale answer to the near-orthogonal
+    # test corpus (see ann.lsh_topk_cosine docstring).
+    return ann.lsh_topk_cosine(
+        e, q, k=5, n_planes=8, n_tables=8, n_probes=8
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_ann_topk_ivf(spark, sf_dir):
@@ -1302,6 +1320,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": SQL_ANN_BRUTE,
         "minhash_near_dup_md5": _sql_minhash_md5(),
         "simhash_near_dup_md5": _sql_simhash_md5(),
-        "ann_topk_lsh": _sql_ann_lsh(),
+        "ann_topk_lsh": _sql_ann_lsh(n_planes=8, n_tables=8, n_probes=8),
         "ann_topk_ivf": _sql_ann_ivf(),
     }

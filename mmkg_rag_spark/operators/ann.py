@@ -144,20 +144,30 @@ def brute_topk_cosine(
     )
 
 
-def lsh_recall(theta_deg: float, n_planes: int, n_tables: int) -> float:
-    """Analytic recall of sign-LSH for a neighbor at angle ``theta_deg``:
-    per-table collision prob. is (1−θ/π)^p; recall = 1−(1−that)^T."""
-    p_tab = (1.0 - theta_deg / 180.0) ** n_planes
+def lsh_recall(
+    theta_deg: float, n_planes: int, n_tables: int, n_probes: int = 0
+) -> float:
+    """Analytic recall of (multi-probe) sign-LSH for a neighbor at angle
+    ``theta_deg``. Per plane the signs agree w.p. q = 1−θ/π. A table hits
+    when the signatures agree exactly (q^p) OR — with multi-probe — differ
+    in exactly one of the m probed bits (m·(1−q)·q^(p−1)); recall is the
+    union over T independent tables."""
+    q = 1.0 - theta_deg / 180.0
+    m = min(n_probes, n_planes)
+    p_tab = q**n_planes + m * (1.0 - q) * q ** (n_planes - 1)
     return 1.0 - (1.0 - p_tab) ** n_tables
 
 
-def lsh_expected_fraction(n_planes: int, n_tables: int) -> float:
+def lsh_expected_fraction(
+    n_planes: int, n_tables: int, n_probes: int = 0
+) -> float:
     """Expected candidate fraction on an *uncorrelated* (worst-case) corpus:
-    a random pair agrees on one plane w.p. 1/2 → per-table fraction 2^-p,
-    union over T tables ≈ 1−(1−2^-p)^T. Clustered corpora concentrate mass
-    in fewer buckets, so the measured fraction can exceed this — which is
-    exactly what lsh_tuning_report makes visible."""
-    return 1.0 - (1.0 - 0.5**n_planes) ** n_tables
+    a random pair agrees on one plane w.p. 1/2 → per-table fraction
+    (1+m)·2^-p with m probed 1-bit flips, union over T tables. Clustered
+    corpora concentrate mass in fewer buckets, so the measured fraction can
+    exceed this — which is exactly what lsh_tuning_report makes visible."""
+    m = min(n_probes, n_planes)
+    return 1.0 - (1.0 - (1 + m) * 0.5**n_planes) ** n_tables
 
 
 def auto_tune_lsh(
@@ -166,13 +176,14 @@ def auto_tune_lsh(
     target_angle_deg: float = 45.0,
     min_recall: float = 0.9,
     max_planes: int = 24,
+    n_probes: int = 0,
 ) -> dict:
     """Choose n_planes defending BOTH candidate volume and recall
     (VERDICT r2 #2: the operator must defend its own candidate volume).
 
     Two constraints pull opposite ways:
-      - fraction: want p ≥ log2(T / target_fraction) so the expected
-        candidate fraction stays ≤ target_fraction,
+      - fraction: want p ≥ log2((1+m)·T / target_fraction) so the expected
+        candidate fraction stays ≤ target_fraction (m = probed bit flips),
       - recall:   want p small enough that a true neighbor at
         ``target_angle_deg`` is still found w.p. ≥ min_recall.
     The chosen p is the fraction-optimal one CAPPED by the recall
@@ -180,18 +191,32 @@ def auto_tune_lsh(
     corpus regime is intrinsically hard for LSH — near-orthogonal
     neighbors — and the returned expected_fraction says exactly how
     near-brute the plan is, instead of silently probing 40% of the corpus.
+    Multi-probe (``n_probes`` > 0) loosens the recall constraint, letting
+    the tuner pick a FINER partition for the same recall — the standard
+    escape from the hard-corpus trade (see lsh_topk_cosine).
     """
     p_tab_needed = 1.0 - (1.0 - min_recall) ** (1.0 / n_tables)
-    collision = 1.0 - target_angle_deg / 180.0
-    p_recall = int(math.log(p_tab_needed) / math.log(collision))  # floor
-    p_recall = max(1, min(p_recall, max_planes))
-    p_fraction = max(1, math.ceil(math.log2(n_tables / target_fraction)))
+    q = 1.0 - target_angle_deg / 180.0
+    p_recall = 1
+    for p in range(1, max_planes + 1):
+        m = min(n_probes, p)
+        if q**p + m * (1.0 - q) * q ** (p - 1) >= p_tab_needed:
+            p_recall = p
+        else:
+            break
+    p_fraction = max(
+        1,
+        math.ceil(math.log2((1 + min(n_probes, max_planes)) * n_tables / target_fraction)),
+    )
     n_planes = min(p_fraction, p_recall)
     return {
         "n_planes": n_planes,
         "n_tables": n_tables,
-        "expected_fraction": lsh_expected_fraction(n_planes, n_tables),
-        "expected_recall": lsh_recall(target_angle_deg, n_planes, n_tables),
+        "n_probes": n_probes,
+        "expected_fraction": lsh_expected_fraction(n_planes, n_tables, n_probes),
+        "expected_recall": lsh_recall(
+            target_angle_deg, n_planes, n_tables, n_probes
+        ),
         "fraction_limited_by_recall": p_recall < p_fraction,
     }
 
@@ -202,6 +227,7 @@ def lsh_tuning_report(
     k: int = 5,
     n_planes: int | None = None,
     n_tables: int = 8,
+    n_probes: int = 0,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -218,13 +244,14 @@ def lsh_tuning_report(
     QUERY set only (queries ≪ corpus), so it is cheap to run on a sample
     before committing a 100 TB scan.
     """
-    tuned = auto_tune_lsh(n_tables=n_tables, **tune_kwargs)
+    tuned = auto_tune_lsh(n_tables=n_tables, n_probes=n_probes, **tune_kwargs)
     if n_planes is None:
         n_planes = tuned["n_planes"]
     n_corpus = corpus.count()
     n_queries = queries.count()
     lsh = lsh_topk_cosine(
-        corpus, queries, k=k, n_planes=n_planes, n_tables=n_tables, dim=dim,
+        corpus, queries, k=k, n_planes=n_planes, n_tables=n_tables,
+        n_probes=n_probes, dim=dim,
         seed=seed, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
         _count_candidates=(holder := {}),
@@ -242,11 +269,12 @@ def lsh_tuning_report(
     return {
         "n_planes": n_planes,
         "n_tables": n_tables,
+        "n_probes": n_probes,
         "n_corpus": n_corpus,
         "n_queries": n_queries,
         "candidate_fraction": frac,
         "recall_at_k": recall,
-        "expected_fraction": lsh_expected_fraction(n_planes, n_tables),
+        "expected_fraction": lsh_expected_fraction(n_planes, n_tables, n_probes),
         "fraction_limited_by_recall": tuned["fraction_limited_by_recall"],
     }
 
@@ -257,6 +285,7 @@ def lsh_topk_cosine(
     k: int = 5,
     n_planes: int | None = None,
     n_tables: int = 8,
+    n_probes: int = 0,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -281,6 +310,17 @@ def lsh_topk_cosine(
     sample to see the measured fraction/recall before a full-scale run; on
     clustered real-world embeddings pass a smaller ``target_angle_deg`` (or
     explicit n_planes) to shrink buckets geometrically.
+
+    ``n_probes``: multi-probe LSH — besides its exact bucket, each query
+    probes the ``n_probes`` buckets at Hamming distance 1 in sign space
+    (flipping one plane's bit). This is the standard answer to the
+    hard-corpus regime: probing (1+m) buckets of a FINER partition (larger
+    p) reaches the same recall as coarse single-probe at a several-times
+    smaller candidate fraction — e.g. at θ=60° neighbors, p=8/T=8/m=8
+    matches p=4/T=8's recall (0.82) at a 25% expected fraction instead of
+    40%. Corpus-side work is unchanged (one bucket per table per row); only
+    query keys fan out, and only the probed bits' masks ship through the
+    join.
 
     ``_count_candidates``: internal — when a dict is passed, the deduped
     candidate count is measured into it (one extra action) for
@@ -307,6 +347,22 @@ def lsh_topk_cosine(
         "query_id", "qv",
         F.explode(_bucket_key_structs(F.col("qv"), tables_planes)).alias("bk"),
     ).select("query_id", "qv", "bk.tbl", "bk.bkey")
+    if n_probes > 0:
+        # explode the probe masks AFTER the base key is a plain column, so
+        # the plane-dot expression is evaluated once per (row, table) and
+        # only cheap XORs fan out
+        masks = [0] + [1 << i for i in range(min(n_probes, n_planes))]
+        q_b = q_b.withColumn(
+            "bkey",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bkey").bitwiseXOR(F.lit(m).cast("long"))
+                        for m in masks
+                    ]
+                )
+            ),
+        )
     cand = (
         q_b.join(c_b, ["tbl", "bkey"])
         .filter(F.col("nn_id") != F.col("query_id"))

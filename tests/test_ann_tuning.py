@@ -124,6 +124,35 @@ def test_uniform_corpus_reports_near_brute_honestly(spark):
     assert rep["candidate_fraction"] > 0.15
 
 
+def test_multiprobe_dominates_coarse_single_probe():
+    """p=8/T=8/m=8 matches p=4/T=8's recall at the 60° (adversarial) design
+    point while expecting ~25% candidates instead of ~40% — the analytic
+    basis for the pinned driver config."""
+    coarse_r = ann.lsh_recall(60, 4, 8)
+    fine_r = ann.lsh_recall(60, 8, 8, n_probes=8)
+    assert fine_r >= coarse_r - 0.02
+    assert ann.lsh_expected_fraction(8, 8, 8) < 0.65 * ann.lsh_expected_fraction(4, 8)
+    # auto-tune with probes available picks the finer partition
+    t = ann.auto_tune_lsh(n_tables=8, n_probes=8, target_angle_deg=60.0)
+    assert t["n_planes"] > 4 and t["n_probes"] == 8
+
+
+def test_multiprobe_measured_fraction_and_recall(spark):
+    """Measured on the uniform (near-orthogonal) corpus: multi-probe at
+    p=8/T=8/m=8 keeps recall within noise of coarse p=4/T=8 while cutting
+    the measured candidate fraction."""
+    rows = _uniform()
+    corpus, qs = _df(spark, rows), _queries(spark, rows, 5)
+    coarse = ann.lsh_tuning_report(
+        corpus, qs, k=4, n_planes=4, n_tables=8, dim=DIM
+    )
+    fine = ann.lsh_tuning_report(
+        corpus, qs, k=4, n_planes=8, n_tables=8, n_probes=8, dim=DIM
+    )
+    assert fine["candidate_fraction"] < coarse["candidate_fraction"]
+    assert fine["recall_at_k"] >= coarse["recall_at_k"] - 0.15
+
+
 def test_lsh_default_is_auto_tuned(spark):
     """n_planes=None routes through auto_tune_lsh and matches the explicit
     round-2 config — the driver's pinned (n_planes=4, n_tables=8) query is
