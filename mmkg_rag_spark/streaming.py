@@ -226,6 +226,101 @@ def dedup_documents_stream(
     return deduped
 
 
+NEARDUP_STATE_SCHEMA = "ids array<long>, sigs array<string>"
+NEARDUP_OUTPUT_SCHEMA = (
+    "doc_id long, dup_of long, est_jaccard double, band int"
+)
+
+
+def near_dup_documents_stream(
+    spark: SparkSession,
+    input_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_per_bucket: int = 64,
+):
+    """Streaming NEAR-duplicate detection: MinHash-LSH across the whole
+    stream history (the continuous twin of
+    operators/textdedup.minhash_near_duplicates).
+
+    readStream(docs) → native MinHash signature (one codegen'd aggregate,
+    functions/minhash.py) → explode the per-band bucket keys →
+    ``applyInPandasWithState`` per (band, bkey): state holds the bucket's
+    first-seen survivors as (doc_id, signature). Each arriving doc
+    estimates Jaccard against the survivors as the matching-slot fraction
+    of the signatures (the standard unbiased MinHash estimator, ±1/√k
+    noise) and emits (doc_id, dup_of, est_jaccard, band) for every match
+    ≥ threshold; non-matching docs join the state as new survivors.
+
+    State is bounded BY CONSTRUCTION: an LSH bucket collects near-dups of
+    one another, so distinct survivors per bucket stay small; the
+    ``max_per_bucket`` cap makes the bound hard — a degenerate bucket (a
+    boilerplate-like key) stops absorbing survivors instead of growing
+    state without limit, mirroring the batch operator's max_bucket guard.
+    Output is candidate-level: a pair can surface from several bands
+    (dedup downstream if needed); within a micro-batch docs are processed
+    in doc_id order so results are deterministic under replay.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .functions.minhash import lsh_band_keys, minhash_signature, word_shingles
+
+    rows_per_band = num_hashes // bands
+
+    def fold(key, pdfs, state: GroupState):
+        band = int(key[0])
+        if state.exists:
+            ids, sigs_raw = state.get
+            ids = list(ids)
+            sigs = [tuple(int(x) for x in s.split(",")) for s in sigs_raw]
+        else:
+            ids, sigs = [], []
+        rows = []
+        batch: list[tuple[int, tuple[int, ...]]] = []
+        for pdf in pdfs:
+            for did, sig in zip(pdf["doc_id"], pdf["sig"]):
+                batch.append((int(did), tuple(int(x) for x in sig)))
+        for did, sig in sorted(batch):
+            matched = False
+            for sid, ssig in zip(ids, sigs):
+                eq = sum(a == b for a, b in zip(sig, ssig)) / len(sig)
+                if eq >= threshold:
+                    rows.append((did, sid, round(eq, 4), band))
+                    matched = True
+            if not matched and len(ids) < max_per_bucket:
+                ids.append(did)
+                sigs.append(sig)
+        state.update((ids, [",".join(str(x) for x in s) for s in sigs]))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "dup_of", "est_jaccard", "band"]
+        )
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    sig = minhash_signature(
+        word_shingles(F.trim(F.lower(F.col("text"))), 3), num_hashes=num_hashes
+    )
+    bucketed = (
+        stream.select(F.col("doc_id"), sig.alias("sig"))
+        .select(
+            "doc_id",
+            "sig",
+            F.explode(
+                lsh_band_keys(F.col("sig"), bands, rows_per_band)
+            ).alias("bk"),
+        )
+        .select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    )
+    return bucketed.groupBy("band", "bkey").applyInPandasWithState(
+        fold,
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SESSION_STATE_SCHEMA = "start long, last long, n long"
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp_ntz, n_events long, "

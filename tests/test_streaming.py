@@ -233,6 +233,67 @@ def test_sessionize_tz_proof(spark, tmp_path_factory):
     }
 
 
+def test_stream_near_dup_matches_batch(spark, tmp_path_factory):
+    """Streaming MinHash-LSH near-dup across micro-batches finds the same
+    duplicate PAIRS as the batch operator, first-seen-wins: the near-copy
+    arriving in a LATER batch is flagged against the original held in
+    bucket state."""
+    from mmkg_rag_spark.operators.textdedup import minhash_near_duplicates
+    from mmkg_rag_spark.streaming import near_dup_documents_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors navigate the southern archipelago charting currents "
+        "and trading stories about distant harbors every evening"
+    )
+    near = base.replace("evening", "morning")  # one-word edit: J ≈ 0.9
+    other = (
+        "completely different content about industrial supply chains "
+        "logistics warehouses and freight optimization with no overlap "
+        "to the maritime narrative whatsoever in any shingle"
+    )
+    other2 = (
+        "yet another unrelated document describing alpine botany and "
+        "glacial meltwater chemistry across three mountain ranges with "
+        "long technical species inventories"
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    in_dir = str(tmp_path_factory.mktemp("ndup_in"))
+    b1 = spark.createDataFrame(
+        [(1, base, "en", "w", len(base)), (3, other, "en", "w", len(other))], schema
+    )
+    b2 = spark.createDataFrame(
+        [(2, near, "en", "w", len(near)), (4, other2, "en", "w", len(other2))], schema
+    )
+    import time as _time
+
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)  # distinct file mtimes → two micro-batches
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = (
+        near_dup_documents_stream(spark, in_dir, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from neardup").collect()
+    got_pairs = {(r.dup_of, r.doc_id) for r in rows}
+    assert got_pairs == {(1, 2)}
+    assert all(r.est_jaccard >= 0.5 for r in rows)
+
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            b1.unionByName(b2), n=3, threshold=0.5
+        ).collect()
+    }
+    assert batch_pairs == got_pairs
+
+
 def test_stream_dedup_matches_batch(spark, tmp_path_factory):
     """Streaming dropDuplicates(fingerprint) keeps one row per distinct text
     across micro-batches — same survivor keys as the batch exact dedup."""
