@@ -170,3 +170,23 @@ def test_lsh_default_is_auto_tuned(spark):
         ).collect()
     }
     assert auto == explicit and len(auto) > 0
+
+
+def test_ivf_auto_tune_sqrt_rule():
+    t = ann.auto_tune_ivf(10_000, target_fraction=0.25)
+    assert t["n_lists"] == 100 and t["n_probe"] == 25
+    assert ann.auto_tune_ivf(10)["n_lists"] == 4        # floor
+    assert ann.auto_tune_ivf(10**9)["n_lists"] == 4096  # cap
+
+
+def test_ivf_tuning_report_clustered(spark):
+    """Clustered corpus: auto-sized IVF keeps recall high while scanning a
+    bounded fraction; the report surfaces both numbers."""
+    rows = _clustered(n_clusters=10, per_cluster=12)
+    rep = ann.ivf_tuning_report(
+        _df(spark, rows), _queries(spark, rows, 4), k=4,
+        n_lists=10, n_probe=3,
+    )
+    assert rep["recall_at_k"] >= 0.8
+    assert rep["candidate_fraction"] <= 0.6
+    assert rep["expected_fraction"] == 0.3
