@@ -172,8 +172,14 @@ def run_search(
     Mutates and returns ``questions`` with ``s_answer``/``m_answer`` keys,
     processing in batches of ``batch`` with per-(batch, method) error
     isolation — a failing batch skips that method for those questions and
-    the run continues, exactly the reference's try/continue shape.
+    the run continues, exactly the reference's try/continue shape. The
+    questions within a batch run CONCURRENTLY (a thread pool standing in
+    for the reference's asyncio.gather — model calls are I/O-bound, and
+    Spark driver actions are thread-safe), so a batch of 10 against a real
+    endpoint costs one round-trip latency, not ten.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     searchers = {"s": s_search, "m": m_search}
     batches = [
         questions[i : min(i + batch, len(questions))]
@@ -182,13 +188,16 @@ def run_search(
     for b in batches:
         for method in methods:
             try:
-                answers = [
-                    searchers[method](
-                        q["question"], nodes, edges, images, extractor,
-                        **search_kwargs,
+                with ThreadPoolExecutor(max_workers=max(1, len(b))) as pool:
+                    answers = list(
+                        pool.map(
+                            lambda q: searchers[method](
+                                q["question"], nodes, edges, images,
+                                extractor, **search_kwargs,
+                            ),
+                            b,
+                        )
                     )
-                    for q in b
-                ]
             except Exception:
                 continue
             for q, a in zip(b, answers):
