@@ -288,6 +288,7 @@ def embedding_near_duplicates(
     use_ann: bool = False,
     n_planes: int = 4,
     n_tables: int = 12,
+    n_probes: int = 0,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
@@ -304,6 +305,15 @@ def embedding_near_duplicates(
       per-pair miss probability with 4 planes × 12 tables is
       (1−0.9⁴)¹² ≈ 3·10⁻⁶ — tests/test_textstats_dedup_ann.py pins
       ann ≡ brute on the test corpus.
+
+    ``n_probes`` (with use_ann): asymmetric multi-probe — ONE side of the
+    self-join additionally probes the buckets at Hamming distance 1 in
+    sign space (see ann.lsh_topk_cosine), so a pair is found when the two
+    signatures match exactly OR differ in one probed bit of some table.
+    This permits finer partitions (larger n_planes) at equal recall with
+    several-fold fewer candidate pairs — e.g. p=8/T=6/m=8 expects ~19% of
+    an uncorrelated corpus as candidates vs ~54% for the 4×12 default,
+    with per-pair miss still < 10⁻⁴ at the 0.95 threshold.
     """
     e = ensure_min_partitions(
         embeddings.select(
@@ -322,8 +332,22 @@ def embedding_near_duplicates(
         ).select(
             "id", "v", F.col("bk.tbl").alias("tbl"), F.col("bk.bkey").alias("bkey")
         )
+        probe = b
+        if n_probes > 0:
+            masks = [0] + [1 << i for i in range(min(n_probes, n_planes))]
+            probe = b.withColumn(
+                "bkey",
+                F.explode(
+                    F.array(
+                        *[
+                            F.col("bkey").bitwiseXOR(F.lit(m).cast("long"))
+                            for m in masks
+                        ]
+                    )
+                ),
+            )
         pairs = (
-            b.alias("a")
+            probe.alias("a")
             .join(b.alias("b"), ["tbl", "bkey"])
             .filter(F.col("a.id") < F.col("b.id"))
             .select(

@@ -184,6 +184,16 @@ def test_embedding_ann_path_equals_brute(spark):
         ).collect()
     }
     assert via_ann == brute and len(brute) >= 40
+    # asymmetric multi-probe at a FINER partition (p=8, T=6, m=8): same
+    # exact pair set — the config that cuts uncorrelated candidate volume
+    # ~3× vs the 4×12 default at equal recall
+    via_mp = {
+        (r.id_a, r.id_b, r.cos)
+        for r in textdedup.embedding_near_duplicates(
+            e, threshold=0.95, use_ann=True, n_planes=8, n_tables=6, n_probes=8
+        ).collect()
+    }
+    assert via_mp == brute
 
 
 def test_brute_topk_matches_numpy(vecs):
