@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "events_sessionize",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    # embedding_near_dup is deliberately NOT benched: its queries() entry is
+    # the O(n²) brute oracle baseline; the scale path (use_ann) is covered
+    # by the LSH/IVF bench queries + tests/test_textstats_dedup_ann.py
+    "ann_topk_ivf",
     "kg_degree_topk",
 ]
 

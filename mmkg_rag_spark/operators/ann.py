@@ -510,22 +510,35 @@ def ivf_topk_cosine(
 
         argmin via sort-of-structs: the distance array is referenced ONCE.
         (A chained when(d<best,…) min doubles the expression tree per
-        centroid — 2^K nodes, OOMs codegen at K=16.)
+        centroid — 2^K nodes, OOMs codegen at K=16.) The centroids are a
+        single literal matrix walked by one transform lambda — K separate
+        per-centroid subtrees pay per-tree codegen cost, the same cliff as
+        the LSH plane matrix (ann._bucket_key_structs).
 
         Distances are rounded to 6 decimals before the argmin so the chosen
         list is a pure function of the rounded values — summation-order
         float noise (different partial-sum trees across engines/partitions)
         can never flip an assignment, which is what lets a SQL oracle
-        reproduce the whole k-means exactly.
+        reproduce the whole k-means exactly. The transform's fold is the
+        identical sequential zip_with sum, so assignments are bit-identical
+        to the per-centroid form.
         """
-        arr = F.array(
-            *[
-                F.struct(
-                    F.round(_dist(vec, cent), 6).alias("d"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, cent in enumerate(cents_arr)
-            ]
+        matrix = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents_arr]
+        )
+        arr = F.transform(
+            matrix,
+            lambda cent, i: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    ),
+                    6,
+                ).alias("d"),
+                i.alias("list_id"),
+            ),
         )
         return F.element_at(F.array_sort(arr), 1)["list_id"]
 
@@ -550,25 +563,28 @@ def ivf_topk_cosine(
 
     corpus_l = c.withColumn("list_id", _assign_expr(F.col("v"), cents)).cache()
 
-    # ---- probe: n_probe nearest lists per query ----
-    probe_structs = []
-    for i, cent in enumerate(cents):
-        d = F.aggregate(
-            F.zip_with(
-                F.col("qv"),
-                F.array(*[F.lit(float(x)) for x in cent]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        probe_structs.append(
-            F.struct(F.round(d, 6).alias("d"), F.lit(i).alias("list_id"))
-        )
+    # ---- probe: n_probe nearest lists per query (same fused matrix) ----
+    cent_matrix = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents]
+    )
+    probe_arr = F.transform(
+        cent_matrix,
+        lambda cent, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), cent, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ),
+                6,
+            ).alias("d"),
+            i.alias("list_id"),
+        ),
+    )
     q_probe = (
         q.withColumn(
             "_probe",
-            F.explode(F.slice(F.array_sort(F.array(*probe_structs)), 1, n_probe)),
+            F.explode(F.slice(F.array_sort(probe_arr), 1, n_probe)),
         )
         .withColumn("list_id", F.col("_probe.list_id"))
         .drop("_probe")
