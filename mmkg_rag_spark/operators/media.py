@@ -4,15 +4,21 @@ Images/audio/video ride through the engine as opaque ``binary`` columns with
 typed metadata. Codec status:
 
 - **REAL** (stdlib + numpy, no external libs): PPM/PGM (P6/P5),
-  uncompressed 24-bit BMP, and **PNG** (8-bit gray / RGB / palette /
+  uncompressed 24-bit BMP, **PNG** (8-bit gray / RGB / palette /
   gray+alpha / RGBA, non-interlaced — full chunk+CRC parsing, zlib
-  inflate, all five scanline filters reconstructed; plus a PNG encoder) —
-  full decode to pixel arrays, nearest-neighbor resize with PPM-encoded
-  thumbnails, and content-based embeddings (8×8 mean-pooled luminance
-  grid, L2-normalized — near-duplicate images embed near each other,
-  which is what the ANN operators consume).
-- **STUBBED** (deterministic fakes): JPEG and video need PIL/ffmpeg,
-  absent in this container. The stubs keep the schema, batch shape, and
+  inflate, all five scanline filters reconstructed; plus a PNG encoder),
+  **GIF** (87a/89a LZW incl. interlace; plus an encoder), **baseline
+  JPEG** (`kernels/jpeg.py`: SOF0 Huffman + numpy IDCT, 4:4:4/4:2:2/
+  4:2:0, restart markers; plus an encoder), and **MJPEG AVI video**
+  (`kernels/avi.py`: RIFF container parse, real frame timestamps from
+  the stream header, per-frame JPEG decode; plus a writer) — full decode
+  to pixel arrays, nearest-neighbor resize with PPM-encoded thumbnails,
+  and content-based embeddings (8×8 mean-pooled luminance grid,
+  L2-normalized — near-duplicate images embed near each other, which is
+  what the ANN operators consume).
+- **STUBBED** (deterministic fakes): progressive JPEG and inter-frame
+  video codecs (H.264/VP9/...) genuinely need libjpeg/ffmpeg, absent in
+  this container. The stubs keep the schema, batch shape, and
   error-channel contracts identical, so swapping them for real codecs on
   a cluster changes nothing else.
 
@@ -452,6 +458,10 @@ def decode_image_array(content: bytes) -> np.ndarray | None:
         return _parse_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _parse_gif(content)
+    if content[:2] == b"\xff\xd8":
+        from mmkg_rag_spark.kernels.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     return None
 
 
@@ -688,15 +698,35 @@ def embed_images(media: DataFrame) -> DataFrame:
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
-    """Video frame-sampling stub: one row per sampled frame.
+    """Video frame sampling: one row per sampled frame.
 
-    Real impl: ffmpeg keyframe extraction. The fake derives a duration from
-    the payload hash and emits sha256(content||index) frame payloads —
-    the fan-out shape (one input row → ≤ max_frames output rows through
-    mapInPandas) is the part that matters for the engine.
+    REAL for MJPEG AVI (`kernels/avi.py`): the container is parsed, frame
+    timestamps come from the stream header, and the emitted ``frame``
+    payloads are the actual per-frame JPEGs (decodable by
+    `decode_image_array`, so thumbnails/embeddings compose downstream).
+    Sampling keeps the first frame at or after each ``every_ms`` boundary,
+    up to ``max_frames``. Inter-frame codecs fall back to the disclosed
+    deterministic stub (duration from the payload hash,
+    sha256(content||index) frame payloads) — the fan-out shape (one input
+    row → ≤ max_frames output rows through mapInPandas) is identical.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mmkg_rag_spark.kernels.avi import decode_avi_mjpeg
+
+        def sample_real(mid: int, url: str, c: bytes, rows: list) -> None:
+            frames, _fps = decode_avi_mjpeg(c)
+            next_ts = 0
+            taken = 0
+            for ts_ms, payload in frames:
+                if ts_ms < next_ts:
+                    continue
+                rows.append((mid, url, taken, int(ts_ms), payload))
+                taken += 1
+                next_ts += every_ms
+                if taken >= max_frames:
+                    break
+
         for pdf in batches:
             rows = []
             for mid, url, content, mtype in zip(
@@ -705,6 +735,14 @@ def sample_frames(
                 if mtype != "video":
                     continue
                 c = bytes(content)
+                if c[:4] == b"RIFF" and c[8:12] == b"AVI ":
+                    # malformed AVI drops the row (same contract as
+                    # resize_images: sampling is a best-effort projection)
+                    try:
+                        sample_real(int(mid), url, c, rows)
+                    except Exception:  # noqa: BLE001
+                        pass
+                    continue
                 duration = 500 + int.from_bytes(hashlib.sha256(c).digest()[:3], "big") % 20000
                 n = min(max_frames, max(1, duration // every_ms))
                 for i in range(int(n)):
