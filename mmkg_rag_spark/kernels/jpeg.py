@@ -214,6 +214,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, [(comp_id, hs, vs, tq)])
     restart_interval = 0
+    progressive = False
+    coeff_state = None  # progressive: per-component coefficient planes
 
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -223,6 +225,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            if progressive and coeff_state is not None:
+                return _reconstruct_prog(coeff_state, frame, quant)
             raise ValueError("JPEG EOI before scan data")
         seglen = struct.unpack_from(">H", b, pos)[0]
         seg = b[pos + 2 : pos + seglen]
@@ -253,7 +257,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     raise ValueError("truncated JPEG DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(counts, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -262,7 +266,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG frame type SOF{marker & 0x0F}")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -270,20 +275,32 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(frame[2]):
-                # non-interleaved multi-scan baseline: rare; MCU geometry
-                # differs per scan — out of scope like progressive.
-                raise ValueError("unsupported JPEG non-interleaved scan")
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tables >> 4, tables & 0x0F))
-            return _decode_scan(
-                b, pos + seglen, frame, scan, quant, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                if ns != len(frame[2]):
+                    # non-interleaved multi-scan baseline: rare; MCU geometry
+                    # differs per scan — out of scope.
+                    raise ValueError("unsupported JPEG non-interleaved scan")
+                return _decode_scan(
+                    b, pos + seglen, frame, scan, quant, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if coeff_state is None:
+                coeff_state = _init_prog_state(frame)
+            pos = _decode_prog_scan(
+                coeff_state, b, pos + seglen, frame, scan, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval,
             )
+            continue
         # else: APPn / COM / unknown — skip
         pos += seglen
+    if progressive and coeff_state is not None:
+        return _reconstruct_prog(coeff_state, frame, quant)
     raise ValueError("JPEG stream ended without SOS")
 
 
@@ -364,6 +381,11 @@ def _decode_scan(
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])
+    return _planes_to_rgb(full)
+
+
+def _planes_to_rgb(full: list[np.ndarray]) -> np.ndarray:
+    """Cropped full-resolution planes → uint8 image (JFIF YCbCr→RGB)."""
     if len(full) == 1:
         return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
@@ -371,6 +393,242 @@ def _decode_scan(
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) decoding -------------------------------------------
+
+
+def _init_prog_state(
+    frame: tuple[int, int, list[tuple[int, int, int, int]]],
+) -> dict[int, np.ndarray]:
+    """Per-component DCT-coefficient planes, MCU-padded, natural order."""
+    h, w, comps = frame
+    if h <= 0 or w <= 0:
+        raise ValueError("bad JPEG dimensions")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+        for cid, hs, vs, _tq in comps
+    }
+
+
+def _find_next_marker(b: bytes, pos: int) -> int:
+    """Index of the 0xFF of the next real marker at/after pos."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise ValueError("JPEG stream ended inside scan")
+
+
+def _decode_prog_scan(
+    state: dict[int, np.ndarray],
+    b: bytes,
+    pos: int,
+    frame: tuple[int, int, list[tuple[int, int, int, int]]],
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc: dict[int, dict[tuple[int, int], int]],
+    huff_ac: dict[int, dict[tuple[int, int], int]],
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan into the coefficient planes; return the
+    offset of the marker that follows the entropy-coded data.
+
+    Implements T.81 §G.2: spectral selection (Ss..Se bands), successive
+    approximation (Ah/Al first + refinement passes), EOB runs, restarts.
+    """
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    if not 0 <= ss <= se <= 63:
+        raise ValueError("bad spectral selection band")
+
+    order = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("JPEG scan references unknown component")
+        cid, hs, vs, _tq = by_id[cs]
+        dc_tbl = None
+        ac_tbl = None
+        if ss == 0 and ah == 0:
+            dc_tbl = huff_dc.get(td)
+            if dc_tbl is None:
+                raise ValueError("JPEG scan references missing DC table")
+        if ss > 0:
+            ac_tbl = huff_ac.get(ta)
+            if ac_tbl is None:
+                raise ValueError("JPEG scan references missing AC table")
+        order.append((cid, hs, vs, dc_tbl, ac_tbl))
+
+    reader = _BitReader(b, pos)
+    pred = {cid: 0 for cid, *_ in order}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def check_restart(unit_index: int) -> None:
+        nonlocal pred, eobrun
+        if restart_interval and unit_index and unit_index % restart_interval == 0:
+            m = reader.align_to_marker()
+            if not 0xD0 <= m <= 0xD7:
+                raise ValueError("expected JPEG restart marker")
+            pred = {cid: 0 for cid in pred}
+            eobrun = 0
+
+    def dc_first(coef: np.ndarray, cid: int, dc_tbl) -> None:
+        t = reader.decode_symbol(dc_tbl)
+        pred[cid] += _extend(reader.read_bits(t), t)
+        coef[0] = pred[cid] << al
+
+    def dc_refine(coef: np.ndarray) -> None:
+        if reader.read_bit():
+            coef[0] |= p1
+
+    def ac_first(coef: np.ndarray, ac_tbl) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) + reader.read_bits(r) - 1
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index outside band")
+            coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def refine_nonzero(coef: np.ndarray, nat: int) -> None:
+        # T.81 G.2: a correction bit per already-nonzero coefficient
+        if reader.read_bit() and not (int(coef[nat]) & p1):
+            coef[nat] += p1 if coef[nat] >= 0 else m1
+
+    def ac_refine(coef: np.ndarray, ac_tbl) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode_symbol(ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + reader.read_bits(r)
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError("corrupt JPEG AC refinement")
+                    newval = p1 if reader.read_bit() else m1
+                while k <= se:
+                    nat = ZIGZAG[k]
+                    if coef[nat] != 0:
+                        refine_nonzero(coef, nat)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    coef[ZIGZAG[k]] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                nat = ZIGZAG[k]
+                if coef[nat] != 0:
+                    refine_nonzero(coef, nat)
+                k += 1
+            eobrun -= 1
+
+    if len(order) > 1 or (ss == 0 and len(order) == len(comps)):
+        # interleaved (DC scans only): MCU geometry
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                check_restart(unit)
+                for cid, hs, vs, dc_tbl, _ac in order:
+                    plane = state[cid]
+                    for v in range(vs):
+                        for u in range(hs):
+                            coef = plane[my * vs + v, mx * hs + u]
+                            if ah == 0:
+                                dc_first(coef, cid, dc_tbl)
+                            else:
+                                dc_refine(coef)
+                unit += 1
+    else:
+        # non-interleaved: ceil(component size / 8) blocks, row-major
+        cid, hs, vs, dc_tbl, ac_tbl = order[0]
+        comp_w = -(-(w * hs) // hmax)  # ceil(w·hs/hmax)
+        comp_h = -(-(h * vs) // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        plane = state[cid]
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                check_restart(unit)
+                coef = plane[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(coef, cid, dc_tbl)
+                    else:
+                        dc_refine(coef)
+                elif ah == 0:
+                    ac_first(coef, ac_tbl)
+                else:
+                    ac_refine(coef, ac_tbl)
+                unit += 1
+
+    return _find_next_marker(b, reader.pos)
+
+
+def _reconstruct_prog(
+    state: dict[int, np.ndarray],
+    frame: tuple[int, int, list[tuple[int, int, int, int]]],
+    quant: dict[int, np.ndarray],
+) -> np.ndarray:
+    """Dequantize + vectorized IDCT of the accumulated coefficient planes."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for cid, hs, vs, tq in comps:
+        if tq not in quant:
+            raise ValueError("JPEG frame references missing quant table")
+        coefs = state[cid].astype(np.float64)
+        by, bx = coefs.shape[:2]
+        blocks = coefs.reshape(by, bx, 8, 8) * quant[tq].astype(np.float64)
+        # IDCT over all blocks at once: C.T @ B @ C
+        pix = np.einsum("ij,ybjk,kl->ybil", _C.T, blocks, _C) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(plane[:h, :w])
+    return _planes_to_rgb(full)
 
 
 # --- encoder ----------------------------------------------------------------
@@ -455,6 +713,256 @@ def _dht_segment(tc: int, th: int, spec: tuple[list[int], list[int]]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
+# --- progressive (SOF2) encoding -------------------------------------------
+
+
+def _quantize_plane(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """8-aligned plane → quantized DCT blocks (by, bx, 64) in zigzag order.
+
+    Uses the same expression tree as `_encode_block` so baseline and
+    progressive encodes of one image produce identical coefficients.
+    """
+    byc, bxc = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(byc, 8, bxc, 8).transpose(0, 2, 1, 3) - 128.0
+    dct = np.einsum("ij,xyjk,kl->xyil", _C, blocks, _C.T)
+    return np.round(dct / qtbl).astype(np.int32).reshape(byc, bxc, 64)[:, :, ZIGZAG]
+
+
+def _fixed_length_huff(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """Canonical table giving every used symbol the same code length.
+
+    Progressive scans emit EOBn symbols the Annex-K baseline tables lack,
+    so each scan carries its own table. Length L with n ≤ 2^L − 1 keeps
+    codes prefix-free and avoids the reserved all-ones code.
+    """
+    vals = sorted(symbols)
+    n = len(vals)
+    if n == 0:
+        vals = [0]
+        n = 1
+    length = max(2, (n + 1).bit_length())
+    bits = [0] * 16
+    if n <= 255:
+        bits[length - 1] = n
+        return bits, vals
+    bits[8] = 255  # 256 symbols can't share one byte-counted bucket
+    bits[9] = n - 255
+    return bits, vals
+
+
+def _prog_dc_first(
+    units: list[tuple[int, np.ndarray]], al: int, emit_sym, emit_bits
+) -> None:
+    """units = (component-index, zigzag block) in MCU order."""
+    pred: dict[int, int] = {}
+    for ci, zz in units:
+        v = int(zz[0]) >> al  # arithmetic shift (T.81 DC point transform)
+        t, mag = _magnitude(v - pred.get(ci, 0))
+        pred[ci] = v
+        emit_sym(ci, t)
+        if t:
+            emit_bits(mag, t)
+
+
+def _prog_dc_refine(
+    units: list[tuple[int, np.ndarray]], al: int, emit_bits
+) -> None:
+    for _ci, zz in units:
+        emit_bits((int(zz[0]) >> al) & 1, 1)
+
+
+def _prog_ac_first(
+    blocks: list[np.ndarray], ss: int, se: int, al: int, emit_sym, emit_bits
+) -> None:
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            emit_sym(0, nbits << 4)
+            if nbits:
+                emit_bits(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                emit_sym(0, 0xF0)
+                r -= 16
+            s, mag = _magnitude(t if v > 0 else -t)
+            emit_sym(0, (r << 4) | s)
+            emit_bits(mag, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _prog_ac_refine(
+    blocks: list[np.ndarray], ss: int, se: int, al: int, emit_sym, emit_bits
+) -> None:
+    """T.81 G.1.2.3 successive-approximation AC refinement (libjpeg-style:
+    correction bits buffer through ZRL/EOB runs)."""
+    eobrun = 0
+    held: list[int] = []  # correction bits deferred across an EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, held
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            emit_sym(0, nbits << 4)
+            if nbits:
+                emit_bits(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+            for bit in held:
+                emit_bits(bit, 1)
+            held = []
+
+    for zz in blocks:
+        absvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = ss - 1  # last newly-significant index, if any
+        for i, t in enumerate(absvals):
+            if t == 1:
+                eob = ss + i
+        r = 0
+        br: list[int] = []  # this block's pending correction bits
+        for i, t in enumerate(absvals):
+            k = ss + i
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                emit_sym(0, 0xF0)
+                r -= 16
+                for bit in br:
+                    emit_bits(bit, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush_eob()
+            emit_sym(0, (r << 4) | 1)
+            emit_bits(1 if int(zz[k]) >= 0 else 0, 1)
+            for bit in br:
+                emit_bits(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            held.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_progressive_scans(
+    padded: list[tuple[np.ndarray, np.ndarray, int, int, int]],
+    h: int,
+    w: int,
+    mcux: int,
+    mcuy: int,
+    hmax: int,
+    vmax: int,
+) -> bytes:
+    """Emit the scan sequence (DHT + SOS + entropy per scan).
+
+    Script: interleaved DC first (Al=1) → DC refine → per component, AC
+    first scans (component 0's band split 1–5 / 6–63 to exercise spectral
+    selection) at Al=1 → matching AC refinement scans at Al=0. Every
+    successive-approximation and EOB-run decode path gets covered.
+    """
+    qblocks = [_quantize_plane(p, q) for p, q, _t, _hs, _vs in padded]
+    ncomp = len(padded)
+
+    dc_units: list[tuple[int, np.ndarray]] = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_p, _q, _t, hs, vs) in enumerate(padded):
+                for v in range(vs):
+                    for u in range(hs):
+                        dc_units.append((ci, qblocks[ci][my * vs + v, mx * hs + u]))
+
+    def comp_blocks(ci: int) -> list[np.ndarray]:
+        # non-interleaved scans code ceil(component size / 8) blocks, which
+        # can be fewer than the MCU-padded grid when subsampled
+        _p, _q, _t, hs, vs = padded[ci]
+        comp_w = -(-(w * hs) // hmax)
+        comp_h = -(-(h * vs) // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        q = qblocks[ci]
+        return [q[by, bx] for by in range(bh) for bx in range(bw)]
+
+    bands = {ci: ([(1, 5), (6, 63)] if ci == 0 else [(1, 63)]) for ci in range(ncomp)}
+    scans: list[tuple] = [("dc_first",), ("dc_refine",)]
+    for ci in range(ncomp):
+        for ss, se in bands[ci]:
+            scans.append(("ac_first", ci, ss, se))
+    for ci in range(ncomp):
+        for ss, se in bands[ci]:
+            scans.append(("ac_refine", ci, ss, se))
+
+    out = bytearray()
+    for spec in scans:
+        kind = spec[0]
+        # pass 1: collect symbols per table slot (DC scans: one per comp)
+        used: dict[int, set[int]] = {}
+
+        def run(emit_sym, emit_bits) -> None:
+            if kind == "dc_first":
+                _prog_dc_first(dc_units, 1, emit_sym, emit_bits)
+            elif kind == "dc_refine":
+                _prog_dc_refine(dc_units, 0, emit_bits)
+            elif kind == "ac_first":
+                _ci, ss, se = spec[1], spec[2], spec[3]
+                _prog_ac_first(comp_blocks(_ci), ss, se, 1, emit_sym, emit_bits)
+            else:
+                _ci, ss, se = spec[1], spec[2], spec[3]
+                _prog_ac_refine(comp_blocks(_ci), ss, se, 0, emit_sym, emit_bits)
+
+        run(lambda slot, s: used.setdefault(slot, set()).add(s), lambda v, n: None)
+        tables = {slot: _fixed_length_huff(syms) for slot, syms in used.items()}
+        enc = {slot: _build_encode_table(*t) for slot, t in tables.items()}
+        writer = _BitWriter()
+
+        def emit_sym(slot: int, s: int) -> None:
+            code, ln = enc[slot][s]
+            writer.write(code, ln)
+
+        run(emit_sym, writer.write)
+        writer.flush()
+
+        tc = 0 if kind.startswith("dc") else 1
+        for slot, t in sorted(tables.items()):
+            out += _dht_segment(tc, slot, t)
+        if kind == "dc_first":
+            sos = bytes([ncomp]) + b"".join(
+                bytes([ci + 1, ci << 4]) for ci in range(ncomp)
+            ) + bytes([0, 0, (0 << 4) | 1])
+        elif kind == "dc_refine":
+            sos = bytes([ncomp]) + b"".join(
+                bytes([ci + 1, 0]) for ci in range(ncomp)
+            ) + bytes([0, 0, (1 << 4) | 0])
+        else:
+            _ci, ss, se = spec[1], spec[2], spec[3]
+            ah, al = (0, 1) if kind == "ac_first" else (1, 0)
+            sos = bytes([1, _ci + 1, 0x00, ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += writer.out
+    return bytes(out)
+
+
 def _downsample2(p: np.ndarray) -> np.ndarray:
     """2×2 box-average downsample (pad odd edges by replication first)."""
     h, w = p.shape
@@ -468,13 +976,17 @@ def encode_jpeg(
     quality: int = 85,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (H, W, 1|3) uint8 → baseline JFIF JPEG (Annex-K tables).
+    """Encode (H, W, 1|3) uint8 → baseline or progressive JFIF JPEG.
 
     ``subsample``: "444" (no chroma subsampling) or "420" (2×2 Y per MCU,
     box-averaged chroma). ``restart_interval`` > 0 emits DRI + RSTn markers
     every that many MCUs — exists so tests can exercise the decoder's
-    restart path with a self-contained fixture.
+    restart path with a self-contained fixture. ``progressive`` emits a
+    SOF2 stream (spectral selection + successive approximation; see
+    `_encode_progressive_scans`) from the same quantized coefficients, so
+    baseline and progressive encodes of one image decode identically.
     """
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -483,6 +995,8 @@ def encode_jpeg(
         raise ValueError("encode_jpeg needs 1 or 3 channels")
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
+    if progressive and restart_interval:
+        raise ValueError("progressive encode does not support restart markers")
     ql = _scale_quant(QUANT_LUMA, quality).astype(np.float64).reshape(8, 8)
     qc = _scale_quant(QUANT_CHROMA, quality).astype(np.float64).reshape(8, 8)
     sub = subsample == "420" and nch == 3
@@ -517,6 +1031,13 @@ def encode_jpeg(
             np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"),
             q, t, hs, vs,
         ))
+    if progressive:
+        body = _encode_progressive_scans(padded, h, w, mcux, mcuy, hmax, vmax)
+        return _assemble_jpeg_headers(
+            chans, h, w, quality, 0, body, sof_marker=b"\xff\xc2",
+            include_baseline_dht=False,
+        )
+
     writer = _BitWriter()
     pred = [0] * len(chans)
     mcu_index = 0
@@ -544,6 +1065,31 @@ def encode_jpeg(
         body = bytes([tq]) + bytes(tbl.astype(np.int64).ravel()[ZIGZAG].astype(np.uint8))
         return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
+    return _assemble_jpeg_headers(
+        chans, h, w, quality, restart_interval, bytes(writer.out),
+        sof_marker=b"\xff\xc0", include_baseline_dht=True,
+    )
+
+
+def _assemble_jpeg_headers(
+    chans: list,
+    h: int,
+    w: int,
+    quality: int,
+    restart_interval: int,
+    body: bytes,
+    sof_marker: bytes,
+    include_baseline_dht: bool,
+) -> bytes:
+    """SOI/APP0/DQT/SOF + (baseline: DHT/DRI/SOS) + body + EOI.
+
+    Progressive bodies carry their own per-scan DHT + SOS segments.
+    """
+
+    def dqt(tq: int, tbl: np.ndarray) -> bytes:
+        seg = bytes([tq]) + bytes(tbl.astype(np.int64).ravel()[ZIGZAG].astype(np.uint8))
+        return b"\xff\xdb" + struct.pack(">H", len(seg) + 2) + seg
+
     ncomp = len(chans)
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
         struct.pack(
@@ -551,9 +1097,6 @@ def encode_jpeg(
         )
         for i in range(ncomp)
     )
-    sos_body = bytes([ncomp]) + b"".join(
-        bytes([i + 1, chans[i][2] * 0x11]) for i in range(ncomp)
-    ) + b"\x00\x3f\x00"
     out = bytearray()
     out += b"\xff\xd8"
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -561,13 +1104,17 @@ def encode_jpeg(
     out += dqt(0, _scale_quant(QUANT_LUMA, quality).reshape(8, 8))
     if ncomp == 3:
         out += dqt(1, _scale_quant(QUANT_CHROMA, quality).reshape(8, 8))
-    out += b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
-    out += _dht_segment(0, 0, HUFF_DC_LUMA) + _dht_segment(1, 0, HUFF_AC_LUMA)
-    if ncomp == 3:
-        out += _dht_segment(0, 1, HUFF_DC_CHROMA) + _dht_segment(1, 1, HUFF_AC_CHROMA)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">H", len(sos_body) + 2) + sos_body
-    out += writer.out
+    out += sof_marker + struct.pack(">H", len(sof_body) + 2) + sof_body
+    if include_baseline_dht:
+        out += _dht_segment(0, 0, HUFF_DC_LUMA) + _dht_segment(1, 0, HUFF_AC_LUMA)
+        if ncomp == 3:
+            out += _dht_segment(0, 1, HUFF_DC_CHROMA) + _dht_segment(1, 1, HUFF_AC_CHROMA)
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        sos_body = bytes([ncomp]) + b"".join(
+            bytes([i + 1, chans[i][2] * 0x11]) for i in range(ncomp)
+        ) + b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", len(sos_body) + 2) + sos_body
+    out += body
     out += b"\xff\xd9"
     return bytes(out)

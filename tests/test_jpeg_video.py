@@ -73,17 +73,42 @@ def test_jpeg_grayscale_roundtrip():
     assert _psnr(dec, img) > 35
 
 
-def test_jpeg_rejects_progressive_and_truncation():
+def test_jpeg_rejects_malformed():
     img = _smooth_rgb(16, 16)
     good = bytearray(encode_jpeg(img))
-    prog = bytearray(good)
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2  # rewrite SOF0 → SOF2
-    with pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg(bytes(prog))
     with pytest.raises(ValueError):
         decode_jpeg(bytes(good[: len(good) // 2]))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # no frame at all
+    # a baseline interleaved scan header inside a SOF2 frame is invalid:
+    # progressive scans must be spectral-selected (DC Se=0 / AC 1-component)
+    fake_prog = bytearray(good)
+    fake_prog[fake_prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(fake_prog))
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(img, progressive=True, restart_interval=2)
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """SOF2 spectral-selection + successive-approximation scans decode to the
+    SAME pixels as the baseline encode (identical quantized coefficients,
+    lossless entropy stage on both paths)."""
+    img = _smooth_rgb(37, 53, seed=29)  # odd dims: MCU pad + crop
+    prog = encode_jpeg(img, quality=90, progressive=True)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert prog.count(b"\xff\xda") > 1  # really multi-scan
+    assert (decode_jpeg(prog) == decode_jpeg(encode_jpeg(img, quality=90))).all()
+
+
+def test_jpeg_progressive_420_and_grayscale():
+    img = _smooth_rgb(37, 53, seed=31)
+    p420 = encode_jpeg(img, quality=90, subsample="420", progressive=True)
+    b420 = encode_jpeg(img, quality=90, subsample="420")
+    assert (decode_jpeg(p420) == decode_jpeg(b420)).all()
+    gray = img[:, :, :1]
+    pg = encode_jpeg(gray, quality=85, progressive=True)
+    assert (decode_jpeg(pg) == decode_jpeg(encode_jpeg(gray, quality=85))).all()
 
 
 def test_jpeg_flows_through_decode_operator(spark):
