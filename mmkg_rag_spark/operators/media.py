@@ -543,22 +543,106 @@ AUDIO_SCHEMA = (
 AUDIO_EMBED_DIM = 64
 
 
-def decode_audio_array(content: bytes) -> tuple[np.ndarray, int] | None:
-    """PCM WAV → (mono float64 samples in [-1,1], sample_rate); None if not RIFF.
+def _g711_mulaw_table() -> np.ndarray:
+    """All 256 µ-law codewords → linear values in [-1, 1] (G.711 decode)."""
+    codes = np.arange(256, dtype=np.int64)
+    u = ~codes & 0xFF  # µ-law bytes are transmitted complemented
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 1) + 33) << exp) - 33  # 14-bit magnitude, max 8159
+    return np.where(sign, -mag, mag) / 8159.0
 
-    stdlib ``wave`` handles 8/16/32-bit PCM; malformed RIFF raises into the
-    per-row error channel (same contract as the image codecs).
+
+def _g711_alaw_table() -> np.ndarray:
+    """All 256 A-law codewords → linear values in [-1, 1] (G.711 decode)."""
+    codes = np.arange(256, dtype=np.int64)
+    a = codes ^ 0x55  # even bits are inverted on the wire
+    positive = (a & 0x80) != 0  # A-law sign bit is 1 for positive
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(positive, mag, -mag) / 32256.0
+
+
+def _g711_encode(x: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Nearest-codeword companding encode (uint8) for a 256-entry decode table.
+
+    Argmin over the decode table is exactly the optimal quantizer, so
+    encode∘decode is identity on codewords by construction — no subtle
+    segment-boundary bugs to get wrong.
+    """
+    order = np.argsort(table)
+    sorted_vals = table[order]
+    idx = np.searchsorted(sorted_vals, x).clip(1, 255)
+    lo, hi = sorted_vals[idx - 1], sorted_vals[idx]
+    nearest = np.where(np.abs(x - lo) <= np.abs(hi - x), idx - 1, idx)
+    return order[nearest].astype(np.uint8)
+
+
+def _parse_wav_chunks(content: bytes) -> tuple[dict, bytes]:
+    """RIFF/WAVE chunk walk → (fmt fields, raw data bytes). For the formats
+    stdlib ``wave`` rejects (µ-law / A-law / IEEE float)."""
+    import struct
+
+    if content[8:12] != b"WAVE":
+        raise ValueError("RIFF is not a WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            tag, nch, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            fmt = {"tag": tag, "nch": nch, "sr": sr, "bits": bits}
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return fmt, data
+
+
+def decode_audio_array(content: bytes) -> tuple[np.ndarray, int] | None:
+    """WAV → (mono float64 samples in [-1,1], sample_rate); None if not RIFF.
+
+    stdlib ``wave`` handles 8/16/32-bit integer PCM; µ-law (fmt 7), A-law
+    (fmt 6) and IEEE float (fmt 3) are decoded by the chunk walk above —
+    G.711 telephony WAVs are common in scraped web corpora and stdlib
+    ``wave`` rejects them. Malformed RIFF raises into the per-row error
+    channel (same contract as the image codecs).
     """
     if content[:4] != b"RIFF":
         return None
     import io
     import wave
 
-    with wave.open(io.BytesIO(content), "rb") as w:
-        sr = w.getframerate()
-        nch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        fmt, raw = _parse_wav_chunks(content)
+        sr, nch = fmt["sr"], max(fmt["nch"], 1)
+        if fmt["tag"] == 7 and fmt["bits"] == 8:  # G.711 µ-law
+            x = _g711_mulaw_table()[np.frombuffer(raw, np.uint8)]
+        elif fmt["tag"] == 6 and fmt["bits"] == 8:  # G.711 A-law
+            x = _g711_alaw_table()[np.frombuffer(raw, np.uint8)]
+        elif fmt["tag"] == 3 and fmt["bits"] in (32, 64):  # IEEE float
+            dt = "<f4" if fmt["bits"] == 32 else "<f8"
+            x = np.frombuffer(raw[: len(raw) // (fmt["bits"] // 8) * (fmt["bits"] // 8)], dt)
+            x = np.clip(x.astype(np.float64), -1.0, 1.0)
+        else:
+            raise ValueError(
+                f"unsupported WAV format tag {fmt['tag']} ({fmt['bits']}-bit)"
+            )
+        if nch > 1:
+            x = x[: len(x) // nch * nch].reshape(-1, nch).mean(axis=1)
+        return x, sr
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:
@@ -572,28 +656,76 @@ def decode_audio_array(content: bytes) -> tuple[np.ndarray, int] | None:
     return x, sr
 
 
-def _embed_audio_samples(x: np.ndarray, dim: int = AUDIO_EMBED_DIM) -> np.ndarray:
-    """Content-based audio embedding: per-window RMS envelope, L2-normed.
+def _center_unit(feats: np.ndarray) -> np.ndarray:
+    """Mean-center + L2-normalize; flat vectors fall back to a constant
+    unit direction (keeps cosine defined for silence)."""
+    v = feats - feats.mean()
+    n = np.linalg.norm(v)
+    if n < 1e-12:
+        v = np.ones(len(feats), dtype=np.float64)
+        n = np.linalg.norm(v)
+    return v / n
 
-    ``dim`` equal windows over the clip; RMS per window captures the energy
-    envelope — lightly noised/re-leveled copies of a clip land at high
-    cosine, unrelated clips do not (the property the ANN operators consume).
+
+def _embed_audio_samples(
+    x: np.ndarray, sr: int | None = None, dim: int = AUDIO_EMBED_DIM
+) -> np.ndarray:
+    """Content-based audio embedding: RMS envelope ⊕ log-band spectrum.
+
+    Two equally-weighted halves of ``dim``/2 each, L2-normed per half:
+
+    - **envelope**: RMS over equal time windows — captures temporal energy
+      shape (speech rhythm, onsets).
+    - **spectrum**: Hann-windowed power spectra (1024-pt frames, hop 512)
+      averaged over the clip, log-pooled into geometric bands from 50 Hz to
+      min(sr/2, 8 kHz) — captures timbre/pitch, so two constant-level clips
+      with different spectral content (e.g. a 440 Hz vs an 880 Hz tone) are
+      separated, which an envelope-only embedding cannot do. Absolute-Hz
+      band edges make the vector comparable across sample rates; without
+      ``sr`` the bands span normalized frequency instead.
+
+    Both halves are invariant to re-leveling (gain scales RMS linearly and
+    shifts log-power by a constant; mean-center + L2 removes both), so
+    re-encoded/re-leveled copies land at high cosine — the property
+    operators/ann.py and embedding_near_duplicates consume.
     """
+    half = dim // 2
     n = len(x)
     if n == 0:
         v = np.ones(dim, dtype=np.float64)
         return (v / np.linalg.norm(v)).astype(np.float32)
-    bounds = np.linspace(0, n, dim + 1).astype(np.int64)
-    feats = np.empty(dim, dtype=np.float64)
-    for i in range(dim):
+    bounds = np.linspace(0, n, half + 1).astype(np.int64)
+    env = np.empty(half, dtype=np.float64)
+    for i in range(half):
         seg = x[bounds[i]:max(bounds[i] + 1, bounds[i + 1])]
-        feats[i] = np.sqrt(np.mean(seg * seg))
-    feats -= feats.mean()
-    norm = np.linalg.norm(feats)
-    if norm < 1e-12:
-        feats = np.ones(dim)
-        norm = np.linalg.norm(feats)
-    return (feats / norm).astype(np.float32)
+        env[i] = np.sqrt(np.mean(seg * seg))
+
+    nfft = 1024
+    if n < nfft:
+        frames = np.pad(x, (0, nfft - n))[None, :]
+    else:
+        hop = nfft // 2
+        starts = np.arange(0, n - nfft + 1, hop)
+        frames = np.stack([x[s : s + nfft] for s in starts])
+    psd = np.abs(np.fft.rfft(frames * np.hanning(nfft), axis=1)) ** 2
+    psd = psd.mean(axis=0)  # average power spectrum over the clip
+    nyq = (sr / 2.0) if sr else 1.0
+    lo_hz = 50.0 if sr else nyq / 160.0
+    hi_hz = min(nyq, 8000.0) if sr else nyq
+    edges_hz = np.geomspace(lo_hz, hi_hz, half + 1)
+    edges = np.clip((edges_hz / nyq * (len(psd) - 1)).astype(np.int64), 0, len(psd) - 1)
+    # floor each band 20 dB below the clip's mean power: bands that are
+    # "quiet relative to this clip" all read the same, so low-level noise
+    # from re-encoding (the near-dup case) can't swing empty bands, and the
+    # relative floor keeps the vector gain-invariant
+    floor = 1e-2 * psd.mean() + 1e-30
+    spec = np.empty(half, dtype=np.float64)
+    for i in range(half):
+        band = psd[edges[i]:max(edges[i] + 1, edges[i + 1])]
+        spec[i] = np.log10(band.mean() + floor)
+
+    v = np.concatenate([_center_unit(env), _center_unit(spec)]) / np.sqrt(2.0)
+    return v.astype(np.float32)
 
 
 # --- operators --------------------------------------------------------------
@@ -807,7 +939,8 @@ def decode_audio(media: DataFrame) -> DataFrame:
 def embed_audio(media: DataFrame) -> DataFrame:
     """Audio feature extraction → array<float> (feeds operators/ann.py).
 
-    Real RMS-envelope embeddings for PCM WAV; hash-stub vectors otherwise.
+    Real envelope⊕spectrum embeddings for decodable WAV (PCM / G.711 /
+    IEEE float); hash-stub vectors otherwise.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -823,7 +956,7 @@ def embed_audio(media: DataFrame) -> DataFrame:
                 urls.append(url)
                 vecs.append(
                     (
-                        _embed_audio_samples(dec[0])
+                        _embed_audio_samples(dec[0], sr=dec[1])
                         if dec is not None
                         else _embed_stub(b)
                     ).tolist()

@@ -225,6 +225,75 @@ def test_audio_embedding_similarity(spark):
     assert cos(vecs[0], vecs[2]) < cos(vecs[0], vecs[1])
 
 
+def _raw_wav(fmt_tag, bits, data, nch=1, sr=8000):
+    """Hand-rolled RIFF/WAVE for the formats stdlib ``wave`` can't write."""
+    import struct
+
+    block = max(1, nch * bits // 8)
+    fmt = struct.pack("<HHIIHH", fmt_tag, nch, sr, sr * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_g711_tables_match_published_anchors():
+    """Spec anchor points: µ-law ±0 at 0xFF/0x7F, max magnitude 8031/8159;
+    A-law smallest step ±8 at 0xD5/0x55, full scale ±32256."""
+    import numpy as np
+
+    mu, al = media._g711_mulaw_table(), media._g711_alaw_table()
+    assert mu[0xFF] == 0.0 and mu[0x7F] == 0.0
+    assert abs(mu[0x80] * 8159 - 8031) < 1e-9 and abs(mu[0x00] * 8159 + 8031) < 1e-9
+    assert abs(al[0xD5] * 32256 - 8) < 1e-9 and abs(al[0x55] * 32256 + 8) < 1e-9
+    assert abs(al[0xAA] * 32256 - 32256) < 1e-9 and abs(al[0x2A] * 32256 + 32256) < 1e-9
+    # nearest-codeword encode makes every codeword a fixed point
+    for tbl in (mu, al):
+        assert (tbl[media._g711_encode(tbl, tbl)] == tbl).all()
+
+
+def test_wav_g711_and_float_decode():
+    """µ-law / A-law / IEEE-float WAVs decode within companding error;
+    stdlib wave rejects all three (they hit the manual chunk walk)."""
+    import numpy as np
+
+    t = np.arange(1600) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    mu, al = media._g711_mulaw_table(), media._g711_alaw_table()
+    for tag, codes in (
+        (7, media._g711_encode(x, mu).tobytes()),
+        (6, media._g711_encode(x, al).tobytes()),
+    ):
+        dec, sr = media.decode_audio_array(_raw_wav(tag, 8, codes))
+        assert sr == 8000 and len(dec) == 1600
+        assert float(np.abs(dec - x).max()) < 0.02  # G.711 quantization bound
+    stereo = np.stack([x, -x], axis=1).astype("<f4")
+    dec, _ = media.decode_audio_array(_raw_wav(3, 32, stereo.tobytes(), nch=2))
+    assert float(np.abs(dec).max()) < 1e-6  # mono mixdown of x and -x
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        media.decode_audio_array(_raw_wav(2, 4, b"\x00" * 64))  # ADPCM
+
+
+def test_audio_embedding_spectral_discrimination():
+    """Same energy envelope, different pitch → separated (envelope-only
+    embeddings cannot do this); G.711 recompression → near-dup cosine."""
+    import numpy as np
+
+    t = np.arange(1600) / 8000.0
+    a = 0.5 * np.sin(2 * np.pi * 440 * t)
+    b = 0.5 * np.sin(2 * np.pi * 880 * t)  # identical RMS envelope
+    mu = media._g711_mulaw_table()
+    recompressed = mu[media._g711_encode(a, mu)]
+    ea = media._embed_audio_samples(a, sr=8000)
+    eb = media._embed_audio_samples(b, sr=8000)
+    er = media._embed_audio_samples(recompressed, sr=8000)
+    assert float(ea @ eb) < 0.6  # pitch separates despite equal envelopes
+    assert float(ea @ er) > 0.99  # lossy re-encode stays a near-dup
+    assert abs(float(np.linalg.norm(ea)) - 1.0) < 1e-5
+
+
 # --- real PNG codec (stdlib zlib; round-3) ----------------------------------
 
 def _png_filter_rows(arr, filters):
