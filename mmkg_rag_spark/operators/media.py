@@ -307,14 +307,18 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     return bytes(out)
 
 
-def _parse_gif(b: bytes) -> np.ndarray:
-    """Decode GIF (87a/89a) first frame → uint8 array (H,W,3) — REAL LZW.
+def _parse_gif_frames(
+    b: bytes, max_frames: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Decode GIF (87a/89a) → [(delay_ms, composited RGB frame)] — REAL LZW.
 
     Handles global/local color tables, interlacing (the four-pass row
-    order), and skips extension blocks. Animation is out of scope: the
-    first image frame is the decode result (frame sampling for animations
-    rides the video operators). Malformed streams raise into the per-row
-    error channel.
+    order), and for animations the graphic-control extension: per-frame
+    delay, transparency index, and disposal methods 0/1 (leave in place),
+    2 (restore background) and 3 (restore previous). Each emitted frame is
+    the full logical-screen canvas after compositing, so sub-rectangle
+    delta frames come out as complete images. Malformed streams raise into
+    the per-row error channel.
     """
     import struct
 
@@ -322,7 +326,7 @@ def _parse_gif(b: bytes) -> np.ndarray:
         raise ValueError("bad GIF signature")
     if len(b) < 13:
         raise ValueError("truncated GIF header")
-    _, _, packed, _, _ = struct.unpack_from("<HHBBB", b, 6)
+    sw, sh, packed, bg, _ = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -331,13 +335,26 @@ def _parse_gif(b: bytes) -> np.ndarray:
         if len(gct) != n:
             raise ValueError("truncated GIF global color table")
         pos += 3 * n
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms, transparent, disposal = 0, None, 0
     while pos < len(b):
         block = b[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("GIF contains no image data")
+        if block == 0x3B:  # trailer
+            if not frames:
+                raise ValueError("GIF contains no image data")
+            return frames
         if block == 0x21:  # extension: label + sub-blocks
+            label = b[pos] if pos < len(b) else 0
             pos += 1
+            if label == 0xF9 and pos < len(b) and b[pos] == 4 and pos + 5 <= len(b):
+                gpacked, delay_cs, tidx = struct.unpack_from("<BHB", b, pos + 1)
+                disposal = (gpacked >> 2) & 0x07
+                transparent = tidx if gpacked & 0x01 else None
+                delay_ms = delay_cs * 10
             while pos < len(b) and b[pos] != 0:
                 pos += 1 + b[pos]
             pos += 1
@@ -346,7 +363,7 @@ def _parse_gif(b: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         if pos + 9 > len(b):
             raise ValueError("truncated GIF image descriptor")
-        _, _, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
         pos += 9
         palette = gct
         if ipacked & 0x80:
@@ -370,6 +387,7 @@ def _parse_gif(b: bytes) -> np.ndarray:
             if len(chunks[-1]) != ln:
                 raise ValueError("truncated GIF data sub-block")
             pos += 1 + ln
+        pos += 1  # sub-block terminator
         idx = np.frombuffer(
             _lzw_decode(b"".join(chunks), min_code_size, w * h), np.uint8
         )
@@ -386,29 +404,44 @@ def _parse_gif(b: bytes) -> np.ndarray:
             grid = de
         if int(grid.max(initial=0)) >= len(palette):
             raise ValueError("GIF index outside color table")
-        return np.ascontiguousarray(palette[grid])
+        y1, x1 = min(top + h, sh), min(left + w, sw)  # clamp to screen
+        sub = grid[: y1 - top, : x1 - left]
+        saved = canvas.copy() if disposal == 3 else None
+        px = palette[sub]
+        if transparent is not None:
+            mask = sub != transparent
+            canvas[top:y1, left:x1][mask] = px[mask]
+        else:
+            canvas[top:y1, left:x1] = px
+        frames.append((delay_ms, canvas.copy()))
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if disposal == 2:
+            canvas[top:y1, left:x1] = bg_rgb
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        delay_ms, transparent, disposal = 0, None, 0  # GCE scopes one image
+    if frames:
+        return frames  # lenient: image data present, trailer missing
     raise ValueError("truncated GIF (no trailer)")
 
 
-def encode_gif(arr: np.ndarray) -> bytes:
-    """Encode a (H,W,3) uint8 array (≤256 distinct colors) as a valid GIF.
+def _parse_gif(b: bytes) -> np.ndarray:
+    """First frame of a GIF, composited on the logical screen (H,W,3).
 
-    Uses the classic clear-code-per-symbol LZW stream (code width never
-    grows) — byte-inefficient but spec-valid and dependency-free; exists to
+    Animations beyond frame one ride the video operators
+    (`sample_frames`); this is the still-image decode entry point.
+    """
+    return _parse_gif_frames(b, max_frames=1)[0][1]
+
+
+def _gif_lzw_blocks(indices: np.ndarray, min_code: int) -> bytes:
+    """Palette indices → length-prefixed LZW data sub-blocks.
+
+    Uses the classic clear-code-per-symbol stream (code width never grows)
+    — byte-inefficient but spec-valid and dependency-free; exists to
     produce real fixtures for the decoder and round-trip tests.
     """
-    import struct
-
-    h, w = arr.shape[:2]
-    flat = arr.reshape(-1, 3)
-    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(palette) > 256:
-        raise ValueError("encode_gif needs ≤256 distinct colors")
-    size_bits = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
-    n = 1 << size_bits
-    pal = np.zeros((n, 3), np.uint8)
-    pal[: len(palette)] = palette
-    min_code = size_bits
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     cs = min_code + 1
     out = bytearray()
@@ -424,23 +457,82 @@ def encode_gif(arr: np.ndarray) -> bytes:
             nbits -= 8
 
     emit(clear)
-    for v in inverse.astype(np.int64):
+    for v in indices.astype(np.int64):
         emit(int(v))
         emit(clear)  # reset each step: code width stays fixed
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
-    blocks = b"".join(
+    return b"".join(
         bytes([len(out[i : i + 255])]) + bytes(out[i : i + 255])
         for i in range(0, len(out), 255)
     )
+
+
+def _gif_palettize(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """(N,3) pixels → (padded palette, indices, size_bits); ≤256 colors."""
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("GIF encode needs ≤256 distinct colors")
+    size_bits = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    pal = np.zeros((1 << size_bits, 3), np.uint8)
+    pal[: len(palette)] = palette
+    return pal, inverse, size_bits
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode a (H,W,3) uint8 array (≤256 distinct colors) as a valid GIF."""
+    import struct
+
+    h, w = arr.shape[:2]
+    pal, inverse, size_bits = _gif_palettize(arr.reshape(-1, 3))
+    min_code = size_bits
     return (
         b"GIF89a"
         + struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
         + pal.tobytes()
         + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-        + bytes([min_code]) + blocks + b"\x00\x3b"
+        + bytes([min_code]) + _gif_lzw_blocks(inverse, min_code) + b"\x00\x3b"
     )
+
+
+def encode_gif_animated(
+    frames: list[np.ndarray], delay_ms: int = 100, loop: int = 0
+) -> bytes:
+    """Encode (H,W,3) uint8 frames as an animated GIF89a.
+
+    One global palette over the union of colors (≤256 total), a NETSCAPE2.0
+    looping block, and per-frame graphic-control extensions carrying the
+    delay (centisecond resolution) with disposal method 1 (leave in place).
+    Fixture encoder for the animation decode path in `sample_frames`.
+    """
+    import struct
+
+    if not frames:
+        raise ValueError("encode_gif_animated needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share dimensions")
+    stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
+    pal, inverse, size_bits = _gif_palettize(stacked)
+    min_code = size_bits
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += (  # NETSCAPE2.0 application extension: loop count
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    )
+    per = h * w
+    for i in range(len(frames)):
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", 1 << 2, max(1, delay_ms // 10), 0  # disposal 1, no transparency
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code])
+        out += _gif_lzw_blocks(inverse[i * per : (i + 1) * per], min_code)
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def decode_image_array(content: bytes) -> np.ndarray | None:
@@ -832,25 +924,27 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one row per sampled frame.
 
-    REAL for MJPEG AVI (`kernels/avi.py`): the container is parsed, frame
-    timestamps come from the stream header, and the emitted ``frame``
-    payloads are the actual per-frame JPEGs (decodable by
-    `decode_image_array`, so thumbnails/embeddings compose downstream).
-    Sampling keeps the first frame at or after each ``every_ms`` boundary,
-    up to ``max_frames``. Inter-frame codecs fall back to the disclosed
-    deterministic stub (duration from the payload hash,
-    sha256(content||index) frame payloads) — the fan-out shape (one input
-    row → ≤ max_frames output rows through mapInPandas) is identical.
+    REAL for MJPEG AVI (`kernels/avi.py`) and animated GIF: the container
+    is parsed, frame timestamps come from the stream header (AVI fps /
+    GIF per-frame delays, zero delays clamped to the 100 ms browser
+    convention), and the emitted ``frame`` payloads are actual images —
+    per-frame JPEGs for AVI, PNG-encoded composited canvases for GIF —
+    decodable by `decode_image_array`, so thumbnails/embeddings compose
+    downstream. Sampling keeps the first frame at or after each
+    ``every_ms`` boundary, up to ``max_frames``. Inter-frame codecs fall
+    back to the disclosed deterministic stub (duration from the payload
+    hash, sha256(content||index) frame payloads) — the fan-out shape (one
+    input row → ≤ max_frames output rows through mapInPandas) is
+    identical.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mmkg_rag_spark.kernels.avi import decode_avi_mjpeg
 
-        def sample_real(mid: int, url: str, c: bytes, rows: list) -> None:
-            frames, _fps = decode_avi_mjpeg(c)
+        def sample_real(mid: int, url: str, seq, rows: list) -> None:
             next_ts = 0
             taken = 0
-            for ts_ms, payload in frames:
+            for ts_ms, payload in seq:
                 if ts_ms < next_ts:
                     continue
                 rows.append((mid, url, taken, int(ts_ms), payload))
@@ -858,6 +952,12 @@ def sample_frames(
                 next_ts += every_ms
                 if taken >= max_frames:
                     break
+
+        def gif_frames(c: bytes):
+            ts = 0
+            for delay_ms, canvas in _parse_gif_frames(c):
+                yield ts, encode_png(canvas)
+                ts += delay_ms if delay_ms > 0 else 100
 
         for pdf in batches:
             rows = []
@@ -867,11 +967,18 @@ def sample_frames(
                 if mtype != "video":
                     continue
                 c = bytes(content)
-                if c[:4] == b"RIFF" and c[8:12] == b"AVI ":
-                    # malformed AVI drops the row (same contract as
+                if (c[:4] == b"RIFF" and c[8:12] == b"AVI ") or c[:6] in (
+                    b"GIF87a", b"GIF89a",
+                ):
+                    # malformed containers drop the row (same contract as
                     # resize_images: sampling is a best-effort projection)
                     try:
-                        sample_real(int(mid), url, c, rows)
+                        seq = (
+                            gif_frames(c)
+                            if c[:3] == b"GIF"
+                            else decode_avi_mjpeg(c)[0]
+                        )
+                        sample_real(int(mid), url, seq, rows)
                     except Exception:  # noqa: BLE001
                         pass
                     continue

@@ -465,3 +465,129 @@ def test_gif_rejects_truncation():
         media.decode_image_array(good[: len(good) // 2])
     with pytest.raises(ValueError):
         media.decode_image_array(b"GIF89a\x00")
+
+
+# --- animated GIF (round-3) --------------------------------------------------
+
+def _gif_pal():
+    import numpy as np
+
+    return np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+
+
+def test_gif_animated_roundtrip_delays_and_pixels():
+    import numpy as np
+
+    pal = _gif_pal()
+    rng = np.random.default_rng(4)
+    frames = [pal[rng.integers(0, 4, (9, 14))] for _ in range(5)]
+    gif = media.encode_gif_animated(frames, delay_ms=250)
+    dec = media._parse_gif_frames(gif)
+    assert [d for d, _ in dec] == [250] * 5
+    for (_, got), want in zip(dec, frames):
+        assert (got == want).all()
+    # still-image decode of an animation = first frame
+    assert (media.decode_image_array(gif) == frames[0]).all()
+
+
+def _hand_gif(image_blocks: list, sw: int = 2, sh: int = 2) -> bytes:
+    """Hand-assembled GIF: 4-color GCT; blocks = (gce|None, rect, indices).
+
+    gce = (disposal, transparent_idx|None); rect = (left, top, w, h).
+    """
+    import struct
+
+    import numpy as np
+
+    pal = np.zeros((4, 3), np.uint8)
+    pal[:4] = _gif_pal()
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0x80 | 1, 0, 0))
+    out += pal.tobytes()
+    for gce, (left, top, w, h), idx in image_blocks:
+        if gce is not None:
+            disposal, tidx = gce
+            flags = (disposal << 2) | (1 if tidx is not None else 0)
+            out += b"\x21\xf9\x04" + struct.pack(
+                "<BHB", flags, 10, tidx if tidx is not None else 0
+            ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out += bytes([2]) + media._gif_lzw_blocks(np.array(idx), 2) + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    import numpy as np
+
+    pal = _gif_pal()
+    gif = _hand_gif(
+        [
+            (None, (0, 0, 2, 2), [1, 1, 1, 1]),  # full red
+            # full-screen delta: top row transparent (idx 2), bottom blue
+            ((0, 2), (0, 0, 2, 2), [2, 2, 3, 3]),
+        ]
+    )
+    dec = media._parse_gif_frames(gif)
+    assert len(dec) == 2
+    want = np.stack([[pal[1], pal[1]], [pal[3], pal[3]]])
+    assert (dec[1][1] == want).all()
+
+
+def test_gif_disposal_background_and_previous():
+    import numpy as np
+
+    pal = _gif_pal()
+    # f1 full red; f2 green 1x1 at (0,0) with disposal=2 (restore bg);
+    # f3 fully transparent -> shows canvas: bg at (0,0), red elsewhere
+    gif = _hand_gif(
+        [
+            (None, (0, 0, 2, 2), [1, 1, 1, 1]),
+            ((2, None), (0, 0, 1, 1), [2]),
+            ((0, 0), (0, 0, 2, 2), [0, 0, 0, 0]),  # idx 0 transparent
+        ]
+    )
+    dec = media._parse_gif_frames(gif)
+    assert (dec[1][1][0, 0] == pal[2]).all()  # green drawn
+    f3 = dec[2][1]
+    assert (f3[0, 0] == pal[0]).all()  # restored to background
+    assert (f3[1, 1] == pal[1]).all()  # red untouched
+    # disposal=3 (restore previous): f3 equals f1
+    gif3 = _hand_gif(
+        [
+            (None, (0, 0, 2, 2), [1, 1, 1, 1]),
+            ((3, None), (0, 0, 1, 1), [2]),
+            ((0, 0), (0, 0, 2, 2), [0, 0, 0, 0]),
+        ]
+    )
+    dec3 = media._parse_gif_frames(gif3)
+    assert (dec3[2][1] == dec3[0][1]).all()
+
+
+def test_gif_animation_through_sample_frames(spark):
+    """Animated GIFs ride the video path: container delays become
+    timestamps, payloads are PNG canvases that feed the image operators."""
+    import numpy as np
+
+    pal = _gif_pal()
+    rng = np.random.default_rng(9)
+    frames = [pal[rng.integers(0, 4, (8, 10))] for _ in range(6)]
+    gif = media.encode_gif_animated(frames, delay_ms=250)
+    df = spark.createDataFrame(
+        [
+            (1, "anim", "video", bytearray(gif), {}),
+            (2, "still-typed-video", "video", bytearray(b"GIF89a\x00"), {}),
+        ],
+        media.MEDIA_SCHEMA,
+    )
+    out = sorted(
+        (r for r in media.sample_frames(df, every_ms=500, max_frames=3).collect()),
+        key=lambda r: r.frame_index,
+    )
+    # malformed GIF row dropped; 250 ms frames sampled at 500 ms -> 0,2,4
+    assert [r.media_id for r in out] == [1, 1, 1]
+    assert [r.ts_ms for r in out] == [0, 500, 1000]
+    for r, want in zip(out, (frames[0], frames[2], frames[4])):
+        arr = media.decode_image_array(bytes(r.frame))
+        assert (arr == want).all()
