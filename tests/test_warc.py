@@ -1,0 +1,129 @@
+"""WARC/WET source: round-trip, gzip layouts, record skipping, lang fallback."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+
+import pytest
+
+from mmkg_rag_spark.sources import pages, warc
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(master="local[4]", shuffle_partitions=8, app_name="pytest-warc")
+
+
+@pytest.fixture(scope="module")
+def page_rows():
+    return pages.gen_pages_local(30)
+
+
+def _parse_all(blob: bytes, **kw):
+    return list(warc.iter_warc_records(io.BytesIO(blob), **kw))
+
+
+def test_record_roundtrip_three_gzip_layouts(page_rows):
+    """Per-member gzip (Common Crawl layout), whole-file gzip, and plain
+    bytes all parse to the identical record sequence."""
+    per_member = warc.write_warc(page_rows)
+    plain = warc.write_warc(page_rows, gzip_per_member=False)
+    whole = gzip.compress(plain)
+    seqs = [_parse_all(b) for b in (per_member, plain, whole)]
+    assert all(len(s) == len(seqs[0]) for s in seqs)
+    for recs in zip(*seqs):
+        assert all(r == recs[0] for r in recs)
+    # warcinfo + (request + response) per page
+    types = [h["warc-type"] for h, _ in seqs[0]]
+    assert types[0] == "warcinfo"
+    assert types.count("response") == len(page_rows)
+    assert types.count("request") == len(page_rows)
+
+
+def test_http_payload_preserves_html_bytes(page_rows):
+    recs = _parse_all(warc.write_warc(page_rows))
+    bodies = [
+        warc._http_payload(block)
+        for h, block in recs
+        if h["warc-type"] == "response"
+    ]
+    assert bodies == [bytes(r["html"]) for r in page_rows]
+
+
+def test_read_warc_matches_pages_table(spark, page_rows, tmp_path_factory):
+    """Spark read of a fixture archive reproduces url/ts/html/text exactly;
+    the synthetic inverse extractor fires (north-star byte-identity)."""
+    d = tmp_path_factory.mktemp("warc")
+    # two archive files -> two input tasks
+    (d / "part-0.warc.gz").write_bytes(warc.write_warc(page_rows[:17]))
+    (d / "part-1.warc.gz").write_bytes(warc.write_warc(page_rows[17:]))
+    out = warc.read_warc(spark, str(d / "*.warc.gz")).orderBy("url").collect()
+    want = sorted(page_rows, key=lambda r: r["url"])
+    assert len(out) == len(want)
+    for got, src in zip(out, want):
+        assert got.url == src["url"]
+        assert got.warc_ts == src["warc_ts"].replace(tzinfo=None)
+        assert bytes(got.html) == bytes(src["html"])
+        assert got.text == src["text"]  # byte-identical extraction
+        assert got.lang == "en"  # no header -> detector (FILLER is English)
+
+
+def test_read_wet_lang_header_wins(spark, page_rows, tmp_path):
+    rows = [dict(r, lang="de") for r in page_rows[:5]]
+    p = tmp_path / "a.warc.wet.gz"
+    p.write_bytes(warc.write_wet(rows))
+    out = warc.read_warc(spark, str(p)).orderBy("url").collect()
+    assert [r.lang for r in out] == ["de"] * 5  # header beats detector
+    assert all(r.html is None for r in out)
+    assert sorted(r.text for r in out) == sorted(r["text"] for r in rows[:5])
+
+
+def test_strip_html_generic_fallback():
+    wild = (
+        b"<html><head><style>p{color:red}</style>"
+        b"<script>var x = '<p>not text</p>';</script></head>"
+        b"<body><h1>Title</h1><p>Alpha &amp; beta<br>gamma</p>"
+        b"<div>Delta</div></body></html>"
+    )
+    text = warc.extract_text(wild)
+    assert "Title" in text and "Alpha & beta\ngamma" in text and "Delta" in text
+    assert "color" not in text and "not text" not in text
+
+
+def test_lenient_stops_on_truncation(page_rows):
+    blob = warc.write_warc(page_rows[:3], gzip_per_member=False)
+    cut = blob[: len(blob) - len(blob) // 4]
+    with pytest.raises(Exception):
+        _parse_all(cut)
+    recs = _parse_all(cut, lenient=True)
+    assert 0 < len(recs) < 7  # parsed the intact prefix, stopped quietly
+
+
+def test_header_case_and_nonseekable_stream(page_rows):
+    blob = warc.write_warc(page_rows[:2]).replace(b"WARC-Type", b"wArC-tYpE")
+
+    class NoSeek(io.RawIOBase):
+        def __init__(self, b):
+            self._b = io.BytesIO(b)
+
+        def readable(self):
+            return True
+
+        def readinto(self, buf):
+            data = self._b.read(len(buf))
+            buf[: len(data)] = data
+            return len(data)
+
+    recs = list(warc.iter_warc_records(io.BufferedReader(NoSeek(blob))))
+    assert [h["warc-type"] for h, _ in recs].count("response") == 2
+
+
+def test_warc_date_fractional_seconds():
+    ts = warc.parse_warc_date("2025-03-01T12:34:56.123456Z")
+    assert ts == dt.datetime(
+        2025, 3, 1, 12, 34, 56, 123456, tzinfo=dt.timezone.utc
+    )
