@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--sf-dir", default=None,
                     help="derive pages from this testdata dir instead of --n-docs")
+    ap.add_argument("--warc", default=None, metavar="GLOB",
+                    help="build pages from WARC/WET crawl archives (path, "
+                         "glob, or inventory file list) instead of synthetic "
+                         "generation — the Common Crawl ingestion path")
     ap.add_argument("--warehouse", default="./warehouse")
     ap.add_argument("--chunk-size", type=int, default=8000)
     ap.add_argument("--overlap", type=int, default=400)
@@ -86,7 +90,15 @@ def main(argv: list[str] | None = None) -> int:
     catalog = ParquetCatalog(spark, args.warehouse)
 
     # -- stage 1: pages ----------------------------------------------------
-    if args.sf_dir:
+    if args.warc:
+        from mmkg_rag_spark.sources.warc import read_warc
+
+        pages_fp = fingerprint("pages", "warc", args.warc)
+        pages = _stage(
+            catalog, "pages", pages_fp, "-",
+            lambda: read_warc(spark, args.warc), args.force,
+        )
+    elif args.sf_dir:
         from mmkg_rag_spark.sources.docpages import pages_from_documents
 
         pages_fp = fingerprint("pages", "sf", args.sf_dir)
@@ -101,15 +113,20 @@ def main(argv: list[str] | None = None) -> int:
             lambda: gen_pages_df(spark, args.n_docs, args.seed), args.force,
         )
 
+    # WARC pages already carry extracted text (WET rows have no html at
+    # all); synthetic/sf pages re-derive it from html to exercise the
+    # byte-identity kernel.
+    def _texted():
+        if args.warc:
+            return pages.select("url", "text")
+        return with_text(pages).select("url", "text")
+
     # -- stage 2: mention extraction (map-only) ----------------------------
     mentions_fp = fingerprint("mentions", args.chunk_size, args.overlap, pages_fp)
     mentions = _stage(
         catalog, "mentions", mentions_fp, pages_fp,
         lambda: extract_mentions(
-            chunk_pages(
-                with_text(pages).select("url", "text"),
-                args.chunk_size, args.overlap,
-            )
+            chunk_pages(_texted(), args.chunk_size, args.overlap)
         ),
         args.force,
     )
@@ -155,7 +172,7 @@ def main(argv: list[str] | None = None) -> int:
     def _image_edges():
         manifest = spark.createDataFrame([(p,) for p in image_manifest()], "path string")
         inst = filter_valid_images(
-            extract_image_instances(with_text(pages).select("url", "text")), manifest
+            extract_image_instances(_texted()), manifest
         )
         top = score_image_entities(describe_images(inst), nodes)
         return link_images(top)
@@ -172,8 +189,7 @@ def main(argv: list[str] | None = None) -> int:
                 [(p,) for p in image_manifest()], "path string"
             )
             inst = filter_valid_images(
-                extract_image_instances(with_text(pages).select("url", "text")),
-                manifest,
+                extract_image_instances(_texted()), manifest
             )
             return images_table(describe_images(inst))
 

@@ -127,3 +127,28 @@ def test_warc_date_fractional_seconds():
     assert ts == dt.datetime(
         2025, 3, 1, 12, 34, 56, 123456, tzinfo=dt.timezone.utc
     )
+
+
+def test_kg_build_from_warc_equals_synthetic(spark, tmp_path_factory):
+    """`run.py --warc` produces the same graph as the synthetic generator
+    over the same 30 pages: WARC round-trips carry the full KG pipeline."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from mmkg_rag_spark.run import main
+
+    d = tmp_path_factory.mktemp("warc-e2e")
+    (d / "crawl.warc.gz").write_bytes(warc.write_warc(pages.gen_pages_local(30)))
+
+    def summary(args):
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            assert main(args + ["--master", "local[4]"]) == 0
+        lines = buf.getvalue().splitlines()
+        return lines[lines.index("top degrees:") - 1 :]
+
+    wh1 = str(tmp_path_factory.mktemp("wh-warc"))
+    wh2 = str(tmp_path_factory.mktemp("wh-gen"))
+    s_warc = summary(["--warc", str(d / "crawl.warc.gz"), "--warehouse", wh1])
+    s_gen = summary(["--n-docs", "30", "--warehouse", wh2])
+    assert s_warc == s_gen  # identical node/edge counts and degree ranking
