@@ -924,13 +924,14 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one row per sampled frame.
 
-    REAL for MJPEG AVI (`kernels/avi.py`) and animated GIF: the container
-    is parsed, frame timestamps come from the stream header (AVI fps /
-    GIF per-frame delays, zero delays clamped to the 100 ms browser
-    convention), and the emitted ``frame`` payloads are actual images —
-    per-frame JPEGs for AVI, PNG-encoded composited canvases for GIF —
-    decodable by `decode_image_array`, so thumbnails/embeddings compose
-    downstream. Sampling keeps the first frame at or after each
+    REAL for MJPEG AVI (`kernels/avi.py`), animated GIF, and YUV4MPEG2
+    raw video (`kernels/y4m.py`): the container is parsed, frame
+    timestamps come from the stream header (AVI fps / GIF per-frame
+    delays with zero delays clamped to the 100 ms browser convention /
+    Y4M F-rate), and the emitted ``frame`` payloads are actual images —
+    per-frame JPEGs for AVI, PNG-encoded composited canvases for GIF,
+    PNG-encoded BT.601 conversions for Y4M — decodable by
+    `decode_image_array`, so thumbnails/embeddings compose downstream. Sampling keeps the first frame at or after each
     ``every_ms`` boundary, up to ``max_frames``. Inter-frame codecs fall
     back to the disclosed deterministic stub (duration from the payload
     hash, sha256(content||index) frame payloads) — the fan-out shape (one
@@ -959,6 +960,12 @@ def sample_frames(
                 yield ts, encode_png(canvas)
                 ts += delay_ms if delay_ms > 0 else 100
 
+        def y4m_frames(c: bytes):
+            from mmkg_rag_spark.kernels.y4m import decode_y4m
+
+            for ts_ms, rgb in decode_y4m(c)[0]:
+                yield ts_ms, encode_png(rgb)
+
         for pdf in batches:
             rows = []
             for mid, url, content, mtype in zip(
@@ -967,17 +974,20 @@ def sample_frames(
                 if mtype != "video":
                     continue
                 c = bytes(content)
-                if (c[:4] == b"RIFF" and c[8:12] == b"AVI ") or c[:6] in (
-                    b"GIF87a", b"GIF89a",
+                if (
+                    (c[:4] == b"RIFF" and c[8:12] == b"AVI ")
+                    or c[:6] in (b"GIF87a", b"GIF89a")
+                    or c[:9] == b"YUV4MPEG2"
                 ):
                     # malformed containers drop the row (same contract as
                     # resize_images: sampling is a best-effort projection)
                     try:
-                        seq = (
-                            gif_frames(c)
-                            if c[:3] == b"GIF"
-                            else decode_avi_mjpeg(c)[0]
-                        )
+                        if c[:3] == b"GIF":
+                            seq = gif_frames(c)
+                        elif c[:9] == b"YUV4MPEG2":
+                            seq = y4m_frames(c)
+                        else:
+                            seq = decode_avi_mjpeg(c)[0]
                         sample_real(int(mid), url, seq, rows)
                     except Exception:  # noqa: BLE001
                         pass
