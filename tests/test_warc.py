@@ -152,3 +152,51 @@ def test_kg_build_from_warc_equals_synthetic(spark, tmp_path_factory):
     s_warc = summary(["--warc", str(d / "crawl.warc.gz"), "--warehouse", wh1])
     s_gen = summary(["--n-docs", "30", "--warehouse", wh2])
     assert s_warc == s_gen  # identical node/edge counts and degree ranking
+
+
+def test_export_warc_cdx_roundtrip_and_ranged_fetch(spark, page_rows, tmp_path_factory):
+    """Distributed export mirrors the reader; CDX offsets support ranged
+    record fetch; the CDXJ file is globally sorted on (surt, ts)."""
+    import json
+
+    d = str(tmp_path_factory.mktemp("warc-out"))
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], "en") for r in page_rows],
+        pages.PAGES_SCHEMA,
+    ).repartition(3)
+    cdx = warc.export_warc(df, d).cache()
+    rows = cdx.collect()
+    assert len(rows) == len(page_rows)
+    assert len({r.filename for r in rows}) == 3  # one archive per partition
+
+    # reader round-trip over the exported archives
+    back = warc.read_warc(spark, d + "/*.warc.gz").orderBy("url").collect()
+    want = sorted(page_rows, key=lambda r: r["url"])
+    assert [b.url for b in back] == [w["url"] for w in want]
+    assert all(bytes(b.html) == bytes(w["html"]) for b, w in zip(back, want))
+    assert all(b.text == w["text"] for b, w in zip(back, want))
+
+    # ranged fetch: every CDX row resolves to its exact record
+    for r in rows[:5]:
+        headers, block = warc.fetch_record(d, r)
+        assert headers["warc-target-uri"] == r.url
+        assert warc._http_payload(block) == bytes(
+            next(w for w in page_rows if w["url"] == r.url)["html"]
+        )
+
+    # sorted CDXJ artifact
+    idx = d + "/index.cdxj"
+    warc.write_cdx(cdx, idx)
+    lines = open(idx).read().splitlines()
+    assert len(lines) == len(page_rows)
+    keys = [(ln.split(" ", 2)[0], ln.split(" ", 2)[1]) for ln in lines]
+    assert keys == sorted(keys)
+    meta = json.loads(lines[0].split(" ", 2)[2])
+    assert set(meta) == {"url", "digest", "offset", "length", "filename"}
+    assert meta["digest"].startswith("sha1:")
+
+
+def test_surt_keys_cluster_by_site():
+    assert warc.surt("https://ex3.test/doc/5") == "test,ex3)/doc/5"
+    assert warc.surt("http://A.B.example.ORG/x?q=1") == "org,example,b,a)/x?q=1"
+    assert warc.surt("https://host.test") == "test,host)/"
