@@ -521,3 +521,66 @@ def fetch_record(archive_dir: str, cdx_row) -> tuple[dict[str, str], bytes]:
     if len(recs) != 1:
         raise ValueError("CDX range did not contain exactly one record")
     return recs[0]
+
+
+# --- incremental (manifest-diff) ingestion ----------------------------------
+
+
+def ingest_warc(spark, catalog, paths, *, table: str = "pages_warc",
+                lenient: bool = False):
+    """Idempotent file-level incremental ingestion of crawl archives.
+
+    Auto-loader pattern over the snapshot catalog: each call lists the
+    archive inventory, diffs it against the union of files recorded in
+    ``table``'s committed snapshot metadata, parses ONLY the new files
+    (`read_warc`), and commits them as one new snapshot whose meta records
+    exactly which ``(path, size)`` pairs it covers. Crash-safe by the
+    catalog's data-before-manifest commit: a death mid-ingest leaves no
+    manifest entry, and the re-run re-parses the same new files into the
+    same snapshot id (overwrite-idempotent). Archives are immutable by
+    convention (Common Crawl never rewrites), so ``(path, size)`` is the
+    identity; a size change is treated as a new file.
+
+    Returns ``(new_pages, all_pages, n_new_files)`` — ``new_pages`` is None
+    when the inventory is fully ingested (a no-op call). Feed ``new_pages``
+    through extract → `operators.incremental.incremental_canonicalize` for
+    O(batch + graph) KG growth, never O(corpus).
+    """
+    import os
+
+    if isinstance(paths, str):
+        files = sorted(_glob.glob(paths)) if _glob.has_magic(paths) else [paths]
+    else:
+        files = sorted(paths)
+    inventory = [(p, os.path.getsize(p)) for p in files]
+
+    seen: set[tuple[str, int]] = set()
+    for snap in catalog.snapshots(table):
+        # catalog spreads meta into the manifest entry (catalog.py:_commit)
+        for p, sz in snap.get("files", []):
+            seen.add((p, int(sz)))
+    new = [(p, sz) for p, sz in inventory if (p, sz) not in seen]
+
+    def _all_pages():
+        snaps = catalog.snapshots(table)
+        if not snaps:
+            return None
+        dfs = [catalog.read(table, s["id"]) for s in snaps]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    if not new:
+        return None, _all_pages(), 0
+
+    snap_id = fingerprint_files(new)
+    df = read_warc(spark, [p for p, _ in new], lenient=lenient)
+    catalog.write(df, table, snap_id, meta={"files": [[p, sz] for p, sz in new]})
+    return catalog.read(table, snap_id), _all_pages(), len(new)
+
+
+def fingerprint_files(files: list[tuple[str, int]]) -> str:
+    """Deterministic snapshot id for a set of (path, size) pairs."""
+    raw = "\n".join(f"{p}:{sz}" for p, sz in sorted(files))
+    return hashlib.sha256(raw.encode()).hexdigest()[:16]

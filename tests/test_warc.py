@@ -200,3 +200,33 @@ def test_surt_keys_cluster_by_site():
     assert warc.surt("https://ex3.test/doc/5") == "test,ex3)/doc/5"
     assert warc.surt("http://A.B.example.ORG/x?q=1") == "org,example,b,a)/x?q=1"
     assert warc.surt("https://host.test") == "test,host)/"
+
+
+def test_ingest_warc_incremental_manifest_diff(spark, page_rows, tmp_path_factory):
+    """File-level auto-loader: only new archives parse; no-op when the
+    inventory is fully ingested; snapshots union to the full table."""
+    from mmkg_rag_spark.sources.catalog import ParquetCatalog
+
+    d = tmp_path_factory.mktemp("warc-inc")
+    wh = str(tmp_path_factory.mktemp("wh-inc"))
+    catalog = ParquetCatalog(spark, wh)
+    (d / "a.warc.gz").write_bytes(warc.write_warc(page_rows[:10]))
+    (d / "b.warc.gz").write_bytes(warc.write_warc(page_rows[10:20]))
+
+    glob_pat = str(d / "*.warc.gz")
+    new1, all1, n1 = warc.ingest_warc(spark, catalog, glob_pat)
+    assert n1 == 2 and new1.count() == 20 and all1.count() == 20
+
+    # no-op call: nothing new, no extra snapshot
+    new2, all2, n2 = warc.ingest_warc(spark, catalog, glob_pat)
+    assert n2 == 0 and new2 is None and all2.count() == 20
+    assert len(catalog.snapshots("pages_warc")) == 1
+
+    # a third archive arrives: only IT parses
+    (d / "c.warc.gz").write_bytes(warc.write_warc(page_rows[20:]))
+    new3, all3, n3 = warc.ingest_warc(spark, catalog, glob_pat)
+    assert n3 == 1 and new3.count() == 10 and all3.count() == 30
+    assert len(catalog.snapshots("pages_warc")) == 2
+    assert sorted(r.url for r in new3.collect()) == sorted(
+        r["url"] for r in page_rows[20:]
+    )
