@@ -42,6 +42,7 @@ import glob as _glob
 import gzip
 import hashlib
 import io
+import os as _os
 import re
 from typing import Iterator
 
@@ -143,17 +144,48 @@ class _Prefixed(io.RawIOBase):
 
 
 def _http_payload(block: bytes) -> bytes:
-    """HTTP message block → body bytes (headers dropped).
+    """HTTP message block → body bytes (headers dropped, chunking removed).
 
     Content-Length in the HTTP headers is advisory here: the WARC record
     length already bounds the block, and crawlers routinely store truncated
     bodies, so everything after the header terminator is the payload.
+    Crawlers also store ``Transfer-Encoding: chunked`` bodies verbatim
+    (the WARC block is the wire bytes) — those are de-framed so the caller
+    always sees the entity body; a malformed chunk stream falls back to
+    the raw bytes rather than dropping the record.
     """
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         sep = block.find(b"\n\n")
-        return block[sep + 2 :] if sep >= 0 else block
-    return block[sep + 4 :]
+        if sep < 0:
+            return block
+        head, body = block[:sep], block[sep + 2 :]
+    else:
+        head, body = block[:sep], block[sep + 4 :]
+    if b"chunked" in head.lower() and b"transfer-encoding" in head.lower():
+        try:
+            return _dechunk(body)
+        except ValueError:
+            return body
+    return body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked framing → entity bytes (trailers dropped)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("bad chunk size line")
+        size = int(body[pos:nl].split(b";")[0], 16)  # ignore chunk extensions
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are ignored
+        if pos + size > len(body):
+            raise ValueError("truncated chunk")
+        out += body[pos : pos + size]
+        pos += size + 2  # chunk data CRLF
 
 
 def parse_warc_date(s: str) -> dt.datetime:
@@ -334,7 +366,16 @@ def read_warc(spark, paths, *, lenient: bool = False):
     from mmkg_rag_spark.functions.textstats import lang_id
 
     if isinstance(paths, str):
-        files = sorted(_glob.glob(paths)) if _glob.has_magic(paths) else [paths]
+        if _glob.has_magic(paths):
+            files = sorted(_glob.glob(paths))
+        elif _os.path.isdir(paths):
+            files = sorted(
+                p
+                for pat in ("*.warc", "*.warc.gz", "*.wet", "*.wet.gz")
+                for p in _glob.glob(_os.path.join(paths, pat))
+            )
+        else:
+            files = [paths]
     else:
         files = list(paths)
     if not files:

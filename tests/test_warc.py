@@ -72,6 +72,18 @@ def test_read_warc_matches_pages_table(spark, page_rows, tmp_path_factory):
         assert got.lang == "en"  # no header -> detector (FILLER is English)
 
 
+def test_read_warc_directory_path(spark, page_rows, tmp_path):
+    """A bare directory expands to its *.warc*/*.wet* members (mixed
+    formats), instead of raising IsADirectoryError inside a task."""
+    (tmp_path / "a.warc.gz").write_bytes(warc.write_warc(page_rows[:3]))
+    (tmp_path / "b.wet").write_bytes(warc.write_wet(page_rows[3:5]))
+    (tmp_path / "notes.txt").write_text("ignored")
+    out = warc.read_warc(spark, str(tmp_path)).orderBy("url").collect()
+    assert sorted(r.url for r in out) == sorted(
+        r["url"] for r in page_rows[:5]
+    )
+
+
 def test_read_wet_lang_header_wins(spark, page_rows, tmp_path):
     rows = [dict(r, lang="de") for r in page_rows[:5]]
     p = tmp_path / "a.warc.wet.gz"
@@ -230,3 +242,55 @@ def test_ingest_warc_incremental_manifest_diff(spark, page_rows, tmp_path_factor
     assert sorted(r.url for r in new3.collect()) == sorted(
         r["url"] for r in page_rows[20:]
     )
+
+
+def test_http_payload_dechunks_transfer_encoding():
+    body = b"5\r\nHello\r\n8\r\n, chunky\r\n0\r\nX-Trailer: t\r\n\r\n"
+    block = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Type: text/html\r\n\r\n" + body
+    )
+    assert warc._http_payload(block) == b"Hello, chunky"
+    # chunk extensions ignored; malformed stream falls back to raw bytes
+    ext = block.replace(b"5\r\n", b"5;ext=1\r\n")
+    assert warc._http_payload(ext) == b"Hello, chunky"
+    broken = block[:-20]
+    assert warc._http_payload(broken) == body[:-20]
+    # non-chunked messages untouched
+    plain = b"HTTP/1.1 200 OK\r\n\r\nHello"
+    assert warc._http_payload(plain) == b"Hello"
+
+
+def test_warc_record_framing_property():
+    """Hypothesis: arbitrary payload bytes survive the write->parse cycle
+    in every gzip layout, including payloads containing CRLFs and fake
+    WARC version lines."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        payloads=st.lists(
+            st.binary(min_size=0, max_size=400), min_size=1, max_size=4
+        ),
+        per_member=st.booleans(),
+    )
+    def check(payloads, per_member):
+        import datetime as _dt
+
+        rows = [
+            {
+                "url": f"https://h{i}.test/p",
+                "warc_ts": _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc),
+                "html": p,
+            }
+            for i, p in enumerate(payloads)
+        ]
+        blob = warc.write_warc(rows, gzip_per_member=per_member,
+                               with_requests=False)
+        recs = [
+            (h, b) for h, b in _parse_all(blob) if h["warc-type"] == "response"
+        ]
+        assert [warc._http_payload(b) for _, b in recs] == payloads
+
+    check()
