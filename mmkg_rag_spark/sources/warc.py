@@ -346,6 +346,58 @@ def write_wet(rows: list[dict], *, gzip_per_member: bool = True) -> bytes:
 # --- Spark entry point ------------------------------------------------------
 
 
+def _archive_rows(fh, lenient: bool):
+    """One archive stream → (url, ts, html, text, lang) page tuples."""
+    for headers, block in iter_warc_records(fh, lenient=lenient):
+        rtype = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri", "")
+        if rtype == "response":
+            html = _http_payload(block)
+            text = extract_text(html)
+        elif rtype == "conversion":
+            html = None
+            text = block.decode("utf-8", "replace")
+        else:
+            continue
+        yield (
+            url,
+            parse_warc_date(headers["warc-date"]),
+            html,
+            text,
+            headers.get("warc-identified-content-language"),
+        )
+
+
+def _local_path(p: str) -> str:
+    """Strip a file: URI scheme (binaryFile source emits URIs)."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
+
+
+def _paths_to_pages_gen(lenient: bool):
+    """mapInPandas generator: batches of path strings → pages rows.
+
+    Bytes stream inside the task (records are parsed one at a time from
+    the file handle); only path strings cross the shuffle/stream boundary.
+    """
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                with open(_local_path(path), "rb") as fh:
+                    rows.extend(_archive_rows(fh, lenient))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return gen
+
+
 def read_warc(spark, paths, *, lenient: bool = False):
     """WARC/WET archives → the ``input_hint`` pages DataFrame.
 
@@ -360,7 +412,6 @@ def read_warc(spark, paths, *, lenient: bool = False):
     else the native stopword detector — a JVM-side expression appended to
     the same single map stage.
     """
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from mmkg_rag_spark.functions.textstats import lang_id
@@ -381,41 +432,108 @@ def read_warc(spark, paths, *, lenient: bool = False):
     if not files:
         raise ValueError("read_warc: no input files")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for path in pdf["path"]:
-                with open(path, "rb") as fh:
-                    for headers, block in iter_warc_records(fh, lenient=lenient):
-                        rtype = headers.get("warc-type", "")
-                        url = headers.get("warc-target-uri", "")
-                        if rtype == "response":
-                            html = _http_payload(block)
-                            text = extract_text(html)
-                        elif rtype == "conversion":
-                            html = None
-                            text = block.decode("utf-8", "replace")
-                        else:
-                            continue
-                        rows.append(
-                            (
-                                url,
-                                parse_warc_date(headers["warc-date"]),
-                                html,
-                                text,
-                                headers.get("warc-identified-content-language"),
-                            )
-                        )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
-
+    gen = _paths_to_pages_gen(lenient)
     n_part = min(len(files), spark.sparkContext.defaultParallelism)
     inventory = spark.createDataFrame([(p,) for p in files], "path string")
     if len(files) > 1:
         inventory = inventory.repartition(n_part)
     df = inventory.mapInPandas(gen, schema=_pages.PAGES_SCHEMA)
     return df.withColumn("lang", F.coalesce(F.col("lang"), lang_id(F.col("text"))))
+
+
+# --- streaming (continuous auto-loader) --------------------------------------
+
+# binaryFile's fixed source schema, declared explicitly so the stream needs
+# no inference pass; we only ever SELECT ``path`` from it, and the source
+# prunes ``content`` — archive bytes never ride the stream, each task
+# re-opens its files and parses records one at a time.
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+_ARCHIVE_GLOB = "*.{warc,warc.gz,wet,wet.gz}"
+
+
+def stream_warc(spark, input_dir: str, *, lenient: bool = False,
+                max_files_per_trigger: int | None = None):
+    """Streaming pages DataFrame over a landing directory of crawl archives.
+
+    Auto-loader shape: the ``binaryFile`` file-stream source provides
+    exactly-once *file discovery* (seen-files tracked in the stream
+    checkpoint); only ``path`` is projected, then the same per-file parser
+    as the batch `read_warc` turns each discovered archive into pages rows
+    inside the micro-batch task. Downstream this composes with the whole
+    streaming KG path (`streaming.stream_build` accepts any pages stream).
+    """
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.functions.textstats import lang_id
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", _ARCHIVE_GLOB)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    paths = reader.load(input_dir).select("path")
+    df = paths.mapInPandas(_paths_to_pages_gen(lenient), schema=_pages.PAGES_SCHEMA)
+    return df.withColumn("lang", F.coalesce(F.col("lang"), lang_id(F.col("text"))))
+
+
+def stream_ingest_warc(spark, input_dir: str, warehouse: str,
+                       checkpoint_dir: str, *, table: str = "pages_warc",
+                       lenient: bool = False, available_now: bool = True,
+                       max_files_per_trigger: int = 4):
+    """Continuous crawl ingestion: archives → catalog snapshots, exactly-once.
+
+    Push-style twin of the poll/diff `ingest_warc`: Spark's file-stream
+    checkpoint decides WHICH files form each micro-batch; the snapshot id
+    is the content fingerprint of that file set, so a replayed batch
+    (restart after crash) finds its snapshot committed and no-ops, and a
+    crash mid-write leaves no manifest entry (data-before-manifest commit).
+    Snapshots record the same ``files`` meta as `ingest_warc`, so the two
+    loaders interoperate on one table: a later batch `ingest_warc` call
+    skips files the stream already committed, and vice versa.
+
+    ``available_now=True`` drains the current inventory then stops
+    (backfill/test mode); False keeps watching until ``query.stop()``.
+    Returns the streaming query.
+    """
+    from mmkg_rag_spark.sources.catalog import ParquetCatalog
+
+    catalog = ParquetCatalog(spark, warehouse)
+    paths = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", _ARCHIVE_GLOB)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+        .select("path")
+    )
+
+    def ingest(batch_df, batch_id: int) -> None:
+        files = sorted(_local_path(r.path) for r in batch_df.collect())
+        if not files:
+            return
+        sized = [(p, _os.path.getsize(p)) for p in files]
+        snap = fingerprint_files(sized)
+        if catalog.has_snapshot(table, snap):
+            return
+        df = read_warc(spark, files, lenient=lenient)
+        catalog.write(
+            df, table, snap,
+            meta={"batch_id": batch_id, "files": [[p, sz] for p, sz in sized]},
+        )
+
+    writer = (
+        paths.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="2 seconds").start()
 
 
 # --- distributed export + CDX index ----------------------------------------

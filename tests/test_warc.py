@@ -244,6 +244,71 @@ def test_ingest_warc_incremental_manifest_diff(spark, page_rows, tmp_path_factor
     )
 
 
+def test_stream_warc_matches_batch_read(spark, page_rows, tmp_path_factory):
+    """Streaming discovery of a landing dir yields the same pages rows as
+    the batch read; non-archive files are glob-filtered out."""
+    d = tmp_path_factory.mktemp("warc-stream")
+    (d / "a.warc.gz").write_bytes(warc.write_warc(page_rows[:12]))
+    (d / "b.wet").write_bytes(warc.write_wet(page_rows[12:20], gzip_per_member=False))
+    (d / "ignore.txt").write_bytes(b"not an archive")
+
+    q = (
+        warc.stream_warc(spark, str(d), max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("stream_warc_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select url, text from stream_warc_t order by url"
+    ).collect()
+    want = (
+        warc.read_warc(spark, [str(d / "a.warc.gz"), str(d / "b.wet")])
+        .select("url", "text")
+        .orderBy("url")
+        .collect()
+    )
+    assert len(got) == 20 and got == want
+
+
+def test_stream_ingest_warc_exactly_once_and_interop(
+    spark, page_rows, tmp_path_factory
+):
+    """Continuous ingestion commits idempotent snapshots keyed by file
+    fingerprints, resumes from the checkpoint (new files only), and
+    interoperates with the batch manifest-diff loader on the same table."""
+    from mmkg_rag_spark.sources.catalog import ParquetCatalog
+
+    d = tmp_path_factory.mktemp("warc-si")
+    wh = str(tmp_path_factory.mktemp("wh-si"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt-si"))
+    catalog = ParquetCatalog(spark, wh)
+    (d / "a.warc.gz").write_bytes(warc.write_warc(page_rows[:10]))
+    (d / "b.warc.gz").write_bytes(warc.write_warc(page_rows[10:20]))
+
+    warc.stream_ingest_warc(spark, str(d), wh, ckpt, max_files_per_trigger=1)
+    snaps1 = catalog.snapshots("pages_warc")
+    assert len(snaps1) == 2  # one file per trigger -> one snapshot per batch
+    assert sum(catalog.read("pages_warc", s["id"]).count() for s in snaps1) == 20
+
+    # drained re-run: checkpoint knows both files; no new snapshots
+    warc.stream_ingest_warc(spark, str(d), wh, ckpt)
+    assert len(catalog.snapshots("pages_warc")) == 2
+
+    # new arrival: exactly one new snapshot with only its rows
+    (d / "c.warc.gz").write_bytes(warc.write_warc(page_rows[20:]))
+    warc.stream_ingest_warc(spark, str(d), wh, ckpt)
+    snaps3 = catalog.snapshots("pages_warc")
+    assert len(snaps3) == 3
+    newest = max(snaps3, key=lambda s: s["seq"])
+    assert catalog.read("pages_warc", newest["id"]).count() == 10
+
+    # interop: the batch loader sees every streamed file as already ingested
+    new, all_pages, n = warc.ingest_warc(spark, catalog, str(d / "*.warc.gz"))
+    assert n == 0 and new is None and all_pages.count() == 30
+
+
 def test_http_payload_dechunks_transfer_encoding():
     body = b"5\r\nHello\r\n8\r\n, chunky\r\n0\r\nX-Trailer: t\r\n\r\n"
     block = (
