@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="build pages from WARC/WET crawl archives (path, "
                          "glob, or inventory file list) instead of synthetic "
                          "generation — the Common Crawl ingestion path")
+    ap.add_argument("--stream-warc", default=None, metavar="DIR",
+                    help="continuous mode: watch DIR for WARC/WET archives "
+                         "and fold each micro-batch into the stored graph "
+                         "(drains what's present, then exits; re-run to "
+                         "resume from the checkpoint — only new archives "
+                         "are processed)")
     ap.add_argument("--warehouse", default="./warehouse")
     ap.add_argument("--chunk-size", type=int, default=8000)
     ap.add_argument("--overlap", type=int, default=400)
@@ -88,6 +94,21 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master, app_name="kg-build")
     catalog = ParquetCatalog(spark, args.warehouse)
+
+    if args.stream_warc:
+        import os
+
+        from mmkg_rag_spark.streaming import stream_build
+
+        ckpt = os.path.join(args.warehouse, "_stream_warc_ckpt")
+        q = stream_build(spark, args.stream_warc, args.warehouse, ckpt,
+                         available_now=True, source="warc")
+        q.awaitTermination()
+        n = catalog.read("nodes").count()
+        e = catalog.read("edges").count()
+        print(f"[stream] graph now {n} nodes / {e} edges "
+              f"(warehouse {args.warehouse})")
+        return 0
 
     # -- stage 1: pages ----------------------------------------------------
     if args.warc:

@@ -109,18 +109,33 @@ def stream_build(
     max_files_per_trigger: int = 4,
     extractor_factory=None,
     loop: int = 1,
+    source: str = "parquet",
 ):
-    """Continuous construction: watch ``input_dir`` for new pages parquet.
+    """Continuous construction: watch ``input_dir`` for new pages files.
 
-    ``available_now=True`` drains everything currently present then stops
-    (test/backfill mode); False runs until ``query.stop()``.
+    ``source="parquet"`` watches a pages-parquet landing dir;
+    ``source="warc"`` watches raw WARC/WET crawl archives instead
+    (sources/warc.stream_warc: file discovery streams path strings only,
+    parsing + text extraction run inside the micro-batch task) — the whole
+    crawl→KG path as one resumable stream. ``available_now=True`` drains
+    everything currently present then stops (test/backfill mode); False
+    runs until ``query.stop()``.
     """
     catalog = ParquetCatalog(spark, warehouse)
-    stream = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    if source == "warc":
+        from .sources.warc import stream_warc
+
+        stream = stream_warc(
+            spark, input_dir, max_files_per_trigger=max_files_per_trigger
+        )
+    elif source == "parquet":
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+        )
+    else:
+        raise ValueError(f"stream_build: unknown source {source!r}")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         process_pages_batch(

@@ -62,6 +62,38 @@ def test_stream_equals_batch(spark, tmp_path_factory):
     assert len(cat.snapshots("nodes")) == n_before
 
 
+def test_stream_build_from_warc_equals_batch(spark, tmp_path_factory):
+    """source='warc': continuous KG construction straight off a crawl-archive
+    landing dir matches the batch build over the same archives."""
+    from mmkg_rag_spark.sources import warc
+    from mmkg_rag_spark.sources.pages import gen_pages_local
+
+    root = tmp_path_factory.mktemp("stream-warc")
+    in_dir = root / "in"
+    in_dir.mkdir()
+    wh, ckpt = str(root / "wh"), str(root / "ckpt")
+    rows = gen_pages_local(24)
+    (in_dir / "a.warc.gz").write_bytes(warc.write_warc(rows[:12]))
+    (in_dir / "b.warc.gz").write_bytes(warc.write_warc(rows[12:]))
+
+    q = stream_build(spark, str(in_dir), wh, ckpt, available_now=True,
+                     max_files_per_trigger=1, source="warc")
+    q.awaitTermination(300)
+
+    cat = ParquetCatalog(spark, wh)
+    got_nodes = {(r.name, r.label) for r in cat.read("nodes").collect()}
+    got_edges = {(r.source, r.label, r.target) for r in cat.read("edges").collect()}
+
+    pages = warc.read_warc(
+        spark, [str(in_dir / "a.warc.gz"), str(in_dir / "b.warc.gz")]
+    )
+    em, rm = split_mentions(extract_mentions(chunk_pages(pages.select("url", "text"))))
+    nodes_b, mapping = canonicalize_entities(em)
+    edges_b = remap_and_merge_relations(rm, mapping)
+    assert got_nodes == {(r.name, r.label) for r in nodes_b.collect()}
+    assert got_edges == {(r.source, r.label, r.target) for r in edges_b.collect()}
+
+
 def test_normalize_image_refs(spark):
     pages = spark.createDataFrame(
         [("u1", "a ![x](images/p.png)\nb ![y](q.gif)"), ("u2", "no images")],
