@@ -638,31 +638,98 @@ def export_warc(pages, out_dir: str):
     return src.mapInPandas(gen, schema=schema)
 
 
+def _cdxj_line(surt_key, warc_ts, url, digest, offset, length, filename) -> str:
+    import json
+
+    meta = {
+        "url": url, "digest": digest, "offset": str(offset),
+        "length": str(length), "filename": filename,
+    }
+    ts = warc_ts.strftime("%Y%m%d%H%M%S")
+    return f"{surt_key} {ts} {json.dumps(meta, sort_keys=True)}"
+
+
 def write_cdx(cdx, path: str) -> None:
     """CDX rows → one globally sorted CDXJ text file (+ parquet twin).
 
     Global sort on ``(surt_key, warc_ts)`` — the property CDX lookups
     binary-search on. The text file is the interchange artifact; the
-    parquet twin beside it is the queryable form. At crawl scale keep the
-    parquet partitioned output and range-partition the text shards; the
-    single-file collapse here is the sandbox-sized rendering.
+    parquet twin beside it is the queryable form. The driver streams the
+    sorted partitions one at a time (``toLocalIterator`` — bounded memory),
+    but a single file is still a single writer: past sandbox scale use
+    `write_cdx_sharded`, where the tasks write range-partitioned shards.
+    """
+    ordered = cdx.orderBy("surt_key", "warc_ts")
+    ordered.write.mode("overwrite").parquet(path + ".parquet")
+    with open(path, "w", encoding="utf-8") as fh:
+        for r in ordered.toLocalIterator():
+            fh.write(
+                _cdxj_line(r.surt_key, r.warc_ts, r.url, r.digest,
+                           r.offset, r.length, r.filename) + "\n"
+            )
+
+
+def write_cdx_sharded(cdx, out_dir: str, shards: int = 32) -> list[dict]:
+    """CDX rows → range-partitioned CDXJ shards, written by the tasks.
+
+    The crawl-scale form of `write_cdx`: ``repartitionByRange`` on
+    ``(surt_key, warc_ts)`` gives globally ordered shards (shard *i*'s keys
+    all precede shard *i+1*'s), each internally sorted by
+    ``sortWithinPartitions`` — so the concatenation in shard order IS the
+    single sorted file, but every byte is written executor-side; the only
+    driver work is the |shards|-row boundary index (``index.json``:
+    first/last key per shard), which routes a lookup to its shard for the
+    binary search. Returns the boundary index rows.
     """
     import json
     import os
+    from typing import Iterator as _Iter
 
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    ordered = cdx.orderBy("surt_key", "warc_ts")
-    ordered.write.mode("overwrite").parquet(path + ".parquet")
-    rows = ordered.collect()
-    with open(path, "w", encoding="utf-8") as fh:
-        for r in rows:
-            meta = {
-                "url": r.url, "digest": r.digest, "offset": str(r.offset),
-                "length": str(r.length), "filename": r.filename,
-            }
-            ts = r.warc_ts.strftime("%Y%m%d%H%M%S")
-            fh.write(f"{r.surt_key} {ts} {json.dumps(meta, sort_keys=True)}\n")
+    os.makedirs(out_dir, exist_ok=True)
+    ordered = (
+        cdx.repartitionByRange(shards, "surt_key", "warc_ts")
+        .sortWithinPartitions("surt_key", "warc_ts")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def gen(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        fh = None
+        name = first = last = None
+        n = 0
+        for pdf in batches:
+            for sk, ts, url, dg, off, ln, fn, pid in zip(
+                pdf["surt_key"], pdf["warc_ts"], pdf["url"], pdf["digest"],
+                pdf["offset"], pdf["length"], pdf["filename"], pdf["_pid"],
+            ):
+                if fh is None:
+                    name = f"cdx-{int(pid):05d}.cdxj"
+                    fh = open(os.path.join(out_dir, name), "w", encoding="utf-8")
+                    first = sk
+                fh.write(_cdxj_line(sk, ts, url, dg, off, ln, fn) + "\n")
+                last = sk
+                n += 1
+        if fh is None:
+            yield pd.DataFrame(
+                columns=["filename", "first_key", "last_key", "n"]
+            ).astype({"n": "int64"})
+            return
+        fh.close()
+        yield pd.DataFrame(
+            [(name, first, last, n)],
+            columns=["filename", "first_key", "last_key", "n"],
+        )
+
+    meta_schema = "filename string, first_key string, last_key string, n long"
+    index = sorted(
+        (r.asDict() for r in ordered.mapInPandas(gen, schema=meta_schema).collect()),
+        key=lambda m: m["filename"],
+    )
+    with open(os.path.join(out_dir, "index.json"), "w", encoding="utf-8") as fh:
+        json.dump(index, fh, indent=1)
+    return index
 
 
 def fetch_record(archive_dir: str, cdx_row) -> tuple[dict[str, str], bytes]:

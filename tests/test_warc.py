@@ -207,6 +207,20 @@ def test_export_warc_cdx_roundtrip_and_ranged_fetch(spark, page_rows, tmp_path_f
     assert set(meta) == {"url", "digest", "offset", "length", "filename"}
     assert meta["digest"].startswith("sha1:")
 
+    # distributed shards: concatenation in index order == the single file
+    shard_dir = d + "/cdx-shards"
+    index = warc.write_cdx_sharded(cdx, shard_dir, shards=4)
+    assert index == json.load(open(shard_dir + "/index.json"))
+    cat = []
+    for m in index:
+        cat.extend(open(f"{shard_dir}/{m['filename']}").read().splitlines())
+    assert cat == lines
+    # boundary index routes lookups: shard ranges are ordered and disjoint
+    assert all(m["first_key"] <= m["last_key"] for m in index)
+    bounds = [k for m in index for k in (m["first_key"], m["last_key"])]
+    assert bounds == sorted(bounds)
+    assert sum(m["n"] for m in index) == len(page_rows)
+
 
 def test_surt_keys_cluster_by_site():
     assert warc.surt("https://ex3.test/doc/5") == "test,ex3)/doc/5"
