@@ -1213,6 +1213,78 @@ def q_fuzzy_topk_parts(spark, sf_dir):
     )
 
 
+def q_pagerank_suppliers(spark, sf_dir):
+    """PageRank centrality over the supplier↔customer trading graph.
+
+    Exact fixed-point integer ranks (operators/graph.py): every step of the
+    recurrence is BIGINT arithmetic, so the 5-iteration result is
+    bit-identical across partitionings AND engines — the DuckDB oracle
+    unrolls the same recurrence as chained CTEs and hash-matches.
+    """
+    from mmkg_rag_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+    )
+    pr = pagerank(e, undirected=True, iterations=5)
+    return (
+        pr.select("node", "rank_scaled")
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(30)
+    )
+
+
+def _sql_pagerank(iterations: int = 5) -> str:
+    """Unrolled integer PageRank (mirrors operators/graph.py exactly)."""
+    from mmkg_rag_spark.operators.graph import SCALE
+
+    base = (SCALE * 3) // 20
+    ctes = [
+        "e0 AS (SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst\n"
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "bi AS (SELECT src, dst FROM e0 UNION ALL\n"
+        "  SELECT dst AS src, src AS dst FROM e0)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM bi GROUP BY src)",
+        "adj AS (SELECT b.src, b.dst, d.outdeg FROM bi b JOIN deg d USING (src))",
+        f"r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS rank FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (SELECT a.dst AS node,\n"
+            f"  CAST({base} + (CAST(SUM(r.rank // a.outdeg) AS BIGINT) // 20)"
+            f" * 17 AS BIGINT) AS rank\n"
+            f"  FROM adj a JOIN r{i - 1} r ON r.node = a.src GROUP BY a.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
+        + "\nORDER BY rank_scaled DESC, node LIMIT 30"
+    )
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Entity centrality over the constructed KG (rows-only: the graph is
+    built by the LLM-extraction pipeline, not SQL-derivable)."""
+    from mmkg_rag_spark.operators.graph import pagerank
+
+    kg = _build_kg(spark, sf_dir)
+    pr = pagerank(
+        kg.all_edges.select("source", "target"), "source", "target",
+        undirected=True, iterations=5,
+    )
+    return (
+        pr.select("node", "rank_scaled")
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(20)
+    )
+
+
 def q_kg_nodes(spark, sf_dir):
     kg = _build_kg(spark, sf_dir)
     return kg.nodes.select(
@@ -1284,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
+        "pagerank_suppliers": q_pagerank_suppliers,
+        "kg_pagerank": q_kg_pagerank,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
         "kg_degree_topk": q_kg_degree_topk,
@@ -1322,4 +1396,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_md5": _sql_simhash_md5(),
         "ann_topk_lsh": _sql_ann_lsh(n_planes=8, n_tables=8, n_probes=8),
         "ann_topk_ivf": _sql_ann_ivf(),
+        "pagerank_suppliers": _sql_pagerank(),
     }

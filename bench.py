@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     # the O(n²) brute oracle baseline; the scale path (use_ann) is covered
     # by the LSH/IVF bench queries + tests/test_textstats_dedup_ann.py
     "ann_topk_ivf",
+    "pagerank_suppliers",
     "kg_degree_topk",
 ]
 

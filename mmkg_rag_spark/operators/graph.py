@@ -1,0 +1,118 @@
+"""Distributed PageRank over an edge DataFrame (entity centrality).
+
+The reference keeps its graph in pickles/Neo4j and has no ranking operator
+(nearest analogue: degree-sorted listings in the GUI, gui/graph.py); a KG
+built at crawl scale needs centrality server-side — "which entities matter"
+is the first question asked of a 10^9-node graph, and ranking feeds retrieval
+seeding (`retrieval.search_eris` currently seeds by fuzzy match only).
+
+Scale shape: per iteration exactly ONE shuffle of the rank table (join on
+``src`` against the static out-degree-annotated adjacency, which is hash-
+partitioned once and cached) plus the groupBy(dst) reduce with map-side
+partial sums. Lineage is cut with ``localCheckpoint`` every few iterations —
+the classic iterative-DataFrame pitfall (exponential plan growth), same
+treatment as `functions.components`.
+
+Determinism: ranks are exact scaled BIGINTs, not doubles. Every operation in
+the recurrence is integer (div truncates; all values non-negative), so the
+result is bit-identical regardless of partitioning, reduce order, or engine —
+which is what lets a DuckDB oracle hash-match a 5-iteration run. The
+recurrence (damping d = num/den, default 17/20 = 0.85):
+
+    rank_0(v)   = scale                          # 10^12
+    inc_i(v)    = sum over edges u->v of rank_i(u) div outdeg(u)
+    rank_i+1(v) = (scale*(den-num)) div den + (inc_i(v) div den) * num
+
+Dangling nodes (no out-edges) contribute nothing — their mass leaks rather
+than being redistributed; with ``undirected=True`` (the KG default) there are
+no dangling nodes, since every edge gives both endpoints out-degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = SCALE,
+    undirected: bool = False,
+    checkpoint_every: int = 2,
+    broadcast_nodes: int = 1_000_000,
+) -> DataFrame:
+    """Return DataFrame(node, rank_scaled: bigint, rank: double).
+
+    ``rank_scaled`` is the exact integer fixed-point rank (the parity
+    artifact); ``rank`` is ``rank_scaled / scale`` for human consumption.
+    Multi-edges are collapsed (distinct) — centrality here counts
+    neighbors, not edge multiplicity.
+
+    Physical strategy is adaptive, mirroring `functions.components`: the
+    rank table has one row per VERTEX — orders of magnitude smaller than
+    the edge list — so while it fits (≤ ``broadcast_nodes``), every
+    iteration broadcasts it and the big adjacency never moves: one
+    map-side-combined groupBy(dst) per iteration is the only shuffle.
+    Past that, the adjacency is hash-partitioned on ``src`` once and
+    cached; each iteration then shuffles only the rank table (vertex-
+    proportional) onto that fixed partitioning. Either way the edge list
+    is materialized exactly once (``localCheckpoint``), not re-derived by
+    the degree/adjacency/vertex branches.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint()
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    small = nodes.count() <= broadcast_nodes
+    if small:
+        # map-only adjacency annotation; vertex-sized tables broadcast
+        adj = e.join(F.broadcast(deg), "src").localCheckpoint()
+    else:
+        adj = e.join(deg, "src").repartition("src").cache()
+
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    for i in range(iterations):
+        r = F.broadcast(ranks) if small else ranks
+        inc = (
+            adj.join(r, adj["src"] == r["node"])
+            .select(F.col("dst"), F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        inc_j = F.broadcast(inc) if small else inc
+        ranks = (
+            nodes.join(inc_j, nodes["node"] == inc_j["dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{base}L + (coalesce(inc, 0L) div {damping_den}) "
+                    f"* {damping_num}"
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        "node",
+        F.col("rank").alias("rank_scaled"),
+        (F.col("rank") / F.lit(float(scale))).alias("rank"),
+    )

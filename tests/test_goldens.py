@@ -43,6 +43,18 @@ def test_kg_degree_topk_golden(spark, queries):
     ]
 
 
+def test_kg_pagerank_golden(spark, queries):
+    """Exact fixed-point ranks: bit-stable across partitionings by design."""
+    top = [tuple(r) for r in queries["kg_pagerank"](spark, SF).limit(5).collect()]
+    assert top == [
+        ("Acme Laboratories", 2312300510101),
+        ("Area Metropolitan Sapporo", 2124466259479),
+        ("Area Metropolitan Porto", 2103483749923),
+        ("Area Metropolitan Windhoek", 2098478779940),
+        ("Area Metropolitan Bergen", 2061386651963),
+    ]
+
+
 def test_kg_tables_golden_counts(spark, queries):
     assert queries["kg_nodes"](spark, SF).count() == 31
     assert queries["kg_edges"](spark, SF).count() == 1090
