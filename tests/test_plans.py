@@ -189,3 +189,18 @@ def test_pack_shards_string_ids_no_corpus_global_window(spark):
     assert "BroadcastHashJoin" in plan
     # the corpus-side window must be keyed by the prefix bucket
     assert "hashpartitioning(bucket" in plan
+
+
+def test_pagerank_small_mode_broadcasts_ranks(spark):
+    """While the rank table is vertex-sized it must broadcast: the adjacency
+    side never shuffles, so each iteration's only exchange is the map-side-
+    combined groupBy(dst) — no sort-merge join of the edge list."""
+    from mmkg_rag_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 50}") for i in range(200)],
+        "src string, dst string",
+    )
+    plan = _plan(pagerank(edges, undirected=True, iterations=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
