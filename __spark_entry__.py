@@ -1240,11 +1240,21 @@ def q_pagerank_suppliers(spark, sf_dir):
     )
 
 
-def _sql_pagerank(iterations: int = 5) -> str:
-    """Unrolled integer PageRank (mirrors operators/graph.py exactly)."""
+def _sql_pagerank(iterations: int = 5, seed_pred: str | None = None) -> str:
+    """Unrolled integer PageRank (mirrors operators/graph.py exactly).
+
+    ``seed_pred``: SQL predicate over a node string (e.g. the supplier-key
+    filter) → personalized PageRank; None → uniform teleport.
+    """
     from mmkg_rag_spark.operators.graph import SCALE
 
     base = (SCALE * 3) // 20
+
+    def flag(expr: str) -> str:
+        if seed_pred is None:
+            return "1"
+        return f"(CASE WHEN {seed_pred.format(node=expr)} THEN 1 ELSE 0 END)"
+
     ctes = [
         "e0 AS (SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst\n"
         "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
@@ -1252,12 +1262,14 @@ def _sql_pagerank(iterations: int = 5) -> str:
         "  SELECT dst AS src, src AS dst FROM e0)",
         "deg AS (SELECT src, COUNT(*) AS outdeg FROM bi GROUP BY src)",
         "adj AS (SELECT b.src, b.dst, d.outdeg FROM bi b JOIN deg d USING (src))",
-        f"r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS rank FROM deg)",
+        f"r0 AS (SELECT src AS node,\n"
+        f"  CAST({SCALE} * {flag('src')} AS BIGINT) AS rank FROM deg)",
     ]
     for i in range(1, iterations + 1):
         ctes.append(
             f"r{i} AS (SELECT a.dst AS node,\n"
-            f"  CAST({base} + (CAST(SUM(r.rank // a.outdeg) AS BIGINT) // 20)"
+            f"  CAST({flag('a.dst')} * {base}"
+            f" + (CAST(SUM(r.rank // a.outdeg) AS BIGINT) // 20)"
             f" * 17 AS BIGINT) AS rank\n"
             f"  FROM adj a JOIN r{i - 1} r ON r.node = a.src GROUP BY a.dst)"
         )
@@ -1265,6 +1277,34 @@ def _sql_pagerank(iterations: int = 5) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, rank AS rank_scaled FROM r{iterations}"
         + "\nORDER BY rank_scaled DESC, node LIMIT 30"
+    )
+
+
+def q_ppr_suppliers(spark, sf_dir):
+    """Personalized PageRank: random-walk proximity to 5 seed suppliers —
+    the retrieval-side ranking (seed = query entities) over the trading
+    graph. Same exact-integer recurrence; teleport mass restricted to the
+    seed set (operators/graph.py personalize=)."""
+    from mmkg_rag_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+    )
+    seeds = s.filter(F.col("s_suppkey") < 5).select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    pr = pagerank(e, undirected=True, iterations=5, personalize=seeds)
+    return (
+        pr.select("node", "rank_scaled")
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(30)
     )
 
 
@@ -1357,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
+        "ppr_suppliers": q_ppr_suppliers,
         "kg_pagerank": q_kg_pagerank,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -1397,4 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": _sql_ann_lsh(n_planes=8, n_tables=8, n_probes=8),
         "ann_topk_ivf": _sql_ann_ivf(),
         "pagerank_suppliers": _sql_pagerank(),
+        "ppr_suppliers": _sql_pagerank(
+            seed_pred="{node} IN ('S0','S1','S2','S3','S4')"
+        ),
     }

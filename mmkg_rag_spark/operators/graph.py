@@ -48,6 +48,7 @@ def pagerank(
     undirected: bool = False,
     checkpoint_every: int = 2,
     broadcast_nodes: int = 1_000_000,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """Return DataFrame(node, rank_scaled: bigint, rank: double).
 
@@ -55,6 +56,16 @@ def pagerank(
     artifact); ``rank`` is ``rank_scaled / scale`` for human consumption.
     Multi-edges are collapsed (distinct) — centrality here counts
     neighbors, not edge multiplicity.
+
+    ``personalize``: optional DataFrame with a ``node`` column — the
+    teleport set. Initial mass and the per-iteration base term go ONLY to
+    these nodes, so ranks measure random-walk proximity to the seed set
+    (personalized PageRank, the GraphRAG-style retrieval ranking: seed =
+    query entities, rank = neighborhood relevance). Same exact-integer
+    recurrence with seed(v) ∈ {0,1}:
+
+        rank_0(v)   = seed(v) * scale
+        rank_i+1(v) = seed(v) * base + (inc_i(v) div den) * num
 
     Physical strategy is adaptive, mirroring `functions.components`: the
     rank table has one row per VERTEX — orders of magnitude smaller than
@@ -79,8 +90,17 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
+    if personalize is None:
+        nodes = nodes.select("node", F.lit(1).cast("bigint").alias("sflag"))
+    else:
+        seeds = personalize.select(
+            F.col("node"), F.lit(1).cast("bigint").alias("sflag")
+        ).distinct()
+        nodes = nodes.join(F.broadcast(seeds), "node", "left").select(
+            "node", F.coalesce("sflag", F.lit(0).cast("bigint")).alias("sflag")
+        )
+    nodes = nodes.localCheckpoint()
     small = nodes.count() <= broadcast_nodes
     if small:
         # map-only adjacency annotation; vertex-sized tables broadcast
@@ -89,7 +109,9 @@ def pagerank(
         adj = e.join(deg, "src").repartition("src").cache()
 
     base = (scale * (damping_den - damping_num)) // damping_den
-    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    ranks = nodes.select(
+        "node", (F.lit(scale).cast("bigint") * F.col("sflag")).alias("rank")
+    )
     for i in range(iterations):
         r = F.broadcast(ranks) if small else ranks
         inc = (
@@ -104,7 +126,7 @@ def pagerank(
             .select(
                 "node",
                 F.expr(
-                    f"{base}L + (coalesce(inc, 0L) div {damping_den}) "
+                    f"sflag * {base}L + (coalesce(inc, 0L) div {damping_den}) "
                     f"* {damping_num}"
                 ).alias("rank"),
             )

@@ -15,22 +15,23 @@ def spark():
 
 
 def ref_pagerank(edges, iterations=5, num=17, den=20, scale=SCALE,
-                 undirected=False):
+                 undirected=False, seeds=None):
     """The operator's recurrence in plain Python integers."""
     es = set(edges)
     if undirected:
         es |= {(b, a) for a, b in edges}
     nodes = {n for e in es for n in e}
+    flag = {n: (1 if seeds is None or n in seeds else 0) for n in nodes}
     outdeg = {n: 0 for n in nodes}
     for a, _ in es:
         outdeg[a] += 1
     base = (scale * (den - num)) // den
-    rank = {n: scale for n in nodes}
+    rank = {n: scale * flag[n] for n in nodes}
     for _ in range(iterations):
         inc = {n: 0 for n in nodes}
         for a, b in es:
             inc[b] += rank[a] // outdeg[a]
-        rank = {n: base + (inc[n] // den) * num for n in nodes}
+        rank = {n: flag[n] * base + (inc[n] // den) * num for n in nodes}
     return rank
 
 
@@ -62,6 +63,32 @@ def test_pagerank_multi_edges_collapse(spark):
     df = spark.createDataFrame(dup, "src string, dst string")
     got = {r.node: r.rank_scaled for r in pagerank(df, iterations=3).collect()}
     assert got == ref_pagerank(EDGES, iterations=3)
+
+
+def test_personalized_pagerank_matches_reference_and_localizes(spark):
+    """Seed-biased teleport: exact parity with the integer reference, and
+    mass concentrates near the seed (random-walk proximity ranking)."""
+    # chain a-b-c-d-e plus a far cluster x-y-z reachable only through e
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("e", "x"), ("x", "y"), ("y", "z")]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.rank_scaled
+        for r in pagerank(df, undirected=True, iterations=6,
+                          personalize=seeds).collect()
+    }
+    assert got == ref_pagerank(chain, iterations=6, undirected=True,
+                               seeds={"a"})
+    # proximity ordering: the seed outranks its neighbor, which outranks
+    # the far end of the chain
+    assert got["a"] > got["b"] > got["z"]
+    # un-personalized run over the same graph is unchanged by the feature
+    got_all = {
+        r.node: r.rank_scaled
+        for r in pagerank(df, undirected=True, iterations=6).collect()
+    }
+    assert got_all == ref_pagerank(chain, iterations=6, undirected=True)
 
 
 def test_pagerank_partitioning_invariance(spark):
