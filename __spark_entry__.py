@@ -1308,6 +1308,59 @@ def q_ppr_suppliers(spark, sf_dir):
     )
 
 
+def q_lpa_suppliers(spark, sf_dir):
+    """Community sizes from deterministic synchronous label propagation
+    over the supplier↔customer trading graph (operators/graph.py). The
+    min-struct tie-break makes the labeling a pure function of the graph,
+    so the DuckDB oracle (same recurrence, ROW_NUMBER tie-break) matches
+    hash-exactly."""
+    from mmkg_rag_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+    )
+    lab = label_propagation(e, iterations=4)
+    return (
+        lab.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(30)
+    )
+
+
+def _sql_lpa(iterations: int = 4) -> str:
+    """Unrolled synchronous LPA (mirrors operators/graph.py exactly)."""
+    ctes = [
+        "e0 AS (SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst\n"
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "bi AS (SELECT src, dst FROM e0 UNION ALL\n"
+        "  SELECT dst AS src, src AS dst FROM e0)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM bi)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"v{i} AS (SELECT b.dst AS node, l.label, COUNT(*) AS c\n"
+            f"  FROM bi b JOIN l{i - 1} l ON l.node = b.src"
+            f" GROUP BY b.dst, l.label)",
+        )
+        ctes.append(
+            f"l{i} AS (SELECT node, label FROM (SELECT node, label,\n"
+            f"  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label)"
+            f" AS rn FROM v{i}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(c if isinstance(c, str) else c[0] for c in ctes)
+        + f"\nSELECT label AS community, COUNT(*) AS n_members FROM l{iterations}"
+        + "\nGROUP BY label ORDER BY n_members DESC, community LIMIT 30"
+    )
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Entity centrality over the constructed KG (rows-only: the graph is
     built by the LLM-extraction pipeline, not SQL-derivable)."""
@@ -1398,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
+        "lpa_suppliers": q_lpa_suppliers,
         "kg_pagerank": q_kg_pagerank,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -1441,4 +1495,5 @@ def oracle_sql() -> dict[str, str]:
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"
         ),
+        "lpa_suppliers": _sql_lpa(),
     }

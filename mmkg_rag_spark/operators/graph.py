@@ -138,3 +138,68 @@ def pagerank(
         F.col("rank").alias("rank_scaled"),
         (F.col("rank") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 4,
+    undirected: bool = True,
+    broadcast_nodes: int = 1_000_000,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Deterministic synchronous label propagation → DataFrame(node, community).
+
+    Community detection for the constructed graph — the step GraphRAG-style
+    pipelines run between KG build and community summarization. Classic LPA
+    is run-order-dependent; this is the synchronous variant with a total
+    tie-break, so it is a pure function of the graph:
+
+        label_0(v)   = v
+        label_i+1(v) = argmax over labels L of v's in-neighbors,
+                       ordered by (count(L) DESC, L ASC)
+
+    The argmax is computed as ``min(struct(-count, label))`` — one exact
+    integer/string comparison, no window — so like `pagerank` the result is
+    bit-identical across partitionings and engines (the driver query's
+    DuckDB oracle unrolls the same recurrence with a ROW_NUMBER tie-break).
+
+    Scale shape: per iteration a label-annotated neighbor list
+    (vertex-broadcast join while ≤ ``broadcast_nodes``, else a shuffle onto
+    the cached src-partitioned adjacency) feeds groupBy(dst, label) with
+    map-side partials, then the vertex-sized min-struct reduce. Fixed
+    iteration count — no convergence probe jobs.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    small = nodes.count() <= broadcast_nodes
+    adj = e if small else e.repartition("src").cache()
+
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iterations):
+        lbl = F.broadcast(labels) if small else labels
+        cnt = (
+            adj.join(lbl, adj["src"] == lbl["node"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("dst")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("top"))
+            .select(F.col("dst").alias("node"), F.col("top.label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            labels = labels.localCheckpoint()
+    return labels.select("node", F.col("label").alias("community"))

@@ -97,3 +97,51 @@ def test_pagerank_partitioning_invariance(spark):
     a = {r.node: r.rank_scaled for r in pagerank(df.coalesce(1)).collect()}
     b = {r.node: r.rank_scaled for r in pagerank(df.repartition(7)).collect()}
     assert a == b
+
+
+def ref_lpa(edges, iterations=4, undirected=True):
+    """label_propagation's recurrence in plain Python."""
+    es = set(edges)
+    if undirected:
+        es |= {(b, a) for a, b in edges}
+    nodes = {n for e in es for n in e}
+    label = {n: n for n in nodes}
+    for _ in range(iterations):
+        votes = {}
+        for a, b in es:
+            votes.setdefault(b, {}).setdefault(label[a], 0)
+            votes[b][label[a]] += 1
+        label = {
+            v: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for v, c in votes.items()
+        }
+    return label
+
+
+def test_label_propagation_matches_reference(spark):
+    # two triangles bridged by one edge -> two communities
+    tri = [("a", "b"), ("b", "c"), ("c", "a"),
+           ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")]
+    from mmkg_rag_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(tri, "src string, dst string")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, iterations=4).collect()
+    }
+    assert got == ref_lpa(tri, iterations=4)
+    # the bridge does not merge the triangles
+    assert len({got["a"], got["x"]}) == 2
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+
+
+def test_label_propagation_partitioning_invariance(spark):
+    from mmkg_rag_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    a = {r.node: r.community
+         for r in label_propagation(df.coalesce(1), iterations=3).collect()}
+    b = {r.node: r.community
+         for r in label_propagation(df.repartition(5), iterations=3).collect()}
+    assert a == b == ref_lpa(EDGES, iterations=3)
