@@ -1378,6 +1378,25 @@ def q_kg_pagerank(spark, sf_dir):
     )
 
 
+def q_kg_communities(spark, sf_dir):
+    """GraphRAG-style communities of the constructed KG (rows-only: the
+    graph comes from the extraction pipeline). Deterministic LPA — the
+    community sizes are golden-pinned in tests/test_goldens.py."""
+    from mmkg_rag_spark.operators.graph import label_propagation
+
+    kg = _build_kg(spark, sf_dir)
+    lab = label_propagation(
+        kg.all_edges.select("source", "target"), "source", "target",
+        iterations=4,
+    )
+    return (
+        lab.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
 def q_kg_nodes(spark, sf_dir):
     kg = _build_kg(spark, sf_dir)
     return kg.nodes.select(
@@ -1453,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_suppliers": q_ppr_suppliers,
         "lpa_suppliers": q_lpa_suppliers,
         "kg_pagerank": q_kg_pagerank,
+        "kg_communities": q_kg_communities,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
         "kg_degree_topk": q_kg_degree_topk,

@@ -55,6 +55,15 @@ def test_kg_pagerank_golden(spark, queries):
     ]
 
 
+def test_kg_communities_golden(spark, queries):
+    """Deterministic LPA over the constructed KG. The synthetic corpus is
+    hub-dominated (every doc mentions the head ORG), so 4 iterations
+    honestly collapse it to ONE community around the hub — the classic LPA
+    behavior on hub graphs, pinned exactly."""
+    rows = [tuple(r) for r in queries["kg_communities"](spark, SF).collect()]
+    assert rows == [("Acme Laboratories", 69)]
+
+
 def test_kg_tables_golden_counts(spark, queries):
     assert queries["kg_nodes"](spark, SF).count() == 31
     assert queries["kg_edges"](spark, SF).count() == 1090
