@@ -159,7 +159,9 @@ def label_propagation(
 
         label_0(v)   = v
         label_i+1(v) = argmax over labels L of v's in-neighbors,
-                       ordered by (count(L) DESC, L ASC)
+                       ordered by (count(L) DESC, L ASC);
+                       v keeps label_i(v) if it has no in-neighbors
+                       (directed graphs only — undirected has none)
 
     The argmax is computed as ``min(struct(-count, label))`` — one exact
     integer/string comparison, no window — so like `pagerank` the result is
@@ -195,10 +197,16 @@ def label_propagation(
             .groupBy(F.col("dst"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
+        voted = (
             cnt.groupBy("dst")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("top"))
-            .select(F.col("dst").alias("node"), F.col("top.label").alias("label"))
+            .select(F.col("dst"), F.col("top.label").alias("vlabel"))
+        )
+        # vote-less nodes (no in-neighbors; directed graphs) keep their label
+        voted_j = F.broadcast(voted) if small else voted
+        labels = (
+            labels.join(voted_j, labels["node"] == voted_j["dst"], "left")
+            .select("node", F.coalesce("vlabel", "label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             labels = labels.localCheckpoint()

@@ -112,8 +112,9 @@ def ref_lpa(edges, iterations=4, undirected=True):
             votes.setdefault(b, {}).setdefault(label[a], 0)
             votes[b][label[a]] += 1
         label = {
-            v: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-            for v, c in votes.items()
+            v: (min(votes[v].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                if v in votes else label[v])  # vote-less keeps its label
+            for v in nodes
         }
     return label
 
@@ -145,3 +146,34 @@ def test_label_propagation_partitioning_invariance(spark):
     b = {r.node: r.community
          for r in label_propagation(df.repartition(5), iterations=3).collect()}
     assert a == b == ref_lpa(EDGES, iterations=3)
+
+
+def test_graph_ops_on_random_graphs_match_reference(spark):
+    """Seeded random digraphs with self-loops, dangling nodes, and
+    disconnected parts: both operators equal their integer references."""
+    import random
+
+    from mmkg_rag_spark.operators.graph import label_propagation
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = rng.randint(8, 25)
+        edges = list({
+            (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")
+            for _ in range(rng.randint(n, 3 * n))
+        })  # may include (v, v) self-loops and leave dangling sinks
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got_pr = {r.node: r.rank_scaled
+                  for r in pagerank(df, iterations=4).collect()}
+        assert got_pr == ref_pagerank(edges, iterations=4), seed
+        got_lpa = {r.node: r.community
+                   for r in label_propagation(df, iterations=3).collect()}
+        assert got_lpa == ref_lpa(edges, iterations=3), seed
+        # DIRECTED LPA: in-neighbor-less nodes must persist with their own
+        # label instead of dropping out of the label table
+        got_dir = {
+            r.node: r.community
+            for r in label_propagation(df, iterations=3,
+                                       undirected=False).collect()
+        }
+        assert got_dir == ref_lpa(edges, iterations=3, undirected=False), seed
