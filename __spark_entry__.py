@@ -431,6 +431,84 @@ FROM documents GROUP BY source
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (functions/repetition.py).
+
+    One zero-shuffle projection: the within-doc n-gram argmax that naively
+    needs explode+groupBy is a run-length fold over the sorted in-row gram
+    array. The DuckDB oracle computes the same signals the set-theoretic
+    way (unnest + GROUP BY + ROW_NUMBER) — two independent formulations
+    agreeing on every doc is the strongest per-row check in the suite.
+    """
+    from mmkg_rag_spark.functions import repetition as rep
+
+    d = _tp(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.token_count(t).cast("long").alias("n_words"),
+        F.round(rep.dup_word_frac(t), 4).alias("dup_word_frac"),
+        F.round(rep.top_ngram_char_frac(t, 2), 4).alias("top2_frac"),
+        rep.ngram_stats(t, 2)["bestg"].alias("top2_gram"),
+        F.round(rep.top_ngram_char_frac(t, 3), 4).alias("top3_frac"),
+        F.round(rep.dup_ngram_char_frac(t, 5), 4).alias("dup5_frac"),
+        rep.line_count(t).cast("long").alias("n_lines"),
+        F.round(rep.dup_line_frac(t), 4).alias("dup_line_frac"),
+        F.round(rep.ellipsis_line_frac(t), 4).alias("ellipsis_frac"),
+        F.round(rep.bullet_line_frac(t), 4).alias("bullet_frac"),
+    )
+
+
+def _sql_doc_repetition() -> str:
+    from mmkg_rag_spark.functions import repetition as rep
+
+    def topn(n: int) -> str:
+        return f"""
+g{n} AS (SELECT doc_id, unnest({rep.sql_word_ngrams('text', n)}) AS gram
+        FROM documents),
+c{n} AS (SELECT doc_id, gram, COUNT(*) AS c FROM g{n} GROUP BY 1, 2),
+t{n} AS (SELECT doc_id, c AS best, gram AS bestg FROM (
+          SELECT doc_id, c, gram,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, gram ASC) AS rn
+          FROM c{n}) WHERE rn = 1)"""
+
+    ell = rep.ELLIPSIS_RE.replace("\\", "\\\\")
+    bul = rep.BULLET_RE.replace("\\", "\\\\")
+    return f"""
+WITH {topn(2)},
+{topn(3)},
+g5 AS (SELECT doc_id, unnest({rep.sql_word_ngrams('text', 5)}) AS gram
+       FROM documents),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+d5 AS (SELECT doc_id,
+              SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup
+       FROM c5 GROUP BY 1)
+SELECT b.doc_id,
+  {ts.sql_token_count('b.text')} AS n_words,
+  round({rep.sql_dup_word_frac('b.text')}, 4) AS dup_word_frac,
+  round(CASE WHEN t2.best IS NULL OR length(b.text) = 0 THEN 0.0
+        ELSE CAST(t2.best * length(t2.bestg) AS DOUBLE) / length(b.text)
+        END, 4) AS top2_frac,
+  COALESCE(t2.bestg, '') AS top2_gram,
+  round(CASE WHEN t3.best IS NULL OR length(b.text) = 0 THEN 0.0
+        ELSE CAST(t3.best * length(t3.bestg) AS DOUBLE) / length(b.text)
+        END, 4) AS top3_frac,
+  round(CASE WHEN d5.dup IS NULL OR length(b.text) = 0 THEN 0.0
+        ELSE CAST(d5.dup AS DOUBLE) / length(b.text) END, 4) AS dup5_frac,
+  {rep.sql_line_count('b.text')} AS n_lines,
+  round({rep.sql_dup_line_frac('b.text')}, 4) AS dup_line_frac,
+  round({rep.sql_line_match_frac('b.text', "'" + ell + "'")}, 4)
+    AS ellipsis_frac,
+  round({rep.sql_line_match_frac('b.text', "'" + bul + "'")}, 4)
+    AS bullet_frac
+FROM documents b
+LEFT JOIN t2 ON b.doc_id = t2.doc_id
+LEFT JOIN t3 ON b.doc_id = t3.doc_id
+LEFT JOIN d5 ON b.doc_id = d5.doc_id
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     return textdedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -1449,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_repetition": q_doc_repetition,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
@@ -1495,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": SQL_DOC_QUALITY,
         "doc_lang_id": SQL_DOC_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_repetition": _sql_doc_repetition(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "decontaminate": SQL_DECONTAMINATE,
