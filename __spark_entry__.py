@@ -1024,6 +1024,78 @@ FROM c
 """
 
 
+SAMPLE_RATES_PPM = {"src0": 800_000, "src1": 500_000, "src2": 250_000,
+                    "src3": 125_000}
+SAMPLE_DEFAULT_PPM = 100_000
+
+# the engine-portable uniform draw (curation.uniform_ppm twin):
+# Spark conv(hex,16,10) ≡ DuckDB CAST('0x'||hex AS BIGINT)
+SQL_DRAW_PPM = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli sample (curation.sample_stratified).
+
+    Map-only: literal rate map + md5 hash draw, zero shuffle; the draw is a
+    pure function of (doc_id, seed) so the sample is identical on any
+    cluster size and stable under corpus growth."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.sample_stratified(
+        d, SAMPLE_RATES_PPM, default_ppm=SAMPLE_DEFAULT_PPM
+    ).select(
+        "doc_id",
+        "source",
+        curation.uniform_ppm("doc_id").alias("draw_ppm"),
+    )
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_PPM.items()
+    )
+    rate = f"CASE source {cases} ELSE {SAMPLE_DEFAULT_PPM} END"
+    return f"""
+SELECT doc_id, source, {SQL_DRAW_PPM} AS draw_ppm
+FROM documents
+WHERE {SQL_DRAW_PPM} < {rate}
+"""
+
+
+MIXTURE_BUDGET_TOKENS = 600
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling (curation.sample_mixture): one tiny
+    per-stratum aggregate → broadcast plan → one map-side filtered pass.
+    All-integer rate math so the plan is bit-reproducible cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.sample_mixture(
+        d, budget_tokens=MIXTURE_BUDGET_TOKENS
+    ).select("doc_id", "source", "rate_ppm")
+
+
+def _sql_mixture_sample() -> str:
+    return f"""
+WITH tot AS (
+  SELECT source AS stratum,
+         SUM({ts.sql_token_count('text')}) AS total_tokens
+  FROM documents GROUP BY 1
+),
+plan AS (
+  SELECT stratum, total_tokens,
+         LEAST(1000000, ({MIXTURE_BUDGET_TOKENS} * 1000000) // total_tokens)
+           AS rate_ppm
+  FROM tot
+)
+SELECT d.doc_id, d.source, p.rate_ppm
+FROM documents d JOIN plan p ON d.source = p.stratum
+WHERE {SQL_DRAW_PPM} < p.rate_ppm
+"""
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII scrub over documents with deterministically planted PII spans
     (the synthetic corpus contains none) — counts + scrubbed fingerprint."""
@@ -1533,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_shards": q_pack_shards,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "scrub_pii": q_scrub_pii,
         "near_dup_survivors": q_near_dup_survivors,
         "events_sessionize": q_events_sessionize,
@@ -1580,6 +1654,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "curate_corpus": _sql_curate_corpus(),
         "pack_shards": SQL_PACK_SHARDS,
+        "stratified_sample": _sql_stratified_sample(),
+        "mixture_sample": _sql_mixture_sample(),
         "scrub_pii": SQL_SCRUB_PII,
         "near_dup_survivors": SQL_NEAR_DUP_SURVIVORS,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,

@@ -152,6 +152,103 @@ def assign_shards(
     )
 
 
+def uniform_ppm(id_col, seed: int = 42):
+    """Deterministic per-row uniform draw in [0, 1e6): md5(id|seed) bits.
+
+    The draw is a pure function of (id, seed) — resumable, engine-portable
+    (Spark ``conv(hex,16,10)`` ≡ DuckDB ``CAST('0x'||hex AS BIGINT)``), and
+    independent of partitioning, unlike ``rand(seed)`` whose stream depends
+    on the physical split. That is what makes sampling decisions stable
+    across cluster sizes and re-runs at 10^12 rows.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % F.lit(1_000_000)
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates_ppm: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_ppm: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling (rates in parts/million).
+
+    Map-only: the rate table is a literal CASE map and the draw is a hash
+    of the id — zero shuffle, exact reproducibility at any scale, and the
+    sample is a superset-stable function of the corpus (adding documents
+    never changes the decision for existing ones — the property that lets
+    a 10^12-row corpus be re-sampled incrementally)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rates_ppm.items() for x in kv]
+    )
+    rate = F.coalesce(
+        mapping[F.col(strata_col)], F.lit(default_ppm).cast("int")
+    ).cast("bigint")
+    return docs.where(uniform_ppm(id_col, seed) < rate)
+
+
+def plan_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum sampling plan to hit ~``budget_tokens`` tokens each:
+    (stratum, total_tokens, rate_ppm) with
+    ``rate_ppm = min(1e6, budget*1e6 div total)``.
+
+    One map-side-partial aggregate producing |strata| rows (domain mixing
+    tables are small — tens to thousands of sources), all-integer math so
+    the plan is bit-reproducible across engines."""
+    return (
+        ensure_min_partitions(docs)
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.sum(token_count(F.col(text_col)).cast("long")).alias("total_tokens"))
+        .select(
+            "stratum",
+            "total_tokens",
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.expr(f"{budget_tokens}L * 1000000L div total_tokens"),
+            ).alias("rate_ppm"),
+        )
+    )
+
+
+def sample_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Token-budget mixture sampling: downsample each stratum toward a
+    ~``budget_tokens`` token budget (strata under budget keep everything).
+
+    The tiny plan broadcasts; the corpus is filtered in one map-side pass
+    with the deterministic hash draw — the shape of every production
+    data-mixing job: no corpus shuffle, decisions reproducible row-wise."""
+    plan = plan_mixture(docs, budget_tokens, strata_col, text_col)
+    return (
+        docs.join(
+            F.broadcast(plan), docs[strata_col] == plan["stratum"]
+        )
+        .where(uniform_ppm(id_col, seed) < F.col("rate_ppm"))
+        .drop("stratum", "total_tokens")
+    )
+
+
 def scrub_pii(
     docs: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
 ) -> DataFrame:

@@ -156,3 +156,70 @@ def test_asof_join_null_values_and_row_consistency(spark):
     }
     assert out[100] == (None, "b")   # NULL carried, not older 1.0/"a"
     assert out[101] == (4.0, None)   # both values from the SAME row
+
+
+def _sample_docs(spark, n=400, parts=1):
+    rows = [(i, f"s{i % 4}", "tok " * (5 + i % 7)) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).repartition(parts)
+
+
+def test_uniform_ppm_partition_invariant(spark):
+    """The hash draw is a pure row function — identical on any layout
+    (unlike rand(seed), whose stream depends on the physical split)."""
+    a = _sample_docs(spark, parts=1).select(
+        "doc_id", curation.uniform_ppm("doc_id").alias("d"))
+    b = _sample_docs(spark, parts=7).select(
+        "doc_id", curation.uniform_ppm("doc_id").alias("d"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sample_stratified_rates_and_stability(spark):
+    docs = _sample_docs(spark, n=2000)
+    out = curation.sample_stratified(
+        docs, {"s0": 1_000_000, "s1": 500_000, "s2": 0}, default_ppm=250_000
+    )
+    by = {r["source"]: r["n"] for r in
+          out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by.get("s0") == 500            # rate 1.0 keeps everything
+    assert by.get("s2") is None           # rate 0 keeps nothing
+    assert 150 < by.get("s1", 0) < 350    # ~250 expected
+    assert 60 < by.get("s3", 0) < 190     # default ~125
+
+    # superset stability: decisions for existing ids never change
+    small = curation.sample_stratified(
+        _sample_docs(spark, n=1000),
+        {"s0": 1_000_000, "s1": 500_000, "s2": 0}, default_ppm=250_000)
+    kept_small = {r["doc_id"] for r in small.select("doc_id").collect()}
+    kept_big = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept_small == {i for i in kept_big if i < 1000}
+
+
+def test_sample_stratified_is_map_only(spark):
+    docs = spark.createDataFrame(
+        [(1, "s0", "a b c")], "doc_id long, source string, text string"
+    )
+    out = curation.sample_stratified(docs, {"s0": 500_000})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mixture_plan_budget_math(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "t " * 100), (2, "a", "t " * 100),   # a: 200 tokens
+         (3, "b", "t " * 10)],                          # b: 10 tokens
+        "doc_id long, source string, text string",
+    )
+    plan = {r["stratum"]: r for r in
+            curation.plan_mixture(docs, budget_tokens=50).collect()}
+    assert plan["a"]["rate_ppm"] == 250_000       # 50/200
+    assert plan["b"]["rate_ppm"] == 1_000_000     # under budget: keep all
+    out = curation.sample_mixture(docs, budget_tokens=50)
+    assert {r["doc_id"] for r in out.where("source = 'b'").collect()} == {3}
+
+
+def test_sample_mixture_broadcasts_plan(spark):
+    out = curation.sample_mixture(_sample_docs(spark), budget_tokens=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
