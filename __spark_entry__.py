@@ -1511,6 +1511,82 @@ def _sql_lpa(iterations: int = 4) -> str:
     )
 
 
+def q_triangles_coorder(spark, sf_dir):
+    """Triangle counts + clustering coefficients on the part co-order graph
+    (parts appearing in the same order are linked). Degree-oriented wedge
+    enumeration (operators/graph.py triangle_counts) — the O(m^1.5),
+    skew-proof MapReduce-classic — with exact integer counts so the DuckDB
+    oracle (same set construction in SQL) hash-matches. Top-30 by count."""
+    from mmkg_rag_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    e = (
+        l1.join(l2, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    t = triangle_counts(e)
+    return (
+        t.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            F.round("clustering", 4).alias("clustering"),
+        )
+        .orderBy(F.desc("triangles"), "node")
+        .limit(30)
+    )
+
+
+SQL_TRIANGLES = """
+WITH pr AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT a AS node FROM pr UNION ALL SELECT b AS node FROM pr)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN da.degree < db.degree
+              OR (da.degree = db.degree AND pr.a < pr.b)
+         THEN pr.a ELSE pr.b END AS u,
+         CASE WHEN da.degree < db.degree
+              OR (da.degree = db.degree AND pr.a < pr.b)
+         THEN pr.b ELSE pr.a END AS v,
+         CASE WHEN da.degree < db.degree
+              OR (da.degree = db.degree AND pr.a < pr.b)
+         THEN db.degree ELSE da.degree END AS dv
+  FROM pr JOIN deg da ON da.node = pr.a JOIN deg db ON db.node = pr.b
+),
+w AS (
+  SELECT o1.u, o1.v AS v1, o2.v AS v2
+  FROM o o1 JOIN o o2 ON o1.u = o2.u
+   AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+),
+tri AS (
+  SELECT w.u, w.v1, w.v2 FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2
+),
+pn AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT u AS node FROM tri UNION ALL
+    SELECT v1 AS node FROM tri UNION ALL
+    SELECT v2 AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.degree, COALESCE(pn.triangles, 0) AS triangles,
+  round(CASE WHEN d.degree < 2 THEN 0.0
+        ELSE CAST(COALESCE(pn.triangles, 0) * 2 AS DOUBLE)
+             / (d.degree * (d.degree - 1)) END, 4) AS clustering
+FROM deg d LEFT JOIN pn ON pn.node = d.node
+ORDER BY triangles DESC, d.node LIMIT 30
+"""
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Entity centrality over the constructed KG (rows-only: the graph is
     built by the LLM-extraction pipeline, not SQL-derivable)."""
@@ -1624,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
         "lpa_suppliers": q_lpa_suppliers,
+        "triangles_coorder": q_triangles_coorder,
         "kg_pagerank": q_kg_pagerank,
         "kg_communities": q_kg_communities,
         "kg_nodes": q_kg_nodes,
@@ -1672,4 +1749,5 @@ def oracle_sql() -> dict[str, str]:
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"
         ),
         "lpa_suppliers": _sql_lpa(),
+        "triangles_coorder": SQL_TRIANGLES,
     }

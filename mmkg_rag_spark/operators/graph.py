@@ -140,6 +140,92 @@ def pagerank(
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient.
+
+    Returns DataFrame(node, degree: bigint, triangles: bigint,
+    clustering: double) over the undirected simple graph (multi-edges and
+    self-loops dropped). ``clustering = 2*triangles / (degree*(degree-1))``.
+
+    Scale shape — the MapReduce-classic *degree orientation* (Suri &
+    Vassilvitskii, WWW'11): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges as
+    pairs of out-edges per source, and close them against the oriented
+    edge list. Out-degree under this orientation is O(sqrt(m)) even for
+    hub nodes, so the wedge join — the only superlinear stage — is bounded
+    by sum C(outdeg, 2) ≤ O(m^1.5) with NO skew blowup on power-law
+    graphs: a Wikipedia-class hub of degree 10^6 contributes ~sqrt(m)
+    wedges, not 10^12. Everything is equi-joins and groupBys; each
+    triangle is emitted exactly once (its orientation-ordered corner).
+
+    Determinism: pure set semantics — counts are exact integers, so the
+    DuckDB oracle (same construction in SQL) hash-matches.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("dv"),
+    ).localCheckpoint()
+
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0).cast("bigint")).alias("triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            (F.coalesce("triangles", F.lit(0).cast("bigint")) * F.lit(2)).cast(
+                "double"
+            )
+            / (F.col("degree") * (F.col("degree") - 1))
+        )
+        .alias("clustering"),
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

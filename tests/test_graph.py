@@ -177,3 +177,60 @@ def test_graph_ops_on_random_graphs_match_reference(spark):
                                        undirected=False).collect()
         }
         assert got_dir == ref_lpa(edges, iterations=3, undirected=False), seed
+
+
+def _brute_triangles(edge_list):
+    """O(n^3) reference: per-node triangle counts on the simple graph."""
+    import itertools
+
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] += 1
+    return counts, {n: len(adj[n]) for n in adj}
+
+
+def test_triangle_counts_k4(spark):
+    from mmkg_rag_spark.operators.graph import triangle_counts
+
+    edges = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["node"]: r for r in triangle_counts(df).collect()}
+    # K4: every node is in C(3,2)=3 triangles, clustering 1.0
+    assert all(rows[n]["triangles"] == 3 for n in "abcd")
+    assert all(rows[n]["clustering"] == 1.0 for n in "abcd")
+    assert all(rows[n]["degree"] == 3 for n in "abcd")
+
+
+def test_triangle_counts_dedup_and_self_loops(spark):
+    from mmkg_rag_spark.operators.graph import triangle_counts
+
+    edges = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("a", "c"),
+             ("c", "a")]  # one triangle after cleanup
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert all(rows[n]["triangles"] == 1 for n in "abc")
+
+
+def test_triangle_counts_random_graphs_match_brute(spark):
+    import random
+
+    from mmkg_rag_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = [(f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+                 for _ in range(120)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: (r["degree"], r["triangles"])
+               for r in triangle_counts(df).collect()}
+        want_tri, want_deg = _brute_triangles(edges)
+        assert got == {n: (want_deg[n], want_tri[n]) for n in want_tri}
