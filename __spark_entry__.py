@@ -1587,6 +1587,54 @@ ORDER BY triangles DESC, d.node LIMIT 30
 """
 
 
+KCORE_K = 80
+KCORE_ROUNDS = 6
+
+
+def q_kcore_coorder(spark, sf_dir):
+    """k-core of the part co-order graph (operators/graph.py kcore):
+    fixed-round synchronous peeling, exact integer degrees, so the DuckDB
+    oracle (same rounds unrolled as CTEs) hash-matches. Returns surviving
+    (node, core_degree)."""
+    from mmkg_rag_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    e = (
+        l1.join(l2, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    out = kcore(e, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
+def _sql_kcore(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        "pr AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b\n"
+        "  FROM lineitem l1 JOIN lineitem l2\n"
+        "    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)",
+        "bi AS (SELECT a AS src, b AS dst FROM pr\n"
+        "  UNION ALL SELECT b AS src, a AS dst FROM pr)",
+        "a0 AS (SELECT DISTINCT src AS node FROM bi)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT b.src AS node, COUNT(*) AS cd FROM bi b\n"
+            f"  JOIN a{r - 1} x ON b.src = x.node\n"
+            f"  JOIN a{r - 1} y ON b.dst = y.node GROUP BY b.src)"
+        )
+        ctes.append(f"a{r} AS (SELECT node FROM d{r} WHERE cd >= {k})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, cd AS core_degree FROM d{rounds} WHERE cd >= {k}"
+    )
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Entity centrality over the constructed KG (rows-only: the graph is
     built by the LLM-extraction pipeline, not SQL-derivable)."""
@@ -1701,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_suppliers": q_ppr_suppliers,
         "lpa_suppliers": q_lpa_suppliers,
         "triangles_coorder": q_triangles_coorder,
+        "kcore_coorder": q_kcore_coorder,
         "kg_pagerank": q_kg_pagerank,
         "kg_communities": q_kg_communities,
         "kg_nodes": q_kg_nodes,
@@ -1750,4 +1799,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lpa_suppliers": _sql_lpa(),
         "triangles_coorder": SQL_TRIANGLES,
+        "kcore_coorder": _sql_kcore(),
     }

@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "minhash_near_dup",
     "simhash_near_dup",
     "events_sessionize",
+    "doc_repetition",
+    "stratified_sample",
+    "mixture_sample",
+    "triangles_coorder",
+    "kcore_coorder",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     # embedding_near_dup is deliberately NOT benched: its queries() entry is
@@ -56,6 +61,8 @@ COUNT_ONLY = {
     "doc_token_stats", "doc_quality", "exact_dedup", "unordered_pair_merge",
     "near_dup_survivors", "events_sessionize", "decontaminate", "pack_shards",
     "scrub_pii", "curate_corpus", "events_asof_join",
+    "doc_repetition", "stratified_sample", "mixture_sample",
+    "kcore_coorder",
 }
 
 

@@ -234,3 +234,56 @@ def test_triangle_counts_random_graphs_match_brute(spark):
                for r in triangle_counts(df).collect()}
         want_tri, want_deg = _brute_triangles(edges)
         assert got == {n: (want_deg[n], want_tri[n]) for n in want_tri}
+
+
+def _brute_kcore(edge_list, k, rounds):
+    """Synchronous fixed-round peeling reference."""
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    deg = {}
+    for _ in range(rounds):
+        deg = {n: sum(1 for m in adj[n] if m in alive)
+               for n in alive}
+        alive = {n for n, d in deg.items() if d >= k}
+    return {n: deg[n] for n in alive}
+
+
+def test_kcore_triangle_with_pendant(spark):
+    from mmkg_rag_spark.operators.graph import kcore
+
+    # triangle a-b-c plus pendant chain c-d-e: 2-core = the triangle
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["node"]: r["core_degree"] for r in kcore(df, k=2, rounds=4).collect()}
+    assert rows == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_cascade(spark):
+    from mmkg_rag_spark.operators.graph import kcore
+
+    # path graph: 2-core empty, but only after cascading peels
+    edges = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert kcore(df, k=2, rounds=6).count() == 0
+    # 1-core keeps everything
+    assert kcore(df, k=1, rounds=3).count() == 7
+
+
+def test_kcore_random_graphs_match_brute(spark):
+    import random
+
+    from mmkg_rag_spark.operators.graph import kcore
+
+    rng = random.Random(11)
+    for k in (2, 3):
+        edges = [(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}")
+                 for _ in range(70)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["core_degree"]
+               for r in kcore(df, k=k, rounds=5).collect()}
+        assert got == _brute_kcore(edges, k, 5)
