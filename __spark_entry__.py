@@ -1708,6 +1708,284 @@ def q_kg_search_eris(spark, sf_dir):
     return res["related_edges"].select("source", "label", "target")
 
 
+# ---------------------------------------------------------------------------
+# lexical relevance (TF-IDF / BM25 / inverted index) + event sequence ops
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ["spark", "join", "window", "vector"]
+
+
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (operators/relevance.py)."""
+    from mmkg_rag_spark.operators.relevance import tfidf_topk
+
+    return tfidf_topk(_tp(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS rank FROM scored
+)
+SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 for a fixed bag of query terms."""
+    from mmkg_rag_spark.operators.relevance import bm25_search
+
+    return bm25_search(_tp(spark, sf_dir, "documents"), _BM25_QUERY, k=10)
+
+
+def _sql_bm25(terms=None, k=10, k1=1.2, b=0.75) -> str:
+    terms = terms or _BM25_QUERY
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+df AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({tlist}) GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * {k1 + 1.0}) / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / avgdl.avgdl)) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN avgdl
+  WHERE tf.term IN ({tlist})
+)
+SELECT doc_id,
+       round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS score,
+       count(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def q_inverted_index(spark, sf_dir):
+    """Posting lists with df >= 5; postings emitted as a CSV string (the
+    driver's value hash canonicalizes strings, not engine array types)."""
+    from mmkg_rag_spark.operators.relevance import inverted_index
+
+    idx = inverted_index(_tp(spark, sf_dir, "documents"), min_df=5)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform(F.col("postings"), lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+)
+SELECT term, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term HAVING count(*) >= 5
+"""
+
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_events_funnel(spark, sf_dir):
+    """3-step ordered funnel over the event stream (operators/temporal.py):
+    one user-keyed shuffle + chained conditional window minimums."""
+    from mmkg_rag_spark.operators.temporal import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), _FUNNEL_STEPS
+    ).withColumn("step", F.col("step").cast("long"))
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3
+)
+SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, n1 AS n_users,
+       round(n1 / n1, 6) AS conv_from_first FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', n2, round(n2 / n1, 6) FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', n3, round(n3 / n1, 6) FROM c
+"""
+
+
+def q_events_json_extract(spark, sf_dir):
+    """Semi-structured props parsing: JSON field k aggregated per type —
+    get_json_object stays JVM-side (no Python round-trip)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+        .withColumn(
+            "avg_k",
+            F.round(F.col("sum_k").cast("double") / F.col("n_events"), 6),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, count(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / count(*), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_range_join(spark, sf_dir):
+    """Point-in-interval join (operators/temporal.range_join): clicks
+    landing inside any [error_ts, error_ts + 10 min) window of the same
+    user — bucketed banding, never a nested-loop inequality join."""
+    from mmkg_rag_spark.operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    iv = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+        )
+    )
+    pt = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return (
+        range_join(pt, iv, ["user_id"], bucket_seconds=600)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH iv AS (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 10 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+),
+pt AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT pt.user_id, count(*) AS n_pairs
+FROM pt JOIN iv ON pt.user_id = iv.user_id
+  AND iv.start_ts <= pt.ts AND pt.ts < iv.end_ts
+GROUP BY pt.user_id
+"""
+
+
+def q_doc_bigram_topk(spark, sf_dir):
+    """Corpus bigram count table, top-20 (operators/relevance.ngram_counts):
+    n-grams built in-row from the token array (no per-position window),
+    one map-side-combinable groupBy, bounded top-k."""
+    from mmkg_rag_spark.operators.relevance import ngram_counts
+
+    return ngram_counts(_tp(spark, sf_dir, "documents"), n=2, k=20)
+
+
+SQL_BIGRAMS = """
+WITH arrs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+                z -> z[1] || ' ' || z[2])) AS ngram
+  FROM arrs
+)
+SELECT ngram, count(*) AS n_occurrences
+FROM bg GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+"""
+
+
+_BFS_SEEDS = ["S0", "S1"]
+_BFS_HOPS = 3
+
+
+def q_bfs_suppliers(spark, sf_dir):
+    """Multi-source BFS distances over the supplier↔customer graph
+    (operators/graph.bfs_distances) — the distributed generalization of
+    the reference's k-hop neighborhood (search.py:151-215, networkx
+    single_source_shortest_path_length with cutoff)."""
+    from mmkg_rag_spark.operators.graph import bfs_distances
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return bfs_distances(e, _BFS_SEEDS, _BFS_HOPS)
+
+
+def _sql_bfs(seeds=None, hops: int = _BFS_HOPS) -> str:
+    """Unrolled level-synchronous BFS (mirrors graph.bfs_distances):
+    round i relaxes every edge out of the distance table and re-minimizes
+    — identical integer distances, hash-green."""
+    seeds = seeds or _BFS_SEEDS
+    seed_rows = " UNION ALL ".join(f"SELECT '{s}' AS node, 0 AS dist" for s in seeds)
+    ctes = [
+        "e0 AS (SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst\n"
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "adj AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)",
+        f"d0 AS ({seed_rows})",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"d{i} AS (SELECT node, min(dist) AS dist FROM (\n"
+            f"  SELECT node, dist FROM d{i - 1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT a.dst AS node, d.dist + 1 AS dist\n"
+            f"  FROM adj a JOIN d{i - 1} d ON d.node = a.src) GROUP BY node)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM d{hops}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1744,6 +2022,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_bigram_topk": q_doc_bigram_topk,
+        "bfs_suppliers": q_bfs_suppliers,
+        "bm25_search": q_bm25_search,
+        "inverted_index": q_inverted_index,
+        "events_funnel": q_events_funnel,
+        "events_json_extract": q_events_json_extract,
+        "events_range_join": q_events_range_join,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -1793,6 +2079,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_md5": _sql_simhash_md5(),
         "ann_topk_lsh": _sql_ann_lsh(n_planes=8, n_tables=8, n_probes=8),
         "ann_topk_ivf": _sql_ann_ivf(),
+        "doc_tfidf_topk": SQL_TFIDF,
+        "doc_bigram_topk": SQL_BIGRAMS,
+        "bfs_suppliers": _sql_bfs(),
+        "bm25_search": _sql_bm25(),
+        "inverted_index": SQL_INVERTED_INDEX,
+        "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_json_extract": SQL_EVENTS_JSON,
+        "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"

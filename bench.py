@@ -53,6 +53,13 @@ BENCH_QUERIES = [
     # by the LSH/IVF bench queries + tests/test_textstats_dedup_ann.py
     "ann_topk_ivf",
     "pagerank_suppliers",
+    "doc_tfidf_topk",
+    "doc_bigram_topk",
+    "bfs_suppliers",
+    "bm25_search",
+    "inverted_index",
+    "events_funnel",
+    "events_range_join",
     "kg_degree_topk",
 ]
 
@@ -62,7 +69,8 @@ COUNT_ONLY = {
     "near_dup_survivors", "events_sessionize", "decontaminate", "pack_shards",
     "scrub_pii", "curate_corpus", "events_asof_join",
     "doc_repetition", "stratified_sample", "mixture_sample",
-    "kcore_coorder",
+    "kcore_coorder", "doc_tfidf_topk", "inverted_index", "events_range_join",
+    "bfs_suppliers",
 }
 
 

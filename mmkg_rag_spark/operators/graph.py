@@ -367,3 +367,67 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             labels = labels.localCheckpoint()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    undirected: bool = True,
+    broadcast_nodes: int = 1_000_000,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Unweighted single/multi-source shortest paths → (node, dist).
+
+    The generalization of the reference's k-hop neighborhood expansion
+    (`/root/reference/src/mmkg_rag/retrieval/search.py:151-215`, which
+    calls networkx ``single_source_shortest_path_length`` with
+    ``cutoff=max_hop``): the same BFS distance map, distributed. Retrieval
+    uses it to rank context by graph proximity to the query's seed
+    entities; the KG side uses it for reachability audits.
+
+    Level-synchronous relaxation: per round, the CURRENT FRONTIER ONLY
+    (nodes first reached last round — relaxing already-settled nodes can
+    never improve an unweighted distance) joins the cached adjacency,
+    and newly reached nodes merge in with an anti-join. Exactly one
+    frontier-sized shuffle join + one distinct per round; the settled
+    table grows monotonically and is localCheckpoint'ed to cut lineage.
+    Distances are exact integers — bit-identical across partitionings and
+    engines, so the DuckDB oracle unrolls the same ``max_hops`` rounds as
+    chained CTEs and hash-matches.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = e.distinct().localCheckpoint()
+    # frontier ⊆ nodes: broadcast the frontier joins only while the whole
+    # vertex set is broadcastable (one count up front, same rule as kcore —
+    # no per-round probe jobs); past that, hash-join on adj's partitioning
+    small = (
+        adj.select(F.col("src").alias("node")).distinct().count() <= broadcast_nodes
+    )
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(s, 0) for s in seeds], "node string, dist int"
+    ).localCheckpoint()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        f = frontier.withColumnRenamed("node", "src").drop("dist")
+        reached = (
+            adj.join(F.broadcast(f) if small else f, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(settled, "node", "anti").withColumn(
+            "dist", F.lit(hop)
+        )
+        settled = settled.unionByName(frontier)
+        if hop % checkpoint_every == 0 and hop < max_hops:
+            settled = settled.localCheckpoint()
+            frontier = frontier.localCheckpoint()
+    return settled

@@ -1,0 +1,221 @@
+"""Lexical relevance operators: TF-IDF, BM25, inverted index.
+
+The retrieval side of the reference ranks KG rows by fuzzy string
+similarity (`/root/reference/src/mmkg_rag/retrieval/search.py:96-141`);
+a corpus-scale engine additionally needs the classic lexical-relevance
+family over the *document* side — keyword extraction (TF-IDF), free-text
+ranking (BM25), and the posting-list index retrieval systems build at
+scale. All three are pure native-expression dataflows:
+
+- one `split` + `explode` produces the token stream (no Python, stays in
+  whole-stage codegen);
+- term statistics are map-side-combinable `groupBy` aggregates keyed by
+  term (the natural shuffle key — high cardinality, no hot key since
+  stop-like terms are bounded by vocabulary, and partial aggregation
+  collapses them before the exchange);
+- corpus-level scalars (N, avgdl) are 1-row aggregates attached with a
+  broadcast cross-join, never a driver collect.
+
+At 100 TB: the token explode is map-only; the per-(doc,term) TF aggregate
+shuffles once on (doc_id, term); the DF aggregate reuses the term key.
+Nothing is all-pairs, no global sort except the final bounded top-k
+(`TakeOrderedAndProject`).
+
+Determinism: ties in top-k are broken lexicographically on term so output
+is stable across partitionings; IDF doubles are rounded by callers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, term) token stream: split on single spaces, drop empties.
+
+    Deliberately the simplest reproducible tokenizer (the synthetic corpus
+    is space-separated); swap the delimiter regex for real web text.
+    """
+    return (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def doc_lengths(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, dl) document lengths in tokens."""
+    return tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+
+
+def term_freq(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, term, tf) — one shuffle on (id, term), map-side partials."""
+    return tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_freq(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(term, df) from the TF table (already distinct per doc)."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def _corpus_size(docs: DataFrame, id_col: str) -> DataFrame:
+    """1-row (n_docs) aggregate — attached by broadcast cross-join so the
+    plan has no driver-side collect (resilient to re-runs / streaming)."""
+    return docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (id, term, tf, tfidf, rank).
+
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed; never negative, never
+    divides by zero). Rank ties break on term ascending — deterministic.
+
+    Plan shape: tokens (map-only) → TF groupBy (doc,term) → DF groupBy
+    (term) → TF ⋈ DF on term (both sides term-partitioned — AQE plans the
+    small DF side broadcast at test scale, sort-merge at corpus scale) →
+    per-doc window top-k. The window partitions by doc_id: bounded rows
+    per partition, no global sort.
+    """
+    toks = tokenize(docs, text_col, id_col)
+    tf = term_freq(toks, id_col)
+    df = doc_freq(tf, id_col)
+    n = _corpus_size(docs, id_col)
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf") * idf)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the standard non-negative idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    The query-term filter lands BEFORE the TF aggregate (a literal IN over
+    the token stream, inside the scan's codegen stage), so the wide
+    (doc, term) shuffle carries only |query| terms — the full-vocabulary
+    aggregate exists solely for document lengths, which are a per-doc
+    count. avgdl and N are 1-row broadcast aggregates (the planner
+    attaches them as 1-row broadcast nested-loops — O(n) scalar attach).
+    One bounded top-k at the end.
+    """
+    toks = tokenize(docs, text_col, id_col)
+    qtoks = toks.filter(F.col("term").isin(query_terms))
+    tf = term_freq(qtoks, id_col)
+    dl = doc_lengths(toks, id_col)
+    qtf = tf
+    df = doc_freq(tf, id_col)
+    n = _corpus_size(docs, id_col)
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        qtf.join(F.broadcast(df), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("_s", idf * tf_part)
+    )
+    # decimal aggregation: double addition is order-dependent and Spark's
+    # partial-agg order is nondeterministic — DECIMAL(28,12) addition is
+    # exact/associative, so the score is identical across partitionings
+    # (and matches the DuckDB oracle bit-for-bit)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("_s").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Posting lists: (term, df, postings) with postings a sorted id list.
+
+    The build is the TF aggregate reshuffled once on term; postings are
+    `sort_array(collect_list(...))` — per-term lists, bounded by document
+    frequency. At corpus scale the hot terms (stopwords) produce long
+    postings; callers cap them with ``min_df``/stoplists or store
+    `slice`d heads — the operator keeps the full list since the synthetic
+    vocabulary is bounded.
+    """
+    tf = term_freq(tokenize(docs, text_col, id_col), id_col)
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level word n-gram counts (language-model count tables):
+    (ngram, n_occurrences), optionally top-k with lexicographic tiebreak.
+
+    The n-grams are built IN-ROW from the token array (`transform` over a
+    slice with `element_at` lookahead — whole-stage codegen, no window
+    shuffle over (doc, position) like the lag-based formulation), then one
+    map-side-combinable groupBy on the n-gram. That single term-keyed
+    exchange is the only shuffle; top-k is a bounded
+    TakeOrderedAndProject, not a global sort.
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.transform(
+        F.slice(arr, 1, F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", F.array([x] + [F.element_at(arr, i + j + 1) for j in range(1, n)]))
+        ,
+    )
+    out = (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    if k is not None:
+        out = out.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k)
+    return out
