@@ -1986,6 +1986,81 @@ def _sql_bfs(seeds=None, hops: int = _BFS_HOPS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM d{hops}"
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly retention cohorts: users by (first-activity week, week
+    offset) + retention ratio vs the cohort's week 0. Weeks are TZ-proof
+    integer epoch-weeks (ntz_epoch // 604800 — no calendar/zone functions,
+    so the DuckDB twin is bit-identical). Shuffle shape: one user-keyed
+    window for the cohort min, one distinct, one (cohort, offset) agg; the
+    ratio window runs over the tiny counts table only."""
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+
+    e = _t(spark, sf_dir, "events")
+    week = F.floor(ntz_epoch("ts") / 604800).cast("long")
+    wk = e.select("user_id", week.alias("week"))
+    w = Window.partitionBy("user_id")
+    dist = (
+        wk.withColumn("cohort_week", F.min("week").over(w))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_off"),
+        )
+        .distinct()
+    )
+    cnt = dist.groupBy("cohort_week", "week_off").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w0 = Window.partitionBy("cohort_week").orderBy("week_off")
+    return cnt.withColumn(
+        "retention",
+        F.round(F.col("n_users") / F.first("n_users").over(w0), 6),
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH wk AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS week
+  FROM events
+),
+coh AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM wk
+),
+dist AS (
+  SELECT DISTINCT user_id, cohort_week, week - cohort_week AS week_off FROM coh
+),
+cnt AS (
+  SELECT cohort_week, week_off, count(*) AS n_users FROM dist GROUP BY 1, 2
+)
+SELECT cohort_week, week_off, n_users,
+  round(n_users / first_value(n_users) OVER (
+    PARTITION BY cohort_week ORDER BY week_off), 6) AS retention
+FROM cnt
+"""
+
+
+def q_doc_source_rollup(spark, sf_dir):
+    """ROLLUP aggregation (lang, source) with grouping_id — the
+    multi-granularity summary operator class (Catalyst expands the rollup
+    into a single Expand + one aggregate exchange, not one job per
+    grouping set)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+SQL_DOC_ROLLUP = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       CAST(grouping(lang, source) AS BIGINT) AS gid
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2030,6 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_json_extract": q_events_json_extract,
         "events_range_join": q_events_range_join,
+        "events_retention": q_events_retention,
+        "doc_source_rollup": q_doc_source_rollup,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -2087,6 +2164,8 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_json_extract": SQL_EVENTS_JSON,
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
+        "events_retention": SQL_EVENTS_RETENTION,
+        "doc_source_rollup": SQL_DOC_ROLLUP,
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "inverted_index",
     "events_funnel",
     "events_range_join",
+    "events_retention",
+    "doc_source_rollup",
     "kg_degree_topk",
 ]
 
@@ -70,7 +72,7 @@ COUNT_ONLY = {
     "scrub_pii", "curate_corpus", "events_asof_join",
     "doc_repetition", "stratified_sample", "mixture_sample",
     "kcore_coorder", "doc_tfidf_topk", "inverted_index", "events_range_join",
-    "bfs_suppliers",
+    "bfs_suppliers", "events_retention", "doc_source_rollup",
 }
 
 

