@@ -2061,6 +2061,76 @@ FROM documents GROUP BY ROLLUP(lang, source)
 """
 
 
+def q_events_value_percentiles(spark, sf_dir):
+    """Exact interpolated quantiles (p50/p90/p99) of value per event_type —
+    the percentile/quantile aggregate class. Uses the exact `percentile`
+    aggregate (sort-based within the hash-agg partial), not approx sketches:
+    the approximate twin (`approx_percentile`) has engine-specific sketch
+    internals that no oracle can reproduce, so the exact form is the
+    parity query. One shuffle on event_type; rounded to 4dp so the linear
+    interpolation's last-bit float noise can't flake the value hash."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+SQL_EVENTS_PERCENTILES = """
+SELECT event_type, COUNT(*) AS n,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window aggregate: 10-minute windows every 5
+    minutes, per event_type. Each event lands in exactly len/hop = 2
+    windows; rather than Spark's `F.window` (whose NTZ handling routes
+    through the session zone) the window starts are derived from the
+    TZ-proof integer epoch and the event is fanned out with one
+    `explode(array(0, hop))` — a narrow 2× row expansion followed by one
+    (type, win_start) hash aggregate with map-side partials. Same shape the
+    streaming twin uses under watermarks."""
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+
+    e = _t(spark, sf_dir, "events")
+    base = (F.floor(ntz_epoch("ts") / 300) * 300).cast("long")
+    return (
+        e.select(
+            "event_type",
+            base.alias("base"),
+            F.col("value"),
+            F.explode(F.array(F.lit(0), F.lit(300))).alias("off"),
+        )
+        .groupBy(
+            "event_type", (F.col("base") - F.col("off")).alias("win_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_sv"),
+        )
+        .select(
+            "event_type", "win_start", "n",
+            F.round(F.col("_sv").cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOPPING = """
+SELECT event_type,
+  CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - o.off AS win_start,
+  COUNT(*) AS n,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (300)) AS o(off)
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2107,6 +2177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_retention": q_events_retention,
         "doc_source_rollup": q_doc_source_rollup,
+        "events_value_percentiles": q_events_value_percentiles,
+        "events_hopping_window": q_events_hopping_window,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -2166,6 +2238,8 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "events_retention": SQL_EVENTS_RETENTION,
         "doc_source_rollup": SQL_DOC_ROLLUP,
+        "events_value_percentiles": SQL_EVENTS_PERCENTILES,
+        "events_hopping_window": SQL_EVENTS_HOPPING,
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"
