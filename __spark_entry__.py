@@ -2131,6 +2131,77 @@ GROUP BY 1, 2
 """
 
 
+def q_events_daily_pivot(spark, sf_dir):
+    """PIVOT: long→wide reshape, one count column per event_type per day.
+    With an explicit value list Spark's `.pivot` compiles to ONE hash
+    aggregate of conditional counts (no second shuffle, no value-discovery
+    job) — identical physical shape to the oracle's FILTER aggregation.
+    Never call `.pivot(col)` without values at scale: the value-discovery
+    pass is a full extra scan+distinct."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+  COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+  COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events GROUP BY 1
+"""
+
+
+def q_lineitem_measures_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: wide→long reshape of the four lineitem measures, then
+    one aggregate per measure. `DataFrame.unpivot` is a zero-shuffle Expand
+    (each input row fans to 4 rows map-side); the only exchange is the
+    4-group aggregate. Decimal sums so addition order can't flake parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,4)")).cast("double"), 2
+        ).alias("total"),
+        F.round(F.min("val").cast("double"), 4).alias("vmin"),
+        F.round(F.max("val").cast("double"), 4).alias("vmax"),
+    )
+
+
+SQL_LINEITEM_UNPIVOT = """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, COUNT(*) AS n,
+  round(CAST(SUM(CAST(val AS DECIMAL(28,4))) AS DOUBLE), 2) AS total,
+  round(CAST(MIN(val) AS DOUBLE), 4) AS vmin,
+  round(CAST(MAX(val) AS DOUBLE), 4) AS vmax
+FROM long GROUP BY measure
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2179,6 +2250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_rollup": q_doc_source_rollup,
         "events_value_percentiles": q_events_value_percentiles,
         "events_hopping_window": q_events_hopping_window,
+        "events_daily_pivot": q_events_daily_pivot,
+        "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -2240,6 +2313,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_rollup": SQL_DOC_ROLLUP,
         "events_value_percentiles": SQL_EVENTS_PERCENTILES,
         "events_hopping_window": SQL_EVENTS_HOPPING,
+        "events_daily_pivot": SQL_EVENTS_PIVOT,
+        "lineitem_measures_unpivot": SQL_LINEITEM_UNPIVOT,
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "doc_source_rollup",
     "events_value_percentiles",
     "events_hopping_window",
+    "events_daily_pivot",
+    "lineitem_measures_unpivot",
     "kg_degree_topk",
 ]
 
