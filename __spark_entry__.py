@@ -2202,6 +2202,92 @@ FROM long GROUP BY measure
 """
 
 
+def q_events_trailing_range_window(spark, sf_dir):
+    """RANGE-BETWEEN window frame: per user, the trailing-10-minute event
+    count and value sum at each event (value-based frame over the TZ-proof
+    integer epoch — NOT rowsBetween: rows and range frames diverge whenever
+    event spacing is irregular, which is exactly the webtext case). One
+    user-keyed shuffle; the frame is evaluated in a single sort pass per
+    partition. Decimal sum so addition order can't flake parity."""
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+
+    e = _t(spark, sf_dir, "events")
+    ep = ntz_epoch("ts").alias("ep")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "event_id", ep, F.col("value"))
+        .select(
+            "user_id",
+            "event_id",
+            "ep",
+            F.count(F.lit(1)).over(w).alias("n_10m"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"),
+                4,
+            ).alias("sum_10m"),
+        )
+        .drop("ep")
+    )
+
+
+SQL_EVENTS_RANGE_WINDOW = """
+WITH t AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+  FROM events
+)
+SELECT user_id, event_id,
+  COUNT(*) OVER w AS n_10m,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4) AS sum_10m
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_customer_balance_deciles(spark, sf_dir):
+    """ntile/percent_rank ranking class: customers bucketed into account-
+    balance deciles with per-decile stats. The orderBy carries c_custkey as
+    a deterministic tiebreaker — without it, equal balances straddling a
+    decile boundary make ntile assignment run-order-dependent and the
+    oracle hash flakes. The global sort is one TakeOrdered-style exchange
+    over a dimension table; the per-decile aggregate is map-side
+    combinable."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("bal_min"),
+        F.round(F.max("c_acctbal"), 2).alias("bal_max"),
+        F.round(F.max("pr"), 6).alias("pr_max"),
+    )
+
+
+SQL_CUSTOMER_DECILES = """
+WITH ranked AS (
+  SELECT c_custkey, c_acctbal,
+    CAST(ntile(10) OVER w AS BIGINT) AS decile,
+    round(percent_rank() OVER w, 6) AS pr
+  FROM customer
+  WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+)
+SELECT decile, COUNT(*) AS n,
+  round(MIN(c_acctbal), 2) AS bal_min,
+  round(MAX(c_acctbal), 2) AS bal_max,
+  round(MAX(pr), 6) AS pr_max
+FROM ranked GROUP BY decile
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2252,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping_window": q_events_hopping_window,
         "events_daily_pivot": q_events_daily_pivot,
         "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
+        "events_trailing_range_window": q_events_trailing_range_window,
+        "customer_balance_deciles": q_customer_balance_deciles,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -2315,6 +2403,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": SQL_EVENTS_HOPPING,
         "events_daily_pivot": SQL_EVENTS_PIVOT,
         "lineitem_measures_unpivot": SQL_LINEITEM_UNPIVOT,
+        "events_trailing_range_window": SQL_EVENTS_RANGE_WINDOW,
+        "customer_balance_deciles": SQL_CUSTOMER_DECILES,
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"

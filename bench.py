@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "events_hopping_window",
     "events_daily_pivot",
     "lineitem_measures_unpivot",
+    "events_trailing_range_window",
+    "customer_balance_deciles",
     "kg_degree_topk",
 ]
 
@@ -77,7 +79,7 @@ COUNT_ONLY = {
     "doc_repetition", "stratified_sample", "mixture_sample",
     "kcore_coorder", "doc_tfidf_topk", "inverted_index", "events_range_join",
     "bfs_suppliers", "events_retention", "doc_source_rollup",
-    "events_hopping_window",
+    "events_hopping_window", "events_trailing_range_window",
 }
 
 
