@@ -2288,6 +2288,31 @@ FROM ranked GROUP BY decile
 """
 
 
+def q_events_distinct_sketch(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches, native in Spark 3.5+):
+    per-day distinct-user sketches + a whole-range estimate from
+    hll_union_agg over the day sketches. THE pattern for distinct counts
+    at 100 TB: each partition/day materializes a fixed-size (≤ 2^lgK
+    registers) sketch once, and any rollup (day→month→all) is a cheap
+    merge of sketches — no re-scan, no exact-distinct shuffle of raw ids.
+    rows-only by necessity (DuckDB's approx_count_distinct is a different
+    HLL implementation — estimates differ by design); the error bound vs
+    exact countDistinct is pinned by tests/test_percentile_window.py."""
+    e = _t(spark, sf_dir, "events")
+    day_sk = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    per_day = day_sk.select(
+        "day", F.hll_sketch_estimate("sk").cast("long").alias("est_users")
+    )
+    total = day_sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est")
+    )
+    return per_day.withColumn(
+        "est_total_users", F.lit(total.first()[0]).cast("long")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2340,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
         "events_trailing_range_window": q_events_trailing_range_window,
         "customer_balance_deciles": q_customer_balance_deciles,
+        "events_distinct_sketch": q_events_distinct_sketch,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,

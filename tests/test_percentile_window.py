@@ -68,6 +68,33 @@ def test_hopping_window_every_event_in_exactly_two_windows(spark, tmp_path):
     assert all(r["win_start"] % 300 == 0 for r in w)
 
 
+def test_hll_sketch_estimates_within_error_bound(spark, tmp_path):
+    # lgK=12 HLL relative standard error ≈ 1.04/sqrt(2^12) ≈ 1.6%; assert
+    # a loose 5% bound per day AND for the unioned whole-range estimate,
+    # plus that the union estimate is no smaller than the largest day.
+    import __spark_entry__ as se
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i % 3, seconds=i), i % 997, "click", 1.0, "{}")
+        for i in range(4000)
+    ]
+    sf = _stage(spark, tmp_path, rows)
+    out = se.queries()["events_distinct_sketch"](spark, sf).collect()
+    e = _events(spark, rows)
+    exact = {
+        r["day"]: r["n"]
+        for r in e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = e.agg(F.countDistinct("user_id")).first()[0]
+    for r in out:
+        assert abs(r["est_users"] - exact[r["day"]]) / exact[r["day"]] < 0.05
+        assert abs(r["est_total_users"] - exact_total) / exact_total < 0.05
+        assert r["est_total_users"] >= max(exact.values()) * 0.95
+
+
 def test_hopping_window_boundary_event_on_window_edge(spark, tmp_path):
     import __spark_entry__ as se
 
