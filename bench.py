@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "lineitem_measures_unpivot",
     "events_trailing_range_window",
     "customer_balance_deciles",
+    "events_distinct_sketch",
     "kg_degree_topk",
 ]
 
