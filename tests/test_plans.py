@@ -204,3 +204,48 @@ def test_pagerank_small_mode_broadcasts_ranks(spark):
     plan = _plan(pagerank(edges, undirected=True, iterations=3))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_expand_single_exchange(spark):
+    """UNPIVOT/melt must be a zero-shuffle Expand; the only exchange is the
+    4-group aggregate (map-side partials)."""
+    import __spark_entry__ as se
+
+    df = se.queries()["lineitem_measures_unpivot"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # agg hashpartitioning (+AQE read)
+    assert "SortMergeJoin" not in plan and "SinglePartition" not in plan
+
+
+def test_pivot_no_value_discovery_job(spark):
+    """PIVOT with an explicit value list compiles to ONE conditional-count
+    aggregate — no distinct() value-discovery pass, no second aggregate."""
+    import __spark_entry__ as se
+    from pyspark.sql import DataFrame
+
+    calls = []
+    orig = DataFrame.collect
+    DataFrame.collect = lambda self: calls.append(1) or orig(self)
+    try:
+        df = se.queries()["events_daily_pivot"](spark, "/root/testdata/sf0.001")
+    finally:
+        DataFrame.collect = orig
+    assert not calls, "pivot construction must not trigger a discovery job"
+    plan = _plan(df)
+    assert "Expand" not in plan  # conditional agg, not grouping-sets expand
+    assert plan.count("Exchange") <= 2
+
+
+def test_range_window_single_user_exchange(spark):
+    """The trailing RANGE frame must evaluate in one user-keyed exchange +
+    one sort — no self-join, no per-row range join."""
+    import __spark_entry__ as se
+
+    df = se.queries()["events_trailing_range_window"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
