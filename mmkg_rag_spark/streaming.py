@@ -168,16 +168,21 @@ def windowed_event_counts(
     input_dir: str,
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
+    slide_duration: str | None = None,
 ):
-    """Streaming tumbling-window aggregation with late-data handling.
+    """Streaming tumbling- or hopping-window aggregation with late data.
 
     readStream(events parquet dir) → withWatermark(ts) → window(ts) ×
     event_type → count + sum(value). The watermark bounds state: windows
     older than (max event time − watermark) finalize and evict, so state
     size is O(active windows × types) regardless of stream length — the
     property that lets this run forever on an unbounded 100 TB/day feed.
-    Returns the streaming DataFrame; callers attach a sink (tests use a
-    memory sink with availableNow, production appends to the catalog).
+    With ``slide_duration`` < ``window_duration`` the window is hopping:
+    each event fans out to len/hop windows inside the stateful aggregate —
+    the streaming twin of the batch ``events_hopping_window`` driver query
+    (state grows by the same len/hop factor; the watermark still bounds
+    it). Returns the streaming DataFrame; callers attach a sink (tests use
+    a memory sink with availableNow, production appends to the catalog).
 
     Watermarks only accept TIMESTAMP (LTZ), so the NTZ wall-clock is pinned
     to a session-independent instant (wall-clock-as-UTC via ntz_epoch)
@@ -188,11 +193,14 @@ def windowed_event_counts(
 
     from .functions.timeops import ntz_epoch, ntz_from_epoch
 
+    win = F.window(
+        "ts_utc", window_duration, slide_duration or window_duration
+    )
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
     return (
         stream.withColumn("ts_utc", F.timestamp_seconds(ntz_epoch("ts")))
         .withWatermark("ts_utc", watermark)
-        .groupBy(F.window("ts_utc", window_duration).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).alias("_sv"),

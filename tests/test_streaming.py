@@ -148,6 +148,47 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path_factory):
     assert got == want and len(got) > 0
 
 
+def test_hopping_window_stream_matches_batch_driver_query(
+    spark, tmp_path_factory
+):
+    """Streaming hopping windows (10 min / 5 min slide) == the batch
+    events_hopping_window driver query on the same events: every event in
+    exactly len/hop = 2 windows, identical (type, win_start) → (n, sum)."""
+    import datetime as dt
+
+    import __spark_entry__ as se
+    from mmkg_rag_spark.streaming import windowed_event_counts
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("events_hop_in"))
+    spark.read.parquet(f"{sf}/events.parquet").write.mode("overwrite").parquet(
+        in_dir
+    )
+
+    agg = windowed_event_counts(
+        spark, in_dir, "10 minutes", "2 hours", slide_duration="5 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hopcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        # window_start is NTZ wall-clock; the batch twin emits epoch longs
+        (int(r.window_start.replace(tzinfo=dt.timezone.utc).timestamp()),
+         r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("select * from hopcounts").collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in se.queries()["events_hopping_window"](spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
     """applyInPandasWithState sessionization across micro-batches == batch twin."""
     import sys
