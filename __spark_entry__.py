@@ -2313,6 +2313,44 @@ def q_events_distinct_sketch(spark, sf_dir):
     )
 
 
+def q_nation_top_supplier(spark, sf_dir):
+    """argmax/max_by aggregate class: the top-balance supplier per nation
+    as ONE map-side-combinable `max(struct(...))` — the scale-right argmax
+    (each partition keeps one struct per group; the merge is a struct
+    compare), NOT a window row_number that sorts every partition's full
+    contents. s_suppkey inside the struct is the deterministic tiebreaker;
+    both engines compare structs lexicographically, so the oracle
+    hash-matches."""
+    s = _t(spark, sf_dir, "supplier")
+    m = s.groupBy("s_nationkey").agg(
+        F.max(
+            F.struct(
+                F.col("s_acctbal").alias("bal"),
+                F.col("s_suppkey").alias("sk"),
+                F.col("s_name").alias("nm"),
+            )
+        ).alias("m")
+    )
+    return m.select(
+        "s_nationkey",
+        F.round(F.col("m.bal"), 2).alias("top_bal"),
+        F.col("m.sk").alias("top_suppkey"),
+        F.col("m.nm").alias("top_name"),
+    )
+
+
+SQL_NATION_TOP_SUPPLIER = """
+WITH m AS (
+  SELECT s_nationkey,
+    max(struct_pack(bal := s_acctbal, sk := s_suppkey, nm := s_name)) AS m
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT s_nationkey, round(m.bal, 2) AS top_bal,
+       m.sk AS top_suppkey, m.nm AS top_name
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2366,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trailing_range_window": q_events_trailing_range_window,
         "customer_balance_deciles": q_customer_balance_deciles,
         "events_distinct_sketch": q_events_distinct_sketch,
+        "nation_top_supplier": q_nation_top_supplier,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -2431,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_measures_unpivot": SQL_LINEITEM_UNPIVOT,
         "events_trailing_range_window": SQL_EVENTS_RANGE_WINDOW,
         "customer_balance_deciles": SQL_CUSTOMER_DECILES,
+        "nation_top_supplier": SQL_NATION_TOP_SUPPLIER,
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"
