@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "events_trailing_range_window",
     "customer_balance_deciles",
     "events_distinct_sketch",
+    "nation_top_supplier",
     "kg_degree_topk",
 ]
 
