@@ -2351,6 +2351,76 @@ FROM m
 """
 
 
+def q_lineitem_stats_corr(spark, sf_dir):
+    """Statistical-aggregate class: Pearson correlation, sample covariance,
+    and sample stddev/variance per group. All four are ALGEBRAIC aggregates
+    (each partition keeps O(1) co-moments — n, sum, sum-of-squares,
+    cross-moment — and the merge combines moments), so the plan is a single
+    map-side-partial groupBy shuffling O(groups) rows regardless of input
+    size: the scale-right way to compute second-order statistics at 100 TB.
+    Definitions are the textbook ones shared by Spark and DuckDB
+    (corr = covar_pop/(stddev_pop_x*stddev_pop_y), *_samp with n-1), so the
+    oracle hash-matches after rounding absorbs summation-order ulps."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "covar_qty_disc"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        )
+    )
+
+
+SQL_LINEITEM_STATS_CORR = """
+SELECT l_returnflag, COUNT(*) AS n,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+  round(var_samp(l_discount), 8) AS var_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_region_nations_listagg(spark, sf_dir):
+    """Ordered string-aggregation class (LISTAGG / string_agg): per region,
+    the alphabetized comma-joined list of member nation names plus the
+    member count. Spark has no ordered listagg aggregate, so the
+    deterministic composition is collect_list → array_sort → array_join —
+    ordering INSIDE the row after the (unordered, map-side-combinable)
+    collect, never a global sort of the input. At 100 TB this stays one
+    shuffle of O(groups) rows; the per-group payload is the only thing that
+    grows, which is intrinsic to listagg's contract."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(
+            F.broadcast(r), n.n_regionkey == r.r_regionkey
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+        )
+    )
+
+
+SQL_REGION_NATIONS_LISTAGG = """
+SELECT r_name, COUNT(*) AS n_nations,
+  string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2405,6 +2475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_deciles": q_customer_balance_deciles,
         "events_distinct_sketch": q_events_distinct_sketch,
         "nation_top_supplier": q_nation_top_supplier,
+        "lineitem_stats_corr": q_lineitem_stats_corr,
+        "region_nations_listagg": q_region_nations_listagg,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -2471,6 +2543,8 @@ def oracle_sql() -> dict[str, str]:
         "events_trailing_range_window": SQL_EVENTS_RANGE_WINDOW,
         "customer_balance_deciles": SQL_CUSTOMER_DECILES,
         "nation_top_supplier": SQL_NATION_TOP_SUPPLIER,
+        "lineitem_stats_corr": SQL_LINEITEM_STATS_CORR,
+        "region_nations_listagg": SQL_REGION_NATIONS_LISTAGG,
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"

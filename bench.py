@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "customer_balance_deciles",
     "events_distinct_sketch",
     "nation_top_supplier",
+    "lineitem_stats_corr",
+    "region_nations_listagg",
     "kg_degree_topk",
 ]
 
