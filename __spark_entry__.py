@@ -2421,6 +2421,30 @@ GROUP BY r_name
 """
 
 
+def q_orders_cube(spark, sf_dir):
+    """CUBE aggregation class — all four grouping sets of (status,
+    priority) including the cross-granularity ones ROLLUP cannot express
+    (status-only AND priority-only). Catalyst expands the cube into ONE
+    Expand (4 replicas per input row) + one aggregate exchange — one job,
+    not one scan per grouping set; at 100 TB the Expand fan-out is the
+    intrinsic cost of the contract and the partial aggregate collapses it
+    map-side before the shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+SQL_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2477,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_top_supplier": q_nation_top_supplier,
         "lineitem_stats_corr": q_lineitem_stats_corr,
         "region_nations_listagg": q_region_nations_listagg,
+        "orders_cube": q_orders_cube,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -2545,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_top_supplier": SQL_NATION_TOP_SUPPLIER,
         "lineitem_stats_corr": SQL_LINEITEM_STATS_CORR,
         "region_nations_listagg": SQL_REGION_NATIONS_LISTAGG,
+        "orders_cube": SQL_ORDERS_CUBE,
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"

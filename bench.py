@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "nation_top_supplier",
     "lineitem_stats_corr",
     "region_nations_listagg",
+    "orders_cube",
     "kg_degree_topk",
 ]
 

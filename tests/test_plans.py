@@ -249,3 +249,16 @@ def test_range_window_single_user_exchange(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_cube_single_expand_single_exchange(spark):
+    """CUBE must compile to ONE Expand (4 grouping-set replicas) feeding a
+    map-side-partial aggregate with a single hash exchange — never one
+    scan/job per grouping set."""
+    import __spark_entry__ as se
+
+    df = se.queries()["orders_cube"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") <= 2  # agg hashpartitioning (+AQE read)
+    assert "Join" not in plan
