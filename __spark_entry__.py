@@ -1086,8 +1086,9 @@ WITH tot AS (
 ),
 plan AS (
   SELECT stratum, total_tokens,
-         LEAST(1000000, ({MIXTURE_BUDGET_TOKENS} * 1000000) // total_tokens)
-           AS rate_ppm
+         CAST(LEAST(1000000,
+                    ({MIXTURE_BUDGET_TOKENS} * 1000000) // total_tokens)
+              AS BIGINT) AS rate_ppm
   FROM tot
 )
 SELECT d.doc_id, d.source, p.rate_ppm
@@ -1307,12 +1308,20 @@ def _sql_ann_ivf(
 # ---------------------------------------------------------------------------
 
 def q_minhash_near_dup(spark, sf_dir):
+    """BENCH-ONLY (not in queries()): the production xxhash64 hash mode.
+
+    xxhash64 has no DuckDB twin, so this variant is unoracle-able by
+    construction; the oracle-checked registration is q_minhash_near_dup_md5
+    (identical banding/verify dataflow, md5 base hash). Kept as a module
+    attribute so bench.py can time the production hash path."""
     return textdedup.minhash_near_duplicates(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
 
 
 def q_simhash_near_dup(spark, sf_dir):
+    """BENCH-ONLY (not in queries()): production xxhash64 SimHash — see
+    q_minhash_near_dup. Oracle-checked registration is the md5 twin."""
     return textdedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
 
 
@@ -1873,7 +1882,8 @@ def q_events_json_extract(spark, sf_dir):
 
 SQL_EVENTS_JSON = """
 SELECT event_type, count(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
@@ -2055,7 +2065,8 @@ def q_doc_source_rollup(spark, sf_dir):
 
 
 SQL_DOC_ROLLUP = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST(grouping(lang, source) AS BIGINT) AS gid
 FROM documents GROUP BY ROLLUP(lang, source)
 """
@@ -2253,9 +2264,11 @@ def q_customer_balance_deciles(spark, sf_dir):
     balance deciles with per-decile stats. The orderBy carries c_custkey as
     a deterministic tiebreaker — without it, equal balances straddling a
     decile boundary make ntile assignment run-order-dependent and the
-    oracle hash flakes. The global sort is one TakeOrdered-style exchange
-    over a dimension table; the per-decile aggregate is map-side
-    combinable."""
+    oracle hash flakes. Exact ntile/percent_rank over the whole table is
+    intrinsically a SinglePartition global sort — fine for a dimension
+    table (customer is ~150k rows/SF); a fact-table decile job would use a
+    two-phase rank (per-partition counts + range partitioner) instead.
+    The per-decile aggregate is map-side combinable."""
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     ranked = c.select(
@@ -2308,8 +2321,11 @@ def q_events_distinct_sketch(spark, sf_dir):
     total = day_sk.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est")
     )
-    return per_day.withColumn(
-        "est_total_users", F.lit(total.first()[0]).cast("long")
+    # Lazy scalar attach: broadcast the 1-row union estimate instead of an
+    # eager .first() at plan-build time (same pattern as relevance._corpus_size)
+    # — one job at execution, the day_sk aggregate computed once per branch.
+    return per_day.crossJoin(
+        F.broadcast(total.select(F.col("est").alias("est_total_users")))
     )
 
 
@@ -2432,14 +2448,17 @@ def q_orders_cube(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast("double"), 2
+        ).alias("sum_price"),
         F.grouping_id().cast("long").alias("gid"),
     )
 
 
 SQL_ORDERS_CUBE = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+         AS sum_price,
        CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
@@ -2475,10 +2494,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        # The native-xxhash64 dedup variants (q_minhash_near_dup /
+        # q_simhash_near_dup) are deliberately NOT registered: xxhash64 has
+        # no cross-engine twin so they can never be oracle-checked; the md5
+        # registrations below run the same dataflow with an oracle-able base
+        # hash. The native variants are benched directly by bench.py.
         "minhash_near_dup_md5": q_minhash_near_dup_md5,
         "simhash_near_dup_md5": q_simhash_near_dup_md5,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_near_dup": q_simhash_near_dup,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "doc_tfidf_topk": q_doc_tfidf_topk,

@@ -74,7 +74,20 @@ BENCH_QUERIES = [
     "region_nations_listagg",
     "orders_cube",
     "kg_degree_topk",
+    # graph/KG retrieval tail (VERDICT r3 item 4): algorithm cost over the
+    # built KG / supplier graph — the KG *build* cost is the kg_degree_topk
+    # line; these time pagerank/LPA/retrieval on the materialized graph.
+    "ppr_suppliers",
+    "lpa_suppliers",
+    "kg_pagerank",
+    "kg_communities",
+    "kg_search_eris",
 ]
+
+# queries that consume the session KG cache: warm the build untimed so the
+# timed number is the graph algorithm, not a duplicate of kg_degree_topk's
+# build measurement
+KG_WARM = {"kg_pagerank", "kg_communities", "kg_search_eris"}
 
 # reduce result materialization cost for wide outputs: count instead of collect
 COUNT_ONLY = {
@@ -176,6 +189,11 @@ def main() -> None:
 
     spark = get_spark(app_name="mmkg-bench")
     qs = se.queries()
+    # Bench-only variants (production xxhash64 dedup paths): deliberately not
+    # in queries() because xxhash64 has no DuckDB twin (the md5 twins carry
+    # the oracle check); still benched here under their historical names.
+    qs.setdefault("minhash_near_dup", se.q_minhash_near_dup)
+    qs.setdefault("simhash_near_dup", se.q_simhash_near_dup)
 
     _warmup(spark)
 
@@ -188,6 +206,8 @@ def main() -> None:
                 runs.append(kg_sec)
             timings[name] = round(min(runs), 3)
             continue
+        if name in KG_WARM and sf_dir not in getattr(se, "_KG_CACHE", {}):
+            se._build_kg(spark, sf_dir)  # untimed: cost owned by kg_degree_topk
         runs = []
         snap = _memo_snapshot(se)
         for i in range(repeats):

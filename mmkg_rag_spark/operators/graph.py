@@ -407,10 +407,14 @@ def bfs_distances(
     adj = e.distinct().localCheckpoint()
     # frontier ⊆ nodes: broadcast the frontier joins only while the whole
     # vertex set is broadcastable (one count up front, same rule as kcore —
-    # no per-round probe jobs); past that, hash-join on adj's partitioning
-    small = (
-        adj.select(F.col("src").alias("node")).distinct().count() <= broadcast_nodes
-    )
+    # no per-round probe jobs); past that, hash-join on adj's partitioning.
+    # In directed mode the frontier can contain dst-only sinks, so the
+    # bound must count the FULL vertex set (src ∪ dst), not just sources —
+    # undirected adj already contains both orientations so src suffices.
+    verts = adj.select(F.col("src").alias("node"))
+    if not undirected:
+        verts = verts.unionAll(adj.select(F.col("dst").alias("node")))
+    small = verts.distinct().count() <= broadcast_nodes
     spark = edges.sparkSession
     settled = spark.createDataFrame(
         [(s, 0) for s in seeds], "node string, dist int"
