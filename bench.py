@@ -224,6 +224,12 @@ def main() -> None:
 
     pages_per_sec = round(n_pages / timings["kg_degree_topk"], 2)
 
+    # similarity-kernel pair throughput (VERDICT r3 item 5): scored pairs and
+    # per-core kernel pairs/sec across every scoring site exercised above
+    # (dedup verify inside the KG builds, mmodal relevance, fuzzy search)
+    from mmkg_rag_spark.metrics import similarity_throughput
+    from mmkg_rag_spark.operators.textdedup import cap_dropped_shingles
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -233,6 +239,13 @@ def main() -> None:
         "pages_per_sec": pages_per_sec,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "timing": f"min_of_{repeats}",
+        "sim_kernel": similarity_throughput(),
+        # no-silent-caps: shingles the ngram frequency cap dropped from pair
+        # evidence this run (0 at test SFs; nonzero on boilerplate-heavy
+        # data). Counted here, after the timing loop — never in a timed query.
+        "ngram_dropped_shingles": cap_dropped_shingles(
+            se._NGRAM_CAP_INFO.get(sf_dir, {})
+        ),
     }
     print(json.dumps(out))
 

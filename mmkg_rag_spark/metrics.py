@@ -64,3 +64,64 @@ def read_metrics(spark: SparkSession, warehouse: str) -> DataFrame:
     return spark.read.option("basePath", os.path.join(warehouse, "_metrics")).parquet(
         os.path.join(warehouse, "_metrics", "*")
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-kernel throughput accounting (VERDICT r3 item 5).
+#
+# The stdlib bit-parallel LCS kernel (kernels/similarity.py) is the per-pair
+# constant behind D1 dedup verify, M4 image-entity scoring, and R2 fuzzy
+# search. LSH/token blocking bounds HOW MANY pairs are scored; these counters
+# state HOW FAST, so the 100×-scale cost is a measured budget
+# (pairs ÷ pairs_per_sec), not a hope. Worker-side sites tick Spark
+# accumulators inside the scoring UDFs (adds one integer add per Arrow batch
+# — no behavior change, no extra jobs); driver-side pairwise fallbacks call
+# record_pairs() directly.
+# ---------------------------------------------------------------------------
+
+_PAIR_SITES: dict[str, dict] = {}
+
+
+def pair_accumulators(spark: SparkSession, site: str):
+    """(pairs, ns) accumulators for a scoring site, recreated per context."""
+    sc = spark.sparkContext
+    cur = _PAIR_SITES.get(site)
+    if cur is None or cur["ctx"] is not sc:
+        _PAIR_SITES[site] = {
+            "ctx": sc,
+            "pairs": sc.accumulator(0),
+            "ns": sc.accumulator(0),
+            "driver_pairs": 0,
+            "driver_ns": 0,
+        }
+    return _PAIR_SITES[site]["pairs"], _PAIR_SITES[site]["ns"]
+
+
+def record_pairs(site: str, pairs: int, ns: int) -> None:
+    """Driver-side scoring (small-input pairwise fallbacks)."""
+    entry = _PAIR_SITES.setdefault(
+        site, {"ctx": None, "pairs": None, "ns": None,
+               "driver_pairs": 0, "driver_ns": 0}
+    )
+    entry["driver_pairs"] += int(pairs)
+    entry["driver_ns"] += int(ns)
+
+
+def similarity_throughput() -> dict[str, dict]:
+    """Per-site scored-pair counts and pairs/sec since session start.
+
+    ns is summed across tasks, so pairs_per_sec is per-core kernel
+    throughput — multiply by cores for cluster-aggregate capacity."""
+    out: dict[str, dict] = {}
+    for site, e in _PAIR_SITES.items():
+        pairs = e["driver_pairs"] + (e["pairs"].value if e["pairs"] else 0)
+        ns = e["driver_ns"] + (e["ns"].value if e["ns"] else 0)
+        if not pairs:
+            continue
+        secs = ns / 1e9
+        out[site] = {
+            "pairs": pairs,
+            "kernel_secs": round(secs, 3),
+            "pairs_per_sec_per_core": round(pairs / secs, 1) if secs else None,
+        }
+    return out

@@ -105,15 +105,23 @@ def similarity_edges(
     # (limit short-circuits; a count() would materialize the whole distinct)
     probe = norms.limit(pairwise_threshold + 1).collect()
     if len(probe) <= pairwise_threshold:
+        import time as _time
+
         from ..kernels.similarity import ratio as _ratio_fn
+        from ..metrics import record_pairs
 
         vals = sorted(r.norm for r in probe)
+        _t0 = _time.perf_counter_ns()
         pairs = [
             (a, b)
             for i, a in enumerate(vals)
             for b in vals[i + 1 :]
             if _ratio_fn(a, b) >= similarity * 100.0
         ]
+        record_pairs(
+            "dedup_verify", len(vals) * (len(vals) - 1) // 2,
+            _time.perf_counter_ns() - _t0,
+        )
         verified = units.sparkSession.createDataFrame(
             pairs, "id_a string, id_b string"
         ) if pairs else units.sparkSession.createDataFrame([], "id_a string, id_b string")
@@ -129,11 +137,21 @@ def similarity_edges(
             norms, "norm", char_shingles(F.col("norm"), 3), num_hashes=128, bands=16
         )
 
+        from ..metrics import pair_accumulators
+
+        _pairs_acc, _ns_acc = pair_accumulators(units.sparkSession, "dedup_verify")
+
         @F.pandas_udf("double")
         def _ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+            import time as _time
+
             from ..kernels.similarity import ratio
 
-            return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+            t0 = _time.perf_counter_ns()
+            out = pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+            _pairs_acc.add(len(a))
+            _ns_acc.add(_time.perf_counter_ns() - t0)
+            return out
 
         verified = (
             cand.withColumn("score", _ratio(F.col("id_a"), F.col("id_b")))

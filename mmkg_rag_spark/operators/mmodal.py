@@ -92,18 +92,34 @@ def describe_images(instances: DataFrame) -> DataFrame:
     ).select("url", "path", "context", "img.caption", "img.texts", "img.description")
 
 
-def _relevance_udf():
+def _relevance_udf(spark=None):
+    # throughput accounting (metrics.similarity_throughput): each scored
+    # (image, entity) candidate is one "pair"; the accumulators tick once
+    # per Arrow batch — no behavior change
+    accs = None
+    if spark is not None:
+        from ..metrics import pair_accumulators
+
+        accs = pair_accumulators(spark, "mmodal_relevance")
+
     @F.pandas_udf("double")
     def _relevance(
         terms: pd.Series, caption: pd.Series, texts: pd.Series
     ) -> pd.Series:
-        return pd.Series(
+        import time as _time
+
+        t0 = _time.perf_counter_ns()
+        out = pd.Series(
             [
                 image_entity_relevance(list(t), c, list(x))
                 for t, c, x in zip(terms, caption, texts)
             ],
             dtype="float64",
         )
+        if accs is not None:
+            accs[0].add(len(terms))
+            accs[1].add(_time.perf_counter_ns() - t0)
+        return out
 
     return _relevance
 
@@ -187,7 +203,10 @@ def score_image_entities(
         pairs = cand.join(imgs, ["url", "path", "context"]).join(ents, "entity")
 
     scored = pairs.withColumn(
-        "score", _relevance_udf()(F.col("terms"), F.col("caption"), F.col("texts"))
+        "score",
+        _relevance_udf(images.sparkSession)(
+            F.col("terms"), F.col("caption"), F.col("texts")
+        ),
     ).filter(F.col("score") >= IMAGE_MIN_RELEVANCE)
 
     w = Window.partitionBy("url", "path", "context").orderBy(

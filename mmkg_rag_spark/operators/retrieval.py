@@ -25,14 +25,29 @@ SIMILARITY_THRESHOLD = 15  # search.py:81 default
 MAX_NUM = 3                # search.py:277-283
 
 
-def _token_ratio_udf():
+def _token_ratio_udf(spark=None):
+    # pair-throughput accounting (metrics.similarity_throughput) — one
+    # accumulator add per Arrow batch, no behavior change
+    accs = None
+    if spark is not None:
+        from ..metrics import pair_accumulators
+
+        accs = pair_accumulators(spark, "fuzzy_search")
+
     @F.pandas_udf("double")
     def _score(keyword: pd.Series, field: pd.Series) -> pd.Series:
+        import time as _time
+
         from ..kernels.similarity import token_ratio
 
-        return pd.Series(
+        t0 = _time.perf_counter_ns()
+        out = pd.Series(
             [token_ratio(k, f) for k, f in zip(keyword, field)], dtype="float64"
         )
+        if accs is not None:
+            accs[0].add(len(keyword))
+            accs[1].add(_time.perf_counter_ns() - t0)
+        return out
 
     return _score
 
@@ -56,7 +71,9 @@ def fuzzy_topk(
         F.explode(F.col(fields_col)).alias("_field"),
     ).withColumn("_kw", F.explode(kw))
     scored = (
-        pairs.withColumn("_s", _token_ratio_udf()(F.col("_kw"), F.col("_field")))
+        pairs.withColumn(
+            "_s", _token_ratio_udf(items.sparkSession)(F.col("_kw"), F.col("_field"))
+        )
         .groupBy(*id_cols)
         .agg(F.max("_s").alias("score"))
         .filter(F.col("score") >= threshold)

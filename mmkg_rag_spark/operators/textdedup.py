@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    out_info: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold.
 
@@ -94,6 +95,16 @@ def ngram_jaccard_pairs(
         .filter(F.col("f") > max_shingle_freq)
         .select("shingle")
     )
+    if out_info is not None:
+        # no-silent-caps disclosure (VERDICT r3 item 7): expose the over-cap
+        # branch so callers can count the shingles dropped from pair
+        # evidence. Deliberately LAZY (cap_dropped_shingles runs the tiny
+        # aggregate on demand, outside any timed path) rather than a plan
+        # Observation: AQE's empty-relation re-planning silently discards
+        # observed metrics whenever the branch or its consumer collapses —
+        # exactly the zero-drop case the disclosure must report correctly.
+        out_info["over_cap_df"] = over_cap
+        out_info["max_shingle_freq"] = max_shingle_freq
     sh = sh.join(F.broadcast(over_cap), "shingle", "left_anti")
     # sizes AFTER the cap: numerator and denominator see the same universe
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -115,6 +126,19 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def cap_dropped_shingles(out_info: dict) -> int | None:
+    """Count the shingles the frequency cap dropped from pair evidence.
+
+    Runs the (tiny — over-cap shingles are boilerplate-only by
+    construction) aggregate on demand; call it at report time, outside
+    any timed path. Returns None when the producing call didn't request
+    disclosure (no out_info passed)."""
+    df = out_info.get("over_cap_df")
+    if df is None:
+        return None
+    return df.count()
 
 
 def minhash_near_duplicates(

@@ -163,3 +163,88 @@ def test_endpoint_extractor_is_picklable_as_factory():
     f2 = pickle.loads(pickle.dumps(factory))
     ex = f2()
     assert ex.base_url == "http://h/v1" and ex.api_key == "k"
+
+
+
+def test_endpoint_extractor_socket_roundtrip():
+    """Live-shaped transport (VERDICT r3 item 6): a real HTTP server on a
+    localhost socket — not the in-process transport hook — exercising the
+    stdlib urllib path end-to-end: request framing (auth header, model,
+    max_tokens=8192 parity with reference utils/llm.py:75-86, message
+    order), per-item batching, and the 5xx retry."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from mmkg_rag_spark.kernels.mockllm import index_response
+
+    seen: list[dict] = []
+    fail_first = {"remaining": 1}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            assert self.path == "/v1/chat/completions"
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            body["_auth"] = self.headers.get("Authorization")
+            seen.append(body)
+            if fail_first["remaining"] > 0:
+                fail_first["remaining"] -= 1
+                self.send_response(500)
+                self.end_headers()
+                return
+            user = body["messages"][-1]["content"]
+            # serve the deterministic extraction for the trailing chunk text
+            chunk_text = user.rsplit("Text:", 1)[-1].strip() if "Text:" in user else user
+            content = index_response(chunk_text)
+            resp = json.dumps(
+                {"choices": [{"message": {"content": content}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        ex = EndpointExtractor(
+            base_url=f"http://127.0.0.1:{srv.server_address[1]}/v1",
+            api_key="sk-test",
+            retry_backoff_sec=0.01,
+        )
+        texts = [
+            "**Ada Lovelace** is a person that pioneered computing.",
+            "**Acme Labs** is an organization that builds rockets.",
+        ]
+        out = ex.index(texts)
+        # batching: one HTTP call per input + 1 retried failure
+        assert len(out) == 2
+        assert len(seen) == 3  # 500 + retry for the first, one for the second
+        # framing parity with reference utils/llm.py
+        first_ok = seen[1]
+        assert first_ok["max_tokens"] == 8192
+        assert first_ok["model"] == "gpt-4o-mini"
+        assert first_ok["_auth"] == "Bearer sk-test"
+        assert first_ok["messages"][0]["role"] == "system"
+        assert first_ok["messages"][-1]["role"] == "user"
+        # the served payloads parse to the planted entities downstream
+        from mmkg_rag_spark.kernels.parsers import parse_er
+
+        ents, _ = parse_er(out[0])
+        assert any(getattr(e, "name", None) == "Ada Lovelace" for e in ents)
+        # history ordering on the generic chat turn (R1/R6 path)
+        hist = [
+            {"role": "user", "content": "q1"},
+            {"role": "assistant", "content": "a1"},
+        ]
+        ex.chat("sys", "q2", history=hist)
+        assert [m["role"] for m in seen[-1]["messages"]] == [
+            "system", "user", "assistant", "user",
+        ]
+    finally:
+        srv.shutdown()
+        srv.server_close()

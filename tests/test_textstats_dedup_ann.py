@@ -117,6 +117,53 @@ def test_ngram_jaccard_finds_planted_pair(docs):
     assert all(2 not in p for p in pairs)
 
 
+def test_ngram_cap_disclosure(docs):
+    # no-silent-caps (VERDICT r3 item 7): a forced-low cap reports the real
+    # dropped-shingle count; the default (cap never bites here) reports 0.
+    info: dict = {}
+    textdedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.3, max_shingle_freq=1, out_info=info
+    )
+    dropped = textdedup.cap_dropped_shingles(info)
+    assert dropped is not None and dropped > 0
+
+    info2: dict = {}
+    textdedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3, out_info=info2)
+    assert textdedup.cap_dropped_shingles(info2) == 0
+    # no observation attached → None (disclosure is opt-in, zero overhead)
+    assert textdedup.cap_dropped_shingles({}) is None
+
+
+def test_similarity_throughput_accounting(spark, docs):
+    # the dedup-verify UDF ticks the pair accumulators (VERDICT r3 item 5)
+    from mmkg_rag_spark import metrics
+    from mmkg_rag_spark.operators import dedup
+
+    metrics._PAIR_SITES.clear()
+    # two near-identical (but unequal) norms → an LSH candidate pair that
+    # must flow through the ratio UDF (equal norms take the exact-edge path)
+    ents = spark.createDataFrame(
+        [("Quick Brown Fox Alpha", "ORG", "d", []),
+         ("Quick Brown Fox Alphas", "ORG", "d2", []),
+         ("Spark Engines", "ORG", "d3", [])],
+        "name string, label string, description string, aliases array<string>",
+    )
+    units = dedup.collapse_exact(
+        ents.select("name", "label", "description", "aliases")
+        .withColumn("references", F.array())
+        .withColumn("chunk_id", F.lit(1))
+        .withColumn("images", F.array())
+    )
+    # pairwise_threshold=0 forces the distributed (UDF) path
+    dedup.similarity_edges(units, pairwise_threshold=0).collect()
+    tp = metrics.similarity_throughput()
+    assert "dedup_verify" in tp
+    assert tp["dedup_verify"]["pairs"] > 0
+    assert tp["dedup_verify"]["pairs_per_sec_per_core"] is None or (
+        tp["dedup_verify"]["pairs_per_sec_per_core"] > 0
+    )
+
+
 def test_minhash_matches_exact_on_planted(docs):
     exact = {
         (r.id_a, r.id_b)
