@@ -23,7 +23,7 @@ from .sources.catalog import ParquetCatalog
 
 METRICS_SCHEMA = (
     "stage string, snapshot string, input_snapshot string, file string, "
-    "rows long, wall_ms long, ts double"
+    "rows long, rows_in long, wall_ms long, ts double"
 )
 
 
@@ -34,8 +34,13 @@ def record_stage(
     input_snapshot: str,
     data_path: str,
     wall_ms: int,
+    rows_in: int = -1,
 ) -> DataFrame:
-    """Append per-partition lineage rows for a just-written snapshot."""
+    """Append per-partition lineage rows for a just-written snapshot.
+
+    ``rows_in`` is the upstream snapshot's row count (-1 when unknown, e.g.
+    streaming micro-batches) — with per-file ``rows`` out, each stage's
+    row fan-in/fan-out is auditable straight from the metrics table."""
     spark = catalog.spark
     per_file = (
         spark.read.parquet(data_path)
@@ -47,6 +52,7 @@ def record_stage(
             F.lit(input_snapshot).alias("input_snapshot"),
             "file",
             "rows",
+            F.lit(int(rows_in)).alias("rows_in"),
             F.lit(int(wall_ms)).alias("wall_ms"),
             F.lit(time.time()).alias("ts"),
         )
@@ -61,8 +67,10 @@ def record_stage(
 def read_metrics(spark: SparkSession, warehouse: str) -> DataFrame:
     import os
 
-    return spark.read.option("basePath", os.path.join(warehouse, "_metrics")).parquet(
-        os.path.join(warehouse, "_metrics", "*")
+    return (
+        spark.read.option("basePath", os.path.join(warehouse, "_metrics"))
+        .option("mergeSchema", "true")  # tolerate pre-rows_in history
+        .parquet(os.path.join(warehouse, "_metrics", "*"))
     )
 
 

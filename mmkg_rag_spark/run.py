@@ -24,20 +24,33 @@ import time
 from pyspark.sql import functions as F
 
 
+# snapshot fingerprint → row count, so each stage's metrics row can carry
+# its upstream's rows_in without an extra count job (the count below is
+# printed anyway; resumed snapshots pay one parquet-stats count)
+_STAGE_ROWS: dict[str, int] = {}
+
+
 def _stage(catalog, name, snap, input_snap, compute, force=False):
     """Resume-or-compute one stage; returns the stage's DataFrame."""
     t0 = time.time()
     if not force and catalog.has_snapshot(name, snap):
         print(f"[resume] {name} snap-{snap}: exists, skipping compute")
-        return catalog.read(name, snap)
+        out = catalog.read(name, snap)
+        _STAGE_ROWS[snap] = out.count()
+        return out
     df = compute()
     path = catalog.write(df, name, snap, meta={"input": input_snap})
     wall_ms = int((time.time() - t0) * 1000)
     from mmkg_rag_spark.metrics import record_stage
 
-    record_stage(catalog, name, snap, input_snap, path, wall_ms)
+    record_stage(
+        catalog, name, snap, input_snap, path, wall_ms,
+        rows_in=_STAGE_ROWS.get(input_snap, -1),
+    )
     out = catalog.read(name, snap)
-    print(f"[run   ] {name} snap-{snap}: {out.count()} rows in {wall_ms} ms")
+    n = out.count()
+    _STAGE_ROWS[snap] = n
+    print(f"[run   ] {name} snap-{snap}: {n} rows in {wall_ms} ms")
     return out
 
 

@@ -72,6 +72,17 @@ def test_partial_failure_resumes_midway(spark, tmp_path_factory):
     assert "[resume] pages" in text and "[resume] mentions" in text
     assert "[run   ] nodes" in text  # recomputed from the surviving inputs
 
+    # the recomputed stage flushed a fresh metrics row, and its rows_in is
+    # the surviving mentions snapshot's row count (lineage survives resume)
+    from mmkg_rag_spark.metrics import read_metrics
+
+    m = read_metrics(spark, wh).filter("stage = 'nodes'").collect()
+    assert len(m) >= 2  # original run + post-crash recompute
+    mention_rows = sum(
+        r.rows for r in read_metrics(spark, wh).filter("stage = 'mentions'").collect()
+    )
+    assert any(r.rows_in == mention_rows for r in m)
+
 
 def test_metrics_lineage_rows(spark, tmp_path_factory):
     from mmkg_rag_spark.metrics import read_metrics
@@ -90,6 +101,13 @@ def test_metrics_lineage_rows(spark, tmp_path_factory):
     assert any(
         r.stage == "mentions" and r.input_snapshot == pages_snap for r in rows
     )
+    # rows-in/rows-out accounting: mentions' rows_in equals the pages
+    # snapshot's total row count; the source stage reports -1 (no upstream)
+    pages_total = sum(r.rows for r in rows if r.stage == "pages")
+    assert all(
+        r.rows_in == pages_total for r in rows if r.stage == "mentions"
+    )
+    assert all(r.rows_in == -1 for r in rows if r.stage == "pages")
 
 
 def test_catalog_manifest_roundtrip(spark, tmp_path_factory):
