@@ -2471,6 +2471,158 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_events_transition_matrix(spark, sf_dir):
+    """Window-navigation class (lead/lag): the event-type transition matrix
+    — for each user's time-ordered stream, count (event_type → next
+    event_type) pairs. ONE user-keyed shuffle + per-partition sort carries
+    the lead(); the pair aggregate is map-side combinable. (ts, event_id)
+    is a total order per user, so the matrix is partitioning/engine
+    invariant. The sequence-model shape (Markov transition counts) that
+    funnel/sessionize don't cover: lead/lag navigation itself."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM s WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Ordered cumulative-distribution class: how many distinct tokens cover
+    X% of all token occurrences — the vocabulary-size question every
+    tokenizer build answers. Token counts are one map-side-combinable
+    groupBy; the ordered cumulative sum then runs over the VOCAB table
+    (orders of magnitude smaller than the corpus — the global window is
+    vocab-sized, and past ~10^8 types the two-phase distributed prefix sum
+    `pack_shards` demonstrates replaces it). All-integer threshold math:
+    cum*1e6 ≥ thr_ppm*total in BIGINT, so the answer can't flake on float
+    rounding."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # the grand total rides the SAME vocab-sized single-partition window
+    # pass as the cumulative sum (unbounded-following frame) — no second
+    # corpus scan, no broadcast branch
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = cnt.select(
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in (500_000, 900_000, 950_000, 990_000)])
+    ).alias("thr_ppm")
+    return (
+        ranked.select("k", "cum", "total", thr)
+        .filter(F.col("cum") * 1_000_000 >= F.col("thr_ppm") * F.col("total"))
+        .groupBy("thr_ppm")
+        .agg(F.min("k").alias("tokens_needed"))
+        .withColumn("thr_ppm", F.col("thr_ppm").cast("long"))
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH cnt AS (
+  SELECT t.tok, count(*) AS c
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents) t
+  WHERE t.tok <> '' GROUP BY t.tok
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, tok) AS k,
+         CAST(sum(c) OVER (ORDER BY c DESC, tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS total
+  FROM cnt
+),
+thr AS (SELECT unnest([500000, 900000, 950000, 990000]) AS thr_ppm)
+SELECT CAST(thr_ppm AS BIGINT) AS thr_ppm,
+       CAST(min(k) AS BIGINT) AS tokens_needed
+FROM ranked, thr
+WHERE cum * 1000000 >= thr_ppm * total
+GROUP BY thr_ppm
+"""
+
+
+def q_nation_share_of_region(spark, sf_dir):
+    """Ratio-to-parent window class: each nation's share of its region's
+    order revenue, ranked within region. Revenue sums aggregate in
+    DECIMAL(28,4) (order-invariant), the share divides the two exact sums
+    as doubles once per nation row, and the window partitions by region —
+    25 nation rows after one fact-table aggregate; the dimension joins
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("_rev")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    wr = Window.partitionBy("r_name").orderBy(F.desc("_rev"), F.asc("n_name"))
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            (F.col("_rev") / F.sum("_rev").over(w)).cast("double"), 6
+        ).alias("share"),
+        F.row_number().over(wr).cast("long").alias("rank_in_region"),
+    )
+
+
+SQL_NATION_SHARE = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS _rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+  round(CAST(_rev AS DOUBLE), 2) AS revenue,
+  round(CAST(_rev / SUM(_rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+    AS share,
+  CAST(row_number() OVER (PARTITION BY r_name ORDER BY _rev DESC, n_name)
+       AS BIGINT) AS rank_in_region
+FROM rev
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2531,6 +2683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_stats_corr": q_lineitem_stats_corr,
         "region_nations_listagg": q_region_nations_listagg,
         "orders_cube": q_orders_cube,
+        "events_transition_matrix": q_events_transition_matrix,
+        "vocab_coverage": q_vocab_coverage,
+        "nation_share_of_region": q_nation_share_of_region,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -2600,6 +2755,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_stats_corr": SQL_LINEITEM_STATS_CORR,
         "region_nations_listagg": SQL_REGION_NATIONS_LISTAGG,
         "orders_cube": SQL_ORDERS_CUBE,
+        "events_transition_matrix": SQL_EVENTS_TRANSITIONS,
+        "vocab_coverage": SQL_VOCAB_COVERAGE,
+        "nation_share_of_region": SQL_NATION_SHARE,
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"

@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "lineitem_stats_corr",
     "region_nations_listagg",
     "orders_cube",
+    "events_transition_matrix",
+    "vocab_coverage",
+    "nation_share_of_region",
     "kg_degree_topk",
     # graph/KG retrieval tail (VERDICT r3 item 4): algorithm cost over the
     # built KG / supplier graph — the KG *build* cost is the kg_degree_topk
