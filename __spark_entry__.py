@@ -575,6 +575,44 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 """
 
 
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """EXACT prefix-filtered set-similarity join (PPJoin-style): the
+    cap-free scale path for word-n-gram Jaccard — rarest-first global
+    shingle order, per-doc prefix of length |S|−⌈t·|S|⌉+1 indexed, so
+    ultra-common boilerplate shingles never enter the inverted-index
+    self-join and no pair evidence is dropped. The oracle is the plain
+    UNCAPPED pairwise Jaccard — candidate completeness is the PPJoin
+    prefix lemma, exactness is the full intersection-count verify."""
+    return textdedup.prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+SQL_NGRAM_JACCARD_PREFIX = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
+  )) AS shingle FROM w
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
 def q_near_dup_survivors(spark, sf_dir):
     return textdedup.near_dup_survivors(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5,
@@ -2641,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "decontaminate": q_decontaminate,
         "curate_corpus": q_curate_corpus,
         "pack_shards": q_pack_shards,
@@ -2719,6 +2758,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _sql_doc_repetition(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "ngram_jaccard_prefix": SQL_NGRAM_JACCARD_PREFIX,
         "decontaminate": SQL_DECONTAMINATE,
         "curate_corpus": _sql_curate_corpus(),
         "pack_shards": SQL_PACK_SHARDS,

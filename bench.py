@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "pack_shards",
     "scrub_pii",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix",
     "near_dup_survivors",
     "curate_corpus",
     "minhash_near_dup",

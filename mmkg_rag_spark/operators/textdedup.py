@@ -128,6 +128,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT near-dup pairs (word-n-gram Jaccard ≥ threshold) via prefix
+    filtering — the cap-free scale path beside ``ngram_jaccard_pairs``.
+
+    AllPairs/PPJoin prefix lemma: J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, and with
+    every set sorted by ONE global order, any pair with overlap ≥ r must
+    collide inside each set's first |S|−r+1 elements. Indexing only that
+    prefix — ordered rarest-shingle-first, so prefixes hold the LEAST
+    common shingles — shrinks the inverted-index self-join by orders of
+    magnitude on boilerplate-heavy corpora WITHOUT the frequency cap's
+    approximation: results are exactly the full pairwise Jaccard set
+    (tests pin equality vs the capped operator where the cap is inert and
+    vs brute force where it isn't).
+
+    Plan shape: shingle explode → one vocab groupBy (global frequencies) →
+    shuffle join back → one groupBy(id) whose in-row array_sort orders each
+    doc's shingles by (freq, shingle) and slices the prefix (no per-doc
+    window/sort shuffle) → prefix self-join → intersection-count verify on
+    candidates only. Every shuffle key is a shingle or a doc id — uniform
+    post-prefix, since ultra-common shingles never enter the index.
+    """
+    sh = _doc_shingles(ensure_min_partitions(docs), id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("f", "shingle"))
+            ).alias("ss")
+        )
+        .select(
+            "id",
+            F.col("ss.shingle").alias("shingles"),
+            F.size("ss").alias("n_sh"),
+        )
+    )
+    # required overlap r = ceil(t*n) (J≥t ⇒ I ≥ t·|S|); prefix = n - r + 1
+    eps = 1e-9
+    t = float(threshold)
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(t) - F.lit(eps)).cast("int")
+        + F.lit(1)
+    )
+    pre = ordered.select(
+        "id", "n_sh", F.explode(F.slice("shingles", 1, prefix_len)).alias("shingle")
+    )
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        # size filter: J≥t also needs t·|A| ≤ |B| ≤ |A|/t — free pruning
+        .filter(
+            (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(t) - F.lit(eps))
+            & (F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(t) - F.lit(eps))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sizes = ordered.select("id", "n_sh")
+    inter = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def cap_dropped_shingles(out_info: dict) -> int | None:
     """Count the shingles the frequency cap dropped from pair evidence.
 

@@ -164,6 +164,44 @@ def test_similarity_throughput_accounting(spark, docs):
     )
 
 
+def test_prefix_jaccard_equals_exact(docs):
+    # cap inert here → the prefix path must reproduce the capped operator
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in textdedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3).collect()
+    }
+    pre = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in textdedup.prefix_jaccard_pairs(docs, n=2, threshold=0.3).collect()
+    }
+    assert pre == exact and len(pre) > 0
+
+
+def test_prefix_jaccard_exact_where_cap_bites(spark):
+    # a boilerplate shingle shared by EVERY doc: a tiny frequency cap drops
+    # it (losing pair evidence), but the prefix path stays exact — its
+    # global rarest-first order just pushes the hot shingle out of prefixes
+    rows = [
+        (0, "common common common alpha beta gamma"),
+        (1, "common common common alpha beta delta"),
+        (2, "common common common zeta eta theta"),
+        (3, "totally unrelated words here now ok"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in textdedup.ngram_jaccard_pairs(
+            d, n=2, threshold=0.3, max_shingle_freq=10**9
+        ).collect()
+    }
+    pre = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in textdedup.prefix_jaccard_pairs(d, n=2, threshold=0.3).collect()
+    }
+    assert pre == brute
+    assert (0, 1) in pre  # the near-dup pair survives with exact score
+
+
 def test_minhash_matches_exact_on_planted(docs):
     exact = {
         (r.id_a, r.id_b)
