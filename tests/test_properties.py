@@ -149,3 +149,42 @@ def test_decode_total_on_unrecognized_bytes(b):
     else:
         if out is None:
             assert b[:2] not in (b"P6", b"P5", b"BM") or out is None
+
+
+@given(
+    st.lists(
+        st.sets(st.sampled_from("abcdefghij"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_lemma_complete(sets, t):
+    """Candidate completeness of operators/textdedup.prefix_jaccard_pairs:
+    with ONE global (freq, token) order and per-set prefixes of length
+    |S| - ceil(t*|S|) + 1, every pair with Jaccard >= t must (a) collide on
+    a prefix token of BOTH sets and (b) survive the size-ratio prune —
+    the two pruning rules the Spark operator applies before its exact
+    verify join."""
+    import math
+    from collections import Counter
+
+    eps = 1e-9
+    freq = Counter(tok for s in sets for tok in s)
+    order = lambda s: sorted(s, key=lambda w: (freq[w], w))  # noqa: E731
+
+    def prefix(s):
+        n = len(s)
+        r = math.ceil(t * n - eps)
+        return set(order(s)[: n - r + 1])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            jac = inter / len(a | b)
+            if jac >= t:
+                assert prefix(a) & prefix(b), (a, b, t)
+                assert len(b) >= t * len(a) - eps
+                assert len(a) >= t * len(b) - eps
