@@ -1998,6 +1998,39 @@ ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
 """
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """Corpus-LM document scoring (relevance.rare_ngram_score): per doc,
+    the rare-bigram instance fraction + mean corpus bigram frequency — the
+    KenLM-shaped gibberish filter, in pure integer arithmetic so the
+    oracle can hash-match (no order-dependent float log-prob sums)."""
+    from mmkg_rag_spark.operators.relevance import rare_ngram_score
+
+    return rare_ngram_score(_tp(spark, sf_dir, "documents"), n=2, rare_max=1)
+
+
+SQL_DOC_LM_SCORE = """
+WITH arrs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+inst AS (
+  SELECT doc_id AS id,
+         unnest(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+                z -> z[1] || ' ' || z[2])) AS ngram
+  FROM arrs
+),
+cnts AS (SELECT ngram, COUNT(*) AS cnt FROM inst GROUP BY ngram)
+SELECT i.id AS doc_id,
+  COUNT(*) AS n_ngrams,
+  CAST(SUM(CASE WHEN c.cnt <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+  round(CAST(SUM(CASE WHEN c.cnt <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 4) AS rare_frac,
+  round(CAST(SUM(c.cnt) AS DOUBLE) / COUNT(*), 4) AS avg_freq
+FROM inst i JOIN cnts c USING (ngram)
+GROUP BY i.id
+"""
+
+
 _BFS_SEEDS = ["S0", "S1"]
 _BFS_HOPS = 3
 
@@ -2703,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_bigram_topk": q_doc_bigram_topk,
+        "doc_lm_score": q_doc_lm_score,
         "bfs_suppliers": q_bfs_suppliers,
         "bm25_search": q_bm25_search,
         "inverted_index": q_inverted_index,
@@ -2777,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _sql_ann_ivf(),
         "doc_tfidf_topk": SQL_TFIDF,
         "doc_bigram_topk": SQL_BIGRAMS,
+        "doc_lm_score": SQL_DOC_LM_SCORE,
         "bfs_suppliers": _sql_bfs(),
         "bm25_search": _sql_bm25(),
         "inverted_index": SQL_INVERTED_INDEX,

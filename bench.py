@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "pagerank_suppliers",
     "doc_tfidf_topk",
     "doc_bigram_topk",
+    "doc_lm_score",
     "bfs_suppliers",
     "bm25_search",
     "inverted_index",
@@ -99,7 +100,8 @@ COUNT_ONLY = {
     "near_dup_survivors", "events_sessionize", "decontaminate", "pack_shards",
     "scrub_pii", "curate_corpus", "events_asof_join",
     "doc_repetition", "stratified_sample", "mixture_sample",
-    "kcore_coorder", "doc_tfidf_topk", "inverted_index", "events_range_join",
+    "kcore_coorder", "doc_tfidf_topk", "doc_lm_score", "inverted_index",
+    "events_range_join",
     "bfs_suppliers", "events_retention", "doc_source_rollup",
     "events_hopping_window", "events_trailing_range_window",
 }

@@ -221,3 +221,53 @@ def ngram_counts(
     if k is not None:
         out = out.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k)
     return out
+
+
+def rare_ngram_score(
+    docs: DataFrame,
+    n: int = 2,
+    rare_max: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-LM document scoring: per doc, the fraction of its n-gram
+    instances that are RARE in the whole corpus (count ≤ ``rare_max``)
+    plus the mean corpus frequency of its n-grams — the KenLM-style
+    gibberish/quality filter of production data pipelines, expressed in
+    pure integer arithmetic (no float log-prob sums whose order could
+    flake cross-engine parity; one rounded division per output row).
+
+    Plan: n-gram instances built in-row (same zip-of-slices as
+    ``ngram_counts``); corpus counts are one map-side-combinable groupBy;
+    instances re-join the count table on the n-gram key (the standard LM
+    count-table join — both sides partitioned by ngram); one final
+    groupBy(doc). Three term/doc-keyed exchanges total, all uniform keys.
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    glen = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(arr, j + 1, glen).alias(f"w{j}") for j in range(n)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)])
+    )
+    inst = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("ngram"))
+    counts = inst.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        inst.join(counts, "ngram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("cnt") <= rare_max, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_rare"),
+            F.sum("cnt").alias("sum_freq"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_ngrams",
+            "n_rare",
+            F.round(F.col("n_rare") / F.col("n_ngrams"), 4).alias("rare_frac"),
+            F.round(F.col("sum_freq") / F.col("n_ngrams"), 4).alias("avg_freq"),
+        )
+    )

@@ -189,6 +189,27 @@ def test_ngram_counts_bigrams_and_trigrams(spark):
     assert ngram_counts(short, n=2).count() == 0
 
 
+def test_rare_ngram_score_semantics(spark):
+    from mmkg_rag_spark.operators.relevance import rare_ngram_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # all bigrams common within corpus
+            (2, "a b a b"),              # shares doc 1's bigrams
+            (3, "q w e r t y"),          # every bigram corpus-unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in rare_ngram_score(docs, n=2, rare_max=1).collect()}
+    # doc 3 is pure gibberish under the corpus LM: every bigram rare
+    assert rows[3].rare_frac == 1.0 and rows[3].n_rare == rows[3].n_ngrams == 5
+    # docs 1/2's bigrams all occur >= 2 times corpus-wide
+    assert rows[1].rare_frac == 0.0 and rows[2].rare_frac == 0.0
+    # mean corpus frequency: doc 2's bigrams 'a b'(x5 corpus),'b a'(x3)
+    assert rows[2].n_ngrams == 3
+    assert rows[2].avg_freq == round((5 + 3 + 5) / 3, 4)
+
+
 def test_bfs_distances_semantics(spark):
     from mmkg_rag_spark.operators.graph import bfs_distances
 
