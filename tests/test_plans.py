@@ -262,3 +262,43 @@ def test_cube_single_expand_single_exchange(spark):
     assert plan.count("Expand") == 1
     assert plan.count("Exchange") <= 2  # agg hashpartitioning (+AQE read)
     assert "Join" not in plan
+
+
+def test_transition_matrix_two_exchanges(spark):
+    """Round-4 lead/lag class: ONE user-keyed shuffle carries the window;
+    the pair aggregate adds exactly one more exchange — no SinglePartition
+    window over the full event stream."""
+    import __spark_entry__ as se
+
+    plan = _plan(
+        se.queries()["events_transition_matrix"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_vocab_coverage_single_scan(spark):
+    """Round-4 cumulative-distribution class: the grand total must ride the
+    same vocab-sized window pass as the cumsum — ONE corpus scan, no second
+    token aggregate branch, no broadcast attach."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["vocab_coverage"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 1
+    # tok groupBy + the (disclosed, vocab-sized) single-partition window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    """Round-4 prefix-filter join: candidates come from an equi-join on the
+    prefix shingle — never a nested-loop/cartesian product — and the
+    per-doc ordering is an in-row array_sort, not a per-doc window sort."""
+    from mmkg_rag_spark.operators.textdedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common alpha beta gamma w{i + 1}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _plan(prefix_jaccard_pairs(docs, n=2, threshold=0.5))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # ordering happens inside the row
