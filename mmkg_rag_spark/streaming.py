@@ -351,6 +351,68 @@ SESSION_OUTPUT_SCHEMA = (
 )
 
 
+def transition_events(
+    spark: SparkSession,
+    input_dir: str,
+):
+    """Stateful streaming twin of the lead/lag transition matrix
+    (``__spark_entry__.q_events_transition_matrix``): per-user event-type
+    transitions across micro-batch boundaries.
+
+    ``applyInPandasWithState`` per user_id with O(1) state — the LAST
+    event's (epoch, event_id, event_type). Each batch sorts its events by
+    (epoch, event_id) (the batch twin's total order), emits one
+    (from_type, to_type) row per adjacent pair INCLUDING the pair that
+    straddles the batch boundary (saved state → first event of this
+    batch), and saves the new last event. Output is append-mode transition
+    rows; counting them downstream (any consumer groupBy) reproduces the
+    batch matrix exactly — pinned by tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last = state.get if state.exists else None  # (epoch, event_id, etype)
+        evs = sorted(
+            (int(e), int(i), t)
+            for pdf in pdfs
+            for e, i, t in zip(pdf["epoch"], pdf["event_id"], pdf["event_type"])
+        )
+        rows = []
+        prev = last[2] if last is not None else None
+        for _e, _i, t in evs:
+            if prev is not None:
+                rows.append((user_id, prev, t))
+            prev = t
+        if evs:
+            state.update((evs[-1][0], evs[-1][1], prev))
+        elif last is not None:
+            state.update(tuple(last))
+        yield pd.DataFrame(rows, columns=["user_id", "from_type", "to_type"])
+
+    from .functions.timeops import ntz_epoch
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return (
+        stream.select(
+            "user_id", "event_id", "event_type", ntz_epoch("ts").alias("epoch")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="user_id long, from_type string, to_type string",
+            stateStructType="epoch long, event_id long, etype string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def sessionize_events(
     spark: SparkSession,
     input_dir: str,
