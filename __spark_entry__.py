@@ -2694,6 +2694,256 @@ FROM rev
 """
 
 
+_SSSP_SEEDS = ["S0", "S1"]
+_SSSP_ROUNDS = 4
+
+
+def q_sssp_suppliers(spark, sf_dir):
+    """WEIGHTED shortest paths (fixed-round Bellman-Ford,
+    operators/graph.sssp_distances) over the supplier↔customer graph with
+    integer edge costs — the weighted generalization of `bfs_suppliers`:
+    when KG edges carry a cost (inverse relevance, hop toll), retrieval
+    seed-proximity is a shortest-path question, not a hop count
+    (reference proximity: search.py:151-215). Delta-frontier relaxation:
+    only nodes whose distance improved last round join the adjacency —
+    frontier-sized joins, one min-groupBy + one outer merge per round,
+    per-round-identical to relax-everything (distances only decrease).
+    Exact BIGINT weights ⇒ the DuckDB oracle unrolls the same rounds as
+    chained CTEs and hash-matches."""
+    from mmkg_rag_spark.operators.graph import sssp_distances
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        (F.lit(1) + F.col("l_linenumber") % 5).cast("long").alias("w"),
+    )
+    return sssp_distances(e, _SSSP_SEEDS, _SSSP_ROUNDS)
+
+
+def _sql_sssp(seeds=None, rounds: int = _SSSP_ROUNDS) -> str:
+    """Unrolled fixed-round Bellman-Ford (mirrors graph.sssp_distances):
+    round i min-combines the previous table with every edge relaxation —
+    identical BIGINT distances, hash-green."""
+    seeds = seeds or _SSSP_SEEDS
+    seed_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS node, CAST(0 AS BIGINT) AS dist" for s in seeds
+    )
+    ctes = [
+        "e0 AS (SELECT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst,\n"
+        "  CAST(1 + l_linenumber % 5 AS BIGINT) AS w\n"
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "eb AS (SELECT src, dst, w FROM e0\n"
+        "  UNION ALL SELECT dst AS src, src AS dst, w FROM e0)",
+        "adj AS (SELECT src, dst, min(w) AS w FROM eb GROUP BY src, dst)",
+        f"d0 AS ({seed_rows})",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS (SELECT node, min(dist) AS dist FROM (\n"
+            f"  SELECT node, dist FROM d{i - 1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT a.dst AS node, d.dist + a.w AS dist\n"
+            f"  FROM adj a JOIN d{i - 1} d ON d.node = a.src) GROUP BY node)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+def q_events_growth_accounting(spark, sf_dir):
+    """User-lifecycle growth accounting — per epoch-week, how many active
+    users are NEW (first week ever), RETAINED (active the week before),
+    RESURRECTED (returning after a gap), and how many of last week's
+    actives CHURNED (did not return). The DAU/WAU growth decomposition
+    every corpus/product dashboard runs; `events_retention` gives the
+    cohort triangle, this gives the flow decomposition. Shuffle shape: one
+    distinct on (user, week), ONE user-keyed window sort carrying both
+    lag() and lead(), then week-keyed aggregates over the tiny week table.
+    TZ-proof integer epoch-weeks; all counts BIGINT."""
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+
+    e = _t(spark, sf_dir, "events")
+    week = F.floor(ntz_epoch("ts") / 604800).cast("long")
+    uw = e.select("user_id", week.alias("week")).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    lab = uw.select(
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    act = lab.groupBy("week").agg(
+        F.sum(F.col("prev_week").isNull().cast("long")).alias("n_new"),
+        # when/otherwise, not a bare cast: on the corpus' first week every
+        # prev_week is NULL, and sum(all-NULL) is NULL where the oracle's
+        # CASE yields 0
+        F.sum(
+            F.when(F.col("prev_week") == F.col("week") - 1, 1)
+            .otherwise(0)
+            .cast("long")
+        ).alias("n_retained"),
+        F.sum(
+            (
+                F.col("prev_week").isNotNull()
+                & (F.col("prev_week") < F.col("week") - 1)
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    ch = (
+        lab.filter(
+            F.col("next_week").isNull()
+            | (F.col("next_week") > F.col("week") + 1)
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).alias("_n_churned"))
+    )
+    return act.join(ch, "week", "left").select(
+        "week",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("_n_churned", F.lit(0)).cast("long").alias("n_churned"),
+    )
+
+
+SQL_EVENTS_GROWTH = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS week
+  FROM events
+),
+lab AS (
+  SELECT week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+  FROM uw
+),
+act AS (
+  SELECT week,
+    CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_new,
+    CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_retained,
+    CAST(sum(CASE WHEN prev_week IS NOT NULL AND prev_week < week - 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM lab GROUP BY week
+),
+ch AS (
+  SELECT week + 1 AS week, count(*) AS n
+  FROM lab
+  WHERE next_week IS NULL OR next_week > week + 1
+  GROUP BY week + 1
+)
+SELECT a.week, a.n_new, a.n_retained, a.n_resurrected,
+       CAST(coalesce(ch.n, 0) AS BIGINT) AS n_churned
+FROM act a LEFT JOIN ch ON a.week = ch.week
+"""
+
+
+def q_events_gap_fill(spark, sf_dir):
+    """Time-series densification (gap fill): per event type, a dense daily
+    spine from its first to last active day with zero-filled counts — the
+    step every windowed model/chart needs before resampling, and the one
+    aggregation shape a plain GROUP BY cannot produce (absent rows). The
+    spine is generated with a narrow explode(sequence(d0, d1)) fan-out
+    from the |types|-row span table — never a driver loop, never a
+    calendar table scan — then LEFT-joined back to the per-day counts
+    (broadcastable: |types| × |days|). TZ-proof integer epoch-days."""
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(ntz_epoch("ts") / 86400).cast("long")
+    per = e.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    span = per.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return spine.join(per, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH per AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM per GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM span
+)
+SELECT s.event_type, s.day, CAST(coalesce(p.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN per p ON s.event_type = p.event_type AND s.day = p.day
+"""
+
+
+def q_part_pair_affinity(spark, sf_dir):
+    """Market-basket pair co-occurrence (the A-Priori pair-count pattern):
+    parts ordered together in ≥ 2 distinct orders, with each part's own
+    order count attached. The candidate join is keyed on the BASKET id
+    (equi-join on l_orderkey with the part_a < part_b residual), so the
+    pair expansion is Σ k_i·(k_i−1)/2 over basket sizes — bounded by the
+    max items-per-order (≤ ~20 here; at crawl scale a basket-size cap +
+    salting is the disclosed defense, the same shape as the shingle-cap
+    in ngram_jaccard_pairs) — never |parts|². Per-part counts join back
+    broadcast-sized. All-integer outputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    per_part = items.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_part), pairs["part_a"] == F.col("_pk")
+        )
+        .withColumnRenamed("_n", "n_a")
+        .drop("_pk")
+        .join(F.broadcast(per_part), pairs["part_b"] == F.col("_pk"))
+        .withColumnRenamed("_n", "n_b")
+        .drop("_pk")
+        .select("part_a", "part_b", "n_both", "n_a", "n_b")
+    )
+
+
+SQL_PART_PAIR_AFFINITY = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+per_part AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY 1)
+SELECT p.part_a, p.part_b, p.n_both,
+       pa.n AS n_a, pb.n AS n_b
+FROM pairs p
+JOIN per_part pa ON p.part_a = pa.l_partkey
+JOIN per_part pb ON p.part_b = pb.l_partkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2759,6 +3009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_matrix": q_events_transition_matrix,
         "vocab_coverage": q_vocab_coverage,
         "nation_share_of_region": q_nation_share_of_region,
+        "events_growth_accounting": q_events_growth_accounting,
+        "events_gap_fill": q_events_gap_fill,
+        "part_pair_affinity": q_part_pair_affinity,
+        "sssp_suppliers": q_sssp_suppliers,
         "fuzzy_topk_parts": q_fuzzy_topk_parts,
         "pagerank_suppliers": q_pagerank_suppliers,
         "ppr_suppliers": q_ppr_suppliers,
@@ -2833,6 +3087,10 @@ def oracle_sql() -> dict[str, str]:
         "events_transition_matrix": SQL_EVENTS_TRANSITIONS,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "nation_share_of_region": SQL_NATION_SHARE,
+        "events_growth_accounting": SQL_EVENTS_GROWTH,
+        "events_gap_fill": SQL_EVENTS_GAP_FILL,
+        "part_pair_affinity": SQL_PART_PAIR_AFFINITY,
+        "sssp_suppliers": _sql_sssp(),
         "pagerank_suppliers": _sql_pagerank(),
         "ppr_suppliers": _sql_pagerank(
             seed_pred="{node} IN ('S0','S1','S2','S3','S4')"

@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "events_transition_matrix",
     "vocab_coverage",
     "nation_share_of_region",
+    "events_growth_accounting",
+    "events_gap_fill",
+    "part_pair_affinity",
+    "sssp_suppliers",
     "kg_degree_topk",
     # graph/KG retrieval tail (VERDICT r3 item 4): algorithm cost over the
     # built KG / supplier graph — the KG *build* cost is the kg_degree_topk

@@ -435,3 +435,83 @@ def bfs_distances(
             settled = settled.localCheckpoint()
             frontier = frontier.localCheckpoint()
     return settled
+
+
+def sssp_distances(
+    edges: DataFrame,
+    seeds: list[str],
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    *,
+    undirected: bool = True,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """WEIGHTED single/multi-source shortest paths → (node, dist).
+
+    The weighted generalization of `bfs_distances` (and hence of the
+    reference's k-hop proximity ranking,
+    `/root/reference/src/mmkg_rag/retrieval/search.py:151-215`): when KG
+    edges carry a cost (inverse relevance score, hop toll, latency), the
+    retrieval seed-proximity question becomes a shortest-path problem, not
+    a hop count. Fixed synchronous Bellman-Ford rounds: ``dist`` after R
+    rounds is the exact min-weight path using ≤ R edges — a pure function
+    of (graph, seeds, R), no convergence probe jobs.
+
+    Unlike the unweighted BFS, a settled node CAN improve later, so the
+    frontier is the DELTA set: nodes whose distance improved last round.
+    A node whose distance did not change already propagated its (final)
+    value the round after it last improved, and distances only decrease —
+    so delta-relaxation produces the per-round-identical table to
+    relax-everything, at frontier-sized joins instead of graph-sized ones.
+    Per round: one frontier⋈adjacency join + one map-side-combinable
+    min-groupBy + one outer merge against dist. Parallel edges collapse to
+    their min weight once, up front; weights are exact BIGINTs so the
+    DuckDB oracle unrolls the same R rounds as chained CTEs and
+    hash-matches.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if undirected:
+        e = e.unionAll(
+            e.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("w"),
+            )
+        )
+    adj = e.groupBy("src", "dst").agg(F.min("w").alias("w")).localCheckpoint()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0) for s in seeds], "node string, dist long"
+    ).localCheckpoint()
+    frontier = dist
+    for r in range(1, rounds + 1):
+        relaxed = (
+            adj.join(
+                frontier.withColumnRenamed("node", "src").withColumnRenamed(
+                    "dist", "fdist"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("fdist") + F.col("w")).alias("cand"))
+        )
+        merged = dist.join(relaxed, "node", "full_outer").select(
+            "node",
+            # Spark's least() skips NULLs: new node → cand, unrelaxed → dist
+            F.least(F.col("dist"), F.col("cand")).alias("new_dist"),
+            F.col("dist").alias("old_dist"),
+        )
+        frontier = merged.filter(
+            F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
+        ).select("node", F.col("new_dist").alias("dist"))
+        dist = merged.select("node", F.col("new_dist").alias("dist"))
+        if r % checkpoint_every == 0 and r < rounds:
+            dist = dist.localCheckpoint()
+            frontier = frontier.localCheckpoint()
+    return dist

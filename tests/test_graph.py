@@ -287,3 +287,72 @@ def test_kcore_random_graphs_match_brute(spark):
         got = {r["node"]: r["core_degree"]
                for r in kcore(df, k=k, rounds=5).collect()}
         assert got == _brute_kcore(edges, k, 5)
+
+
+def ref_sssp(edges, seeds, rounds, undirected=True):
+    """Plain-Python fixed-round Bellman-Ford: min weight over ≤R edges."""
+    es = list(edges)
+    if undirected:
+        es += [(b, a, w) for a, b, w in es]
+    best = {}
+    for a, b, w in es:
+        best[(a, b)] = min(w, best.get((a, b), w))
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (a, b), w in best.items():
+            if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_matches_reference_on_random_weighted_graphs(spark):
+    import random
+
+    from mmkg_rag_spark.operators.graph import sssp_distances
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = [
+            (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}",
+             rng.randrange(1, 10))
+            for _ in range(80)
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        for rounds in (1, 3):
+            got = {
+                r.node: r.dist
+                for r in sssp_distances(df, ["n0", "n1"], rounds).collect()
+            }
+            assert got == ref_sssp(edges, ["n0", "n1"], rounds), (
+                trial, rounds)
+
+
+def test_sssp_weighted_beats_hop_count(spark):
+    """A 2-edge cheap path must beat a 1-edge expensive one once rounds
+    allow it — the semantics BFS cannot express."""
+    from mmkg_rag_spark.operators.graph import sssp_distances
+
+    edges = [("s", "t", 10), ("s", "m", 2), ("m", "t", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    d1 = {r.node: r.dist for r in sssp_distances(df, ["s"], 1).collect()}
+    d2 = {r.node: r.dist for r in sssp_distances(df, ["s"], 2).collect()}
+    assert d1["t"] == 10 and d2["t"] == 5
+
+
+def test_sssp_parallel_edges_and_partitioning_invariance(spark):
+    from mmkg_rag_spark.operators.graph import sssp_distances
+
+    edges = [("a", "b", 5), ("a", "b", 2), ("b", "c", 1), ("c", "d", 4)]
+    outs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            edges, "src string, dst string, w long"
+        ).repartition(parts)
+        outs.append(sorted(
+            (r.node, r.dist)
+            for r in sssp_distances(df, ["a"], 3).collect()
+        ))
+    assert outs[0] == outs[1]
+    assert dict(outs[0])["b"] == 2  # parallel edges collapse to min weight
