@@ -749,6 +749,100 @@ def fetch_record(archive_dir: str, cdx_row) -> tuple[dict[str, str], bytes]:
     return recs[0]
 
 
+def read_cdx(spark, path: str):
+    """CDXJ shards / single file → the CDX DataFrame, parsed JVM-side.
+
+    The read twin of `write_cdx` / `write_cdx_sharded`: ``spark.read.text``
+    over the shard directory (one task per split — the inventory carries
+    the parallelism, same rule as `read_warc`), then pure native parsing —
+    two ``regexp_extract`` + one ``from_json`` + ``to_timestamp`` with an
+    explicit pattern under the engine's pinned UTC session zone. No Python
+    runs per line, so a 90k-shard crawl index scans at parquet-like rates;
+    schema matches `export_warc`'s output so the same frame feeds
+    `fetch_pages_by_cdx` or joins directly against dedup/curation outputs.
+    """
+    from pyspark.sql import functions as F
+
+    if _os.path.isdir(path):
+        src = _os.path.join(path, "*.cdxj")
+    else:
+        src = path
+    meta = (
+        "url string, digest string, offset string, length string, "
+        "filename string"
+    )
+    line = F.col("value")
+    m = F.from_json(F.regexp_extract(line, r"^\S+ \d{14} (.*)$", 1), meta)
+    return (
+        spark.read.text(src)
+        .filter(F.length(F.trim(line)) > 0)
+        .select(
+            F.regexp_extract(line, r"^(\S+) ", 1).alias("surt_key"),
+            F.to_timestamp(
+                F.regexp_extract(line, r"^\S+ (\d{14}) ", 1), "yyyyMMddHHmmss"
+            ).alias("warc_ts"),
+            m["url"].alias("url"),
+            m["digest"].alias("digest"),
+            m["offset"].cast("long").alias("offset"),
+            m["length"].cast("long").alias("length"),
+            m["filename"].alias("filename"),
+        )
+    )
+
+
+def fetch_pages_by_cdx(spark, archive_dir: str, cdx, *, lenient: bool = False):
+    """Index-driven selective fetch: CDX rows → pages rows, distributed.
+
+    THE Common-Crawl access pattern the index exists for: filter the
+    (tiny, columnar) CDX frame — by SURT prefix, language, digest
+    anti-join, crawl date — and range-read ONLY the matching records
+    instead of re-scanning archives. `fetch_record` is the driver-side
+    single-record probe; this is its cluster form: repartition by
+    ``filename`` so each archive is owned by one task, sort by
+    ``(filename, offset)`` within the task so member reads are sequential
+    and each file is opened exactly once per run, then seek/read/gunzip
+    the single gzip member and parse the one record. Only CDX rows (a few
+    hundred bytes each) cross the shuffle — never archive bytes. ``lang``
+    falls back to the native stopword detector like `read_warc`.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.functions.textstats import lang_id
+
+    src = cdx.select("filename", "offset", "length").repartition(
+        "filename"
+    ).sortWithinPartitions("filename", "offset")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cur, fh = None, None
+        try:
+            for pdf in batches:
+                rows = []
+                for fn, off, ln in zip(
+                    pdf["filename"], pdf["offset"], pdf["length"]
+                ):
+                    if fn != cur:
+                        if fh is not None:
+                            fh.close()
+                        fh = open(_os.path.join(archive_dir, fn), "rb")
+                        cur = fn
+                    fh.seek(int(off))
+                    member = fh.read(int(ln))
+                    rows.extend(_archive_rows(io.BytesIO(member), lenient))
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                )
+        finally:
+            if fh is not None:
+                fh.close()
+
+    df = src.mapInPandas(gen, schema=_pages.PAGES_SCHEMA)
+    return df.withColumn(
+        "lang", F.coalesce(F.col("lang"), lang_id(F.col("text")))
+    )
+
+
 # --- incremental (manifest-diff) ingestion ----------------------------------
 
 

@@ -222,6 +222,46 @@ def test_export_warc_cdx_roundtrip_and_ranged_fetch(spark, page_rows, tmp_path_f
     assert sum(m["n"] for m in index) == len(page_rows)
 
 
+def test_read_cdx_and_distributed_selective_fetch(
+    spark, page_rows, tmp_path_factory
+):
+    """read_cdx parses CDXJ shards back to the exact export frame; a
+    filtered index drives fetch_pages_by_cdx to range-read ONLY the
+    selected records, byte-identical to the source pages."""
+    d = str(tmp_path_factory.mktemp("warc-cdxread"))
+    df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], "en") for r in page_rows],
+        pages.PAGES_SCHEMA,
+    ).repartition(3)
+    cdx = warc.export_warc(df, d).cache()
+    warc.write_cdx_sharded(cdx, d + "/cdx-shards", shards=4)
+
+    back = warc.read_cdx(spark, d + "/cdx-shards")
+    want = sorted(
+        (r.surt_key, r.warc_ts, r.url, r.digest, r.offset, r.length, r.filename)
+        for r in cdx.collect()
+    )
+    got = sorted(
+        (r.surt_key, r.warc_ts, r.url, r.digest, r.offset, r.length, r.filename)
+        for r in back.collect()
+    )
+    assert got == want
+
+    # selective fetch: filter the index to a URL subset, fetch only those
+    pick = sorted({r["url"] for r in page_rows})[::3]
+    sel = back.filter(back["url"].isin(pick))
+    fetched = (
+        warc.fetch_pages_by_cdx(spark, d, sel).orderBy("url").collect()
+    )
+    src = {r["url"]: r for r in page_rows}
+    assert [f.url for f in fetched] == pick
+    for f in fetched:
+        assert bytes(f.html) == bytes(src[f.url]["html"])
+        assert f.text == src[f.url]["text"]
+        assert f.warc_ts == src[f.url]["warc_ts"].replace(tzinfo=None)
+        assert f.lang == "en"  # detector fallback (export drops lang)
+
+
 def test_surt_keys_cluster_by_site():
     assert warc.surt("https://ex3.test/doc/5") == "test,ex3)/doc/5"
     assert warc.surt("http://A.B.example.ORG/x?q=1") == "org,example,b,a)/x?q=1"
