@@ -2944,6 +2944,255 @@ JOIN per_part pb ON p.part_b = pb.l_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-3 query classes: connected components as a first-class query,
+# fact-table two-phase deciles, dictionary-collapsed edit-distance join,
+# equi-width histogram, vector-column dimension stats.
+# ---------------------------------------------------------------------------
+
+COMPONENT_MIN_COOCCUR = 2
+
+
+def q_part_components(spark, sf_dir):
+    """Connected components as a REGISTERED query class
+    (functions/components.connected_components) — the primitive behind the
+    reference's entity-merge closure (deduplicate.py greedy grouping →
+    order-independent CC, see operators/dedup.py) and near_dup_survivors,
+    here attested directly: weakly-connected components of the part
+    co-order graph thresholded to pairs co-ordered ≥2 times (the same
+    support cut as part_pair_affinity — keeps the graph similarity-graph
+    sparse, ~3.5k edges at sf0.01 AND sf0.1, like a real ER candidate
+    graph vs the near-complete unthresholded one). Components here are
+    "substitutable part families". The operator is adaptive
+    (driver union-find under the edge threshold, iterative min-label
+    propagation above — the 10^12-row path); labels = min vertex id are
+    partitioning-invariant integers, so the DuckDB recursive-CTE closure
+    oracle hash-matches. Output is per-component (label, size, max node,
+    node-id checksum) — |components| rows, never the closure."""
+    from mmkg_rag_spark.functions.components import connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    right = items.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    e = (
+        items.join(right, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= COMPONENT_MIN_COOCCUR)
+        .select("src", "dst")
+    )
+    comp = connected_components(e)
+    return comp.groupBy(F.col("component").cast("long").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("id").cast("long").alias("max_node"),
+        F.sum("id").cast("long").alias("sum_nodes"),
+    )
+
+
+SQL_PART_COMPONENTS = """
+WITH RECURSIVE pr AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS (SELECT a AS src, b AS dst FROM pr UNION SELECT b, a FROM pr),
+reach(node, lbl) AS (
+  SELECT src, src FROM adj
+  UNION
+  SELECT adj.dst, r.lbl FROM reach r JOIN adj ON adj.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT component, COUNT(*) AS n_nodes,
+       MAX(node) AS max_node,
+       CAST(SUM(node) AS BIGINT) AS sum_nodes
+FROM comp GROUP BY component
+"""
+
+
+def q_lineitem_price_deciles(spark, sf_dir):
+    """Fact-table-shaped exact deciles (functions/ranks.global_ntile): the
+    100 TB twin of customer_balance_deciles. `ntile(10) OVER (ORDER BY …)`
+    plans an Exchange SinglePartition — the whole fact table sorts in ONE
+    task — so this class computes the identical buckets two-phase: one
+    PARALLEL repartitionByRange + in-partition sort, a |partitions|-row
+    offset prefix-sum, Arrow-batched in-partition enumeration, broadcast
+    offset join. (l_orderkey, l_linenumber) completes the total order so
+    tie placement is engine-invariant; bucket/pct_rank derive from the
+    exact global rank with the standard SQL definitions, so the plain
+    window-function oracle hash-matches bit-for-bit."""
+    from mmkg_rag_spark.functions.ranks import global_ntile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    b = global_ntile(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], 10
+    )
+    return b.groupBy(F.col("bucket").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+        F.round(F.max("pct_rank"), 6).alias("pr_max"),
+    )
+
+
+SQL_LINEITEM_DECILES = """
+WITH ranked AS (
+  SELECT l_extendedprice,
+    CAST(ntile(10) OVER w AS BIGINT) AS decile,
+    percent_rank() OVER w AS pr
+  FROM lineitem
+  WINDOW w AS (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+)
+SELECT decile, COUNT(*) AS n,
+  round(MIN(l_extendedprice), 2) AS price_min,
+  round(MAX(l_extendedprice), 2) AS price_max,
+  round(MAX(pr), 6) AS pr_max
+FROM ranked GROUP BY decile
+"""
+
+
+EDITDIST_MAX = 2
+
+
+def q_part_name_matches(spark, sf_dir):
+    """Edit-distance similarity self-join — the ER blocking shape the KG
+    canonicalizer uses (alias matching, dedup.py D1), on exact levenshtein
+    instead of token-sort ratio. Scale design: collapse to the DISTINCT
+    name dictionary first (string-similarity joins at corpus scale are
+    dictionary-sized, never row-sized — the 20k-part table holds ~240
+    distinct names), block candidate pairs on the head noun (last token —
+    the classic ER blocking key; recall vs all-pairs is a blocking choice,
+    identical on both sides by construction), then JVM-side
+    `levenshtein()` ≤ 2 and attach per-name row counts. Everything after
+    the two tiny groupBys is broadcast-sized."""
+    p = _t(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n").alias("n_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n").alias("n_b"), "blk"
+    )
+    return (
+        a.join(F.broadcast(b), "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= EDITDIST_MAX)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+SQL_PART_NAME_MATCHES = """
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n,
+         string_split(p_name, ' ')[-1] AS blk
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+HIST_BUCKET_WIDTH = 25_000
+HIST_MAX_BUCKET = 19
+
+
+def q_orders_price_histogram(spark, sf_dir):
+    """Equi-width histogram class: order totals binned into 20 fixed
+    25k-wide buckets (top bucket clamps the tail so the bucket id is
+    total-range-proof). Bucketing is a map-only integer expression →
+    ONE map-side-combinable groupBy; the shuffle moves ≤20 partial rows
+    per map task regardless of fact-table size. Sums go through
+    DECIMAL(28,4) so the per-bucket totals are addition-order-exact and
+    the oracle hash-matches (the double-sum trap documented at
+    orders_cube)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_BUCKET_WIDTH),
+        F.lit(HIST_MAX_BUCKET),
+    ).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("price_min"),
+            F.round(F.max("o_totalprice"), 2).alias("price_max"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        )
+    )
+
+
+SQL_ORDERS_HISTOGRAM = f"""
+SELECT LEAST(CAST(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS BIGINT),
+             {HIST_MAX_BUCKET}) AS bucket,
+       COUNT(*) AS n_orders,
+       round(MIN(o_totalprice), 2) AS price_min,
+       round(MAX(o_totalprice), 2) AS price_max,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+         AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Vector-column analytics: per-dimension stats of the embedding
+    array via posexplode — the diagnostic pass an ANN index build runs
+    (dead/low-variance dimension detection, quantizer range calibration).
+    The explode is a NARROW fan-out (|rows|·64, no shuffle) feeding one
+    map-side-combinable groupBy on 64 keys. Float sums are
+    addition-order-dependent, so values are quantized first —
+    floor(CAST(val AS DOUBLE) · 1e6) — making every aggregate exact
+    integer arithmetic that hash-matches DuckDB's
+    generate_subscripts/unnest twin; the mean divides the exact sum once
+    at the end."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = e.select(F.posexplode("embedding").alias("dim0", "val"))
+    q = d.select(
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.floor(F.col("val").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("q"),
+    )
+    return q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sum_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+        F.round(F.sum("q") / F.count(F.lit(1)) / 1e6, 6).alias("mean"),
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH flat AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS q
+  FROM embeddings
+)
+SELECT dim, COUNT(*) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       MIN(q) AS min_q, MAX(q) AS max_q,
+       round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000, 6) AS mean
+FROM flat GROUP BY dim
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -3025,6 +3274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_degree_topk": q_kg_degree_topk,
         "kg_search_eris": q_kg_search_eris,
+        "part_components": q_part_components,
+        "lineitem_price_deciles": q_lineitem_price_deciles,
+        "part_name_matches": q_part_name_matches,
+        "orders_price_histogram": q_orders_price_histogram,
+        "embedding_dim_stats": q_embedding_dim_stats,
     }
 
 
@@ -3098,4 +3352,9 @@ def oracle_sql() -> dict[str, str]:
         "lpa_suppliers": _sql_lpa(),
         "triangles_coorder": SQL_TRIANGLES,
         "kcore_coorder": _sql_kcore(),
+        "part_components": SQL_PART_COMPONENTS,
+        "lineitem_price_deciles": SQL_LINEITEM_DECILES,
+        "part_name_matches": SQL_PART_NAME_MATCHES,
+        "orders_price_histogram": SQL_ORDERS_HISTOGRAM,
+        "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     }

@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "kg_pagerank",
     "kg_communities",
     "kg_search_eris",
+    # session-3 classes
+    "part_components",
+    "lineitem_price_deciles",
+    "part_name_matches",
+    "orders_price_histogram",
+    "embedding_dim_stats",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the
