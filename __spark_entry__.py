@@ -3193,6 +3193,68 @@ FROM flat GROUP BY dim
 """
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-15"
+
+
+def q_orders_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped star join: the unshipped-revenue top-10 — customer
+    (filtered on segment) ⋈ orders (ordered before D) ⋈ lineitem (shipped
+    after D), revenue per order, top 10. The multi-way-join planning
+    class: both dimension filters cut BEFORE the join (pushed to the scan),
+    the filtered customer side is broadcast (no fact-side shuffle for it),
+    and the top-10 plans as TakeOrderedAndProject — never a global sort.
+    Revenue sums through DECIMAL so the value hash is addition-order-exact;
+    (revenue DESC, o_orderdate, l_orderkey) is a total order so the cutoff
+    is engine-invariant."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit(Q3_DATE))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit(Q3_DATE))
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("_rev"))
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+    AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -3279,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_name_matches": q_part_name_matches,
         "orders_price_histogram": q_orders_price_histogram,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "orders_shipping_priority": q_orders_shipping_priority,
     }
 
 
@@ -3357,4 +3420,5 @@ def oracle_sql() -> dict[str, str]:
         "part_name_matches": SQL_PART_NAME_MATCHES,
         "orders_price_histogram": SQL_ORDERS_HISTOGRAM,
         "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+        "orders_shipping_priority": SQL_SHIPPING_PRIORITY,
     }

@@ -302,3 +302,22 @@ def test_prefix_jaccard_no_cartesian(spark):
     plan = _plan(prefix_jaccard_pairs(docs, n=2, threshold=0.5))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan  # ordering happens inside the row
+
+
+def test_shipping_priority_star_join_shape(spark):
+    """TPC-H Q3 shape: both dimension filters reach the scans, the dim side
+    joins broadcast (no fact-table shuffle for the joins), and the top-10
+    plans as TakeOrderedAndProject — never a global sort of the aggregate."""
+    import __spark_entry__ as se
+
+    df = se.queries()["orders_shipping_priority"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "Exchange SinglePartition" not in plan
+    # segment + date predicates pushed into the parquet scans
+    assert "PushedFilters: [IsNotNull(c_mktsegment)" in plan or (
+        "EqualTo(c_mktsegment" in plan
+    )
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
