@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "part_name_matches",
     "orders_price_histogram",
     "embedding_dim_stats",
+    "orders_shipping_priority",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the
