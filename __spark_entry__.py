@@ -3255,6 +3255,303 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-4 query classes: CDC/SCD2 compaction, sweep-line concurrency,
+# explicit salted skew join, deterministic per-group sampling, containment
+# near-dup, degree assortativity.
+# ---------------------------------------------------------------------------
+
+
+def q_events_latest_per_key(spark, sf_dir):
+    """CDC latest-snapshot compaction (operators/cdc.latest_snapshot): one
+    surviving row per user — the newest event by (ts, event_id). The
+    first stage of every incremental build over a recrawled page store
+    (latest (url, warc_ts) version wins). Implemented as a map-side-
+    combinable max(struct(order…, payload)) aggregate, NOT a window:
+    partial aggregation collapses versions before the shuffle, a ~10×
+    shuffle saving at 10 versions/key. Oracle: row_number()=1 window."""
+    from mmkg_rag_spark.operators.cdc import latest_snapshot
+
+    e = _t(spark, sf_dir, "events")
+    out = latest_snapshot(
+        e.select("user_id", "ts", "event_id", "event_type", "value"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+SQL_EVENTS_LATEST = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn FROM events
+) WHERE rn = 1
+"""
+
+
+def q_events_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 intervals (operators/cdc.
+    scd2_intervals): every purchase event becomes a [valid_from, valid_to)
+    validity row via lead() per user — the point-in-time-joinable history
+    shape (pairs with temporal.asof_join). One hash shuffle on the
+    (high-cardinality, skew-free) key + per-key sort; exact timestamps so
+    the DuckDB lead() twin hash-matches."""
+    from mmkg_rag_spark.operators.cdc import scd2_intervals
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = scd2_intervals(
+        e.select("user_id", "ts", "event_id", F.round("value", 4).alias("value")),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("is_current").cast("boolean").alias("is_current"),
+    )
+
+
+SQL_EVENTS_SCD2 = """
+WITH p AS (
+  SELECT user_id, ts, event_id, round(value, 4) AS value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_events_peak_concurrency(spark, sf_dir):
+    """Per-day peak concurrent sessions (operators/temporal.
+    peak_concurrency): sweep-line over [ts, ts+10min) click intervals,
+    clipped to calendar days so the running sum windows PARTITIONED BY
+    day — embarrassingly parallel across the time axis, never the
+    single-partition global sort a naive sweep plans. Integer deltas
+    pre-aggregated per distinct timestamp make the per-day max
+    tie-order-proof and bit-identical across engines."""
+    from mmkg_rag_spark.operators.temporal import peak_concurrency
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    iv = e.select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    out = peak_concurrency(iv, "start_ts", "end_ts")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "peak_concurrent",
+        "n_boundaries",
+    )
+
+
+SQL_EVENTS_PEAK_CONCURRENCY = """
+WITH iv AS (
+  SELECT ts AS s, ts + INTERVAL 10 MINUTE AS e
+  FROM events WHERE event_type = 'click'
+),
+d AS (
+  SELECT s, e, unnest(generate_series(
+    date_trunc('day', s),
+    CASE WHEN date_trunc('day', e) = e
+         THEN e - INTERVAL 1 DAY ELSE date_trunc('day', e) END,
+    INTERVAL 1 DAY)) AS day
+  FROM iv WHERE e > s
+),
+clipped AS (
+  SELECT day, greatest(s, day) AS cs, least(e, day + INTERVAL 1 DAY) AS ce
+  FROM d
+),
+deltas AS (
+  SELECT day, cs AS ts, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT day, ce AS ts, -1 AS delta FROM clipped
+  WHERE ce < day + INTERVAL 1 DAY
+),
+per_ts AS (SELECT day, ts, SUM(delta) AS dd FROM deltas GROUP BY day, ts),
+curve AS (
+  SELECT day, SUM(dd) OVER (PARTITION BY day ORDER BY ts) AS open
+  FROM per_ts
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(MAX(open) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries
+FROM curve GROUP BY day
+"""
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Explicit salted skew join (functions/skew.salted_join — the
+    north-rule's head-entity remedy): the fact side's hot keys are spread
+    across 8 shuffle partitions by a deterministic xxhash64 salt, the dim
+    side replicates 8×, and the join runs on (key, salt). shuffle_hash
+    hint keeps it a shuffled join (a broadcast would hide the skew path at
+    this test scale; at 100 TB the dim side is too big to broadcast and
+    this IS the plan). The salt is internal plumbing — the result, and the
+    oracle, are the plain join + group-by. Revenue sums in DECIMAL so the
+    hash can't drift with partitioning."""
+    from mmkg_rag_spark.functions.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(
+        e, c.hint("shuffle_hash"), on=["user_id"],
+        salts=8, big_salt_col="event_id",
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
+SQL_SKEW_SALTED_JOIN = """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_doc_per_source_sample(spark, sf_dir):
+    """Deterministic k-per-group sampling (operators/curation.
+    sample_per_group): 5 documents per source ranked by md5(doc_id) — a
+    uniform, engine-portable pseudo-random order, so the sample is
+    partition-layout-invariant and rerun-stable (the property TABLESAMPLE/
+    rand() can never give, and the one that makes eval-set draws
+    auditable). Spark's WindowGroupLimit pushdown keeps only k rows per
+    group on the map side before the shuffle."""
+    from mmkg_rag_spark.operators.curation import sample_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_per_group(d, "source", 5, "doc_id").select(
+        "source", "doc_id", "rk"
+    )
+
+
+SQL_DOC_PER_SOURCE_SAMPLE = """
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id, row_number() OVER (
+    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  ) AS rk FROM documents
+) WHERE rk <= 5
+"""
+
+
+def q_doc_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup by n-gram CONTAINMENT (operators/textdedup.
+    containment_pairs): |A∩B|/|A| catches a document EMBEDDED in a longer
+    one — the quote-farm/boilerplate-wrap case Jaccard misses because the
+    union is dominated by the longer side (Broder's resemblance vs
+    containment). Same shared-shingle equi-join + frequency-cap plan as
+    the Jaccard class; only the final integer arithmetic differs."""
+    return textdedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6
+    )
+
+
+SQL_DOC_CONTAINMENT = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
+  )) AS shingle FROM w
+),
+capped AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN capped USING (shingle)),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(CAST(i AS DOUBLE) / sa.n, 4) AS cont_a,
+  round(CAST(i AS DOUBLE) / sb.n, 4) AS cont_b,
+  round(greatest(CAST(i AS DOUBLE) / sa.n, CAST(i AS DOUBLE) / sb.n), 4)
+    AS containment
+FROM inter
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE greatest(CAST(i AS DOUBLE) / sa.n, CAST(i AS DOUBLE) / sb.n) >= 0.6
+"""
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the supplier↔customer trading
+    graph (operators/graph.degree_assortativity): Pearson correlation of
+    endpoint degrees over the doubled edge list — THE one-number summary
+    of whether hub entities cluster (drives the salting plan for the
+    link-scoring self-join). Every moment accumulates in DECIMAL(38,0) —
+    no float summation — so the single final division is bit-stable
+    across partitionings and engines."""
+    from mmkg_rag_spark.operators.graph import degree_assortativity
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return degree_assortativity(e)
+
+
+SQL_GRAPH_ASSORTATIVITY = """
+WITH e0 AS (
+  SELECT DISTINCT
+    least('S' || CAST(l_suppkey AS VARCHAR), 'C' || CAST(o_custkey AS VARCHAR)) AS u,
+    greatest('S' || CAST(l_suppkey AS VARCHAR), 'C' || CAST(o_custkey AS VARCHAR)) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE 'S' || CAST(l_suppkey AS VARCHAR) <> 'C' || CAST(o_custkey AS VARCHAR)
+),
+both_dir AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+),
+deg AS (SELECT u, COUNT(*) AS d FROM both_dir GROUP BY u),
+xy AS (
+  SELECT CAST(da.d AS HUGEINT) AS dx, CAST(db.d AS HUGEINT) AS dy
+  FROM both_dir b JOIN deg da ON b.u = da.u JOIN deg db ON b.v = db.u
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(dx) AS sx,
+         SUM(dx * dx) AS sxx, SUM(dx * dy) AS sxy
+  FROM xy
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       CAST(n / 2 AS BIGINT) AS n_edges,
+       round(CAST(n * sxy - sx * sx AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -3342,6 +3639,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_histogram": q_orders_price_histogram,
         "embedding_dim_stats": q_embedding_dim_stats,
         "orders_shipping_priority": q_orders_shipping_priority,
+        "events_latest_per_key": q_events_latest_per_key,
+        "events_scd2": q_events_scd2,
+        "events_peak_concurrency": q_events_peak_concurrency,
+        "skew_salted_join": q_skew_salted_join,
+        "doc_per_source_sample": q_doc_per_source_sample,
+        "doc_containment_pairs": q_doc_containment_pairs,
+        "graph_assortativity": q_graph_assortativity,
     }
 
 
@@ -3421,4 +3725,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_histogram": SQL_ORDERS_HISTOGRAM,
         "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
         "orders_shipping_priority": SQL_SHIPPING_PRIORITY,
+        "events_latest_per_key": SQL_EVENTS_LATEST,
+        "events_scd2": SQL_EVENTS_SCD2,
+        "events_peak_concurrency": SQL_EVENTS_PEAK_CONCURRENCY,
+        "skew_salted_join": SQL_SKEW_SALTED_JOIN,
+        "doc_per_source_sample": SQL_DOC_PER_SOURCE_SAMPLE,
+        "doc_containment_pairs": SQL_DOC_CONTAINMENT,
+        "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
     }

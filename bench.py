@@ -98,6 +98,14 @@ BENCH_QUERIES = [
     "orders_price_histogram",
     "embedding_dim_stats",
     "orders_shipping_priority",
+    # session-4 classes
+    "events_latest_per_key",
+    "events_scd2",
+    "events_peak_concurrency",
+    "skew_salted_join",
+    "doc_per_source_sample",
+    "doc_containment_pairs",
+    "graph_assortativity",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -1,0 +1,90 @@
+"""Change-data-capture / slowly-changing-dimension operators.
+
+The lakehouse compaction patterns a KG-construction pipeline runs against
+its page store before extraction (the reference re-reads whole documents on
+every build — `/root/reference/src/mmkg_rag/index/builder.py` has no notion
+of multiple versions per url; a Common-Crawl-scale page table DOES, because
+recrawls append new (url, warc_ts) rows, so "latest snapshot per url" is
+the first stage of any incremental build):
+
+- ``latest_snapshot``  : one surviving row per key — the newest by a caller-
+  supplied total order. ONE shuffle, implemented as a map-side-combinable
+  ``max(struct(order..., payload))`` aggregate, NOT a window: a window
+  row_number materializes and sorts every version of every key on the
+  reducer, while the struct-max collapses versions to one row per key in
+  the partial aggregate before anything shuffles. At 10^12 rows with ~10
+  recrawls/url that is a 10× shuffle reduction for free.
+- ``scd2_intervals``   : the full history as validity intervals
+  [valid_from, valid_to) via ``lead()`` over (key, order) — the
+  slowly-changing-dimension type-2 shape every warehouse keeps for
+  point-in-time joins (pairs with temporal.asof_join).
+
+Both require the caller's ``order_cols`` to be a TOTAL order within a key
+(append a unique id as the last column); otherwise "latest" is undefined
+and no engine pair can agree on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per key: the max-by-``order_cols`` version.
+
+    Output columns: ``key_cols + order_cols + payload_cols``. Struct
+    comparison is lexicographic, so with ``order_cols`` a total order the
+    payload fields never participate in the comparison — this is exact
+    ``max_by`` semantics expressed as a plain algebraic aggregate (partial
+    merge on the map side, single shuffle on the keys, no sort).
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c for c in df.columns if c not in key_cols and c not in order_cols
+        ]
+    pick = F.max(
+        F.struct(
+            *[F.col(c).alias(c) for c in order_cols],
+            *[F.col(c).alias(c) for c in payload_cols],
+        )
+    ).alias("_latest")
+    out = df.groupBy(*key_cols).agg(pick)
+    return out.select(
+        *key_cols,
+        *[F.col(f"_latest.{c}").alias(c) for c in order_cols + payload_cols],
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+    current_sentinel: Column | None = None,
+) -> DataFrame:
+    """Type-2 validity intervals: every version row gains
+
+    - ``valid_from``  = its own ``ts_col``
+    - ``valid_to``    = the next version's ``ts_col`` (half-open), or the
+      ``current_sentinel`` (default NULL) for the live row
+    - ``is_current``  = whether this is the newest version
+
+    One shuffle (hash on ``key_cols``) + a per-key sort for the window —
+    the minimal plan for a computation that genuinely needs each key's
+    versions adjacent. Keys are urls/entity-ids (high cardinality), so the
+    hash partitioning is skew-free by construction.
+    """
+    order = [ts_col] + list(tiebreak_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order])
+    nxt = F.lead(ts_col).over(w)
+    out = df.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to",
+        nxt if current_sentinel is None else F.coalesce(nxt, current_sentinel),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull() if current_sentinel is None else F.col("valid_to") == current_sentinel)

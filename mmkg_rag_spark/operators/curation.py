@@ -320,3 +320,33 @@ def curate_corpus(
         .select(id_col, "n_tokens", "quality")
     )
 
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic k-per-group sample — the distributed reservoir.
+
+    Rank rows within each group by ``md5(id)`` (a uniform, engine-portable
+    pseudo-random order: Spark and DuckDB produce the same hex digest for
+    the same bytes, unlike xxhash64 which only Spark has) and keep the
+    first ``k``. Partition-layout-invariant, rerun-stable, and any engine
+    reproduces it — the property `TABLESAMPLE`/`rand()` can never give.
+
+    One shuffle (hash on the group key) + a per-group top-k sort. Spark
+    plans rank-filter windows with a per-partition `WindowGroupLimit`
+    pushdown (each map task keeps only k rows per group before the
+    shuffle), so a hot group never materializes fully on one reducer.
+
+    Output: (group_col, id_col, rk) — rk ∈ [1, k] is the sample's stable
+    enumeration within the group.
+    """
+    rnd = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(rnd, F.col(id_col))
+    return (
+        df.select(F.col(group_col), F.col(id_col), F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+    )

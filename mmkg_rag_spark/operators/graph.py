@@ -515,3 +515,65 @@ def sssp_distances(
             dist = dist.localCheckpoint()
             frontier = frontier.localCheckpoint()
     return dist
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient of the undirected simple graph —
+    Newman (2002): the Pearson correlation of the degrees at either end of
+    an edge. Positive → hubs link to hubs (social graphs); negative → hubs
+    link to leaves (the web, most KGs). THE one-number summary of whether
+    head-entity skew concentrates (matters for partition planning: a
+    disassortative KG's hot vertices are surrounded by cheap ones, so
+    salting the hubs alone fixes the join).
+
+    Exact-integer moments: degrees are BIGINT counts; every moment
+    (Σx, Σx², Σxy over the DOUBLED directed edge list, where symmetry makes
+    the x- and y-marginals identical) accumulates in DECIMAL(38,0) — no
+    float summation anywhere, so the single final division is bit-stable
+    across partitionings AND engines, and r =
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) needs only the one symmetric
+    denominator. Three shuffles total (edge distinct, degree groupBy,
+    2-row-ish final agg), all on well-distributed keys.
+
+    Output: one row (n_nodes, n_edges, assortativity).
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    xy = (
+        both.join(deg.withColumnRenamed("u", "_a").withColumnRenamed("d", "dx"), F.col("u") == F.col("_a"))
+        .join(deg.withColumnRenamed("u", "_b").withColumnRenamed("d", "dy"), F.col("v") == F.col("_b"))
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("dx"),
+            F.col("dy").cast("decimal(38,0)").alias("dy"),
+        )
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        m.crossJoin(F.broadcast(nodes))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            (F.col("n") / 2).cast("bigint").alias("n_edges"),
+            # try_divide: a degree-regular graph has zero degree variance,
+            # so r is mathematically undefined — return NULL, not a crash
+            # (ANSI mode raises DIVIDE_BY_ZERO on plain /).
+            F.round(
+                F.try_divide(
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double"),
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )

@@ -191,3 +191,79 @@ def range_join(
         (F.col(start_ts) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_ts))
     )
     return joined.drop("_bk")
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+) -> DataFrame:
+    """Per-day peak number of simultaneously-open ``[start_ts, end_ts)``
+    intervals — the classic sweep-line, partitioned so it scales.
+
+    A naive sweep is a GLOBAL ordered running sum (single-partition sort —
+    the exact shape the deciles class documents as a scale smell). Instead
+    each interval is clipped to the calendar days it touches (explode over
+    the day sequence — bounded by interval length / 1 day), boundary deltas
+    (+1 at clipped start, −1 at clipped end) aggregate per (day, ts), and
+    the running sum windows PARTITIONED BY day: per-day sorts of per-day
+    boundary counts, embarrassingly parallel across the time axis.
+
+    Clipping makes days independent: an interval spanning midnight
+    contributes +1 at 00:00 to the next day's curve, so each day's curve
+    starts at the true number of intervals already open. The per-day max is
+    order-proof — a prefix-sum curve attains its maximum immediately after
+    processing all deltas of some timestamp (the only upward steps are +1
+    runs), so aggregating deltas per distinct ts first makes the result
+    independent of within-timestamp tie order, and integer deltas make it
+    bit-identical across engines.
+
+    Output: (day, peak_concurrent, n_boundaries), one row per day with at
+    least one open interval.
+    """
+    day = F.date_trunc("day", F.col(start_ts))
+    end_day = F.date_trunc("day", F.col(end_ts))
+    # empty/negative intervals are open nowhere; dropping them also keeps
+    # the day sequence non-decreasing (an interval [midnight, midnight)
+    # would otherwise ask sequence() for an empty descending range).
+    intervals = intervals.filter(F.col(end_ts) > F.col(start_ts))
+    # explode to one row per (interval, day-touched); half-open end means an
+    # interval ending exactly at midnight does NOT touch the end day.
+    iv = intervals.select(
+        F.col(start_ts).alias("_s"),
+        F.col(end_ts).alias("_e"),
+        F.explode(
+            F.sequence(
+                day,
+                F.when(end_day == F.col(end_ts), F.expr(f"{end_ts} - INTERVAL 1 DAY")).otherwise(end_day),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("_day"),
+    )
+    next_day = F.col("_day") + F.expr("INTERVAL 1 DAY")
+    clipped = iv.select(
+        F.col("_day").alias("day"),
+        F.greatest(F.col("_s"), F.col("_day")).alias("cs"),
+        F.least(F.col("_e"), next_day).alias("ce"),
+    )
+    deltas = clipped.select(
+        "day", F.col("cs").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        # a -1 exactly at next-day midnight only ever DECREASES the curve
+        # after every +1 of the day has been applied; drop it (it would
+        # otherwise create a phantom boundary row at 00:00+1d).
+        clipped.filter(F.col("ce") < next_day).select(
+            "day", F.col("ce").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    per_ts = deltas.groupBy("day", "ts").agg(F.sum("delta").alias("d"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = per_ts.withColumn("open", F.sum("d").over(w))
+    return curve.groupBy("day").agg(
+        F.max("open").cast("bigint").alias("peak_concurrent"),
+        F.count(F.lit(1)).alias("n_boundaries"),
+    )

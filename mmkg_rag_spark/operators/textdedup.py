@@ -487,3 +487,57 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram CONTAINMENT ≥ threshold.
+
+    Containment C(A→B) = |A∩B| / |A| is the asymmetric cousin of Jaccard —
+    the metric that catches a document EMBEDDED in a longer one (quote
+    farms, boilerplate-wrapped copies), which Jaccard misses because the
+    union is dominated by the longer side. Broder's classic resemblance/
+    containment pairing; the standard second filter in web-corpus dedup.
+
+    Same shuffle-minimal plan as ngram_jaccard_pairs (shared-shingle
+    equi-join, frequency cap, integer intersection counts — never |D|²);
+    the only change is the final arithmetic. Pairs stay canonically
+    oriented (id_a < id_b) carrying BOTH directed containments plus the
+    max; the caller thresholds on the direction it cares about.
+    """
+    sh = _doc_shingles(ensure_min_partitions(docs), id_col, text_col, n)
+    over_cap = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") > max_shingle_freq)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(over_cap), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("cont_a", F.col("inter").cast("double") / F.col("n_a"))
+        .withColumn("cont_b", F.col("inter").cast("double") / F.col("n_b"))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cont_a", 4).alias("cont_a"),
+            F.round("cont_b", 4).alias("cont_b"),
+            F.round(F.greatest("cont_a", "cont_b"), 4).alias("containment"),
+        )
+    )
