@@ -3552,6 +3552,160 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-4b query classes: rolling distinct actives, last-touch attribution,
+# data-quality column profile, robust (median/MAD) outlier stats.
+# ---------------------------------------------------------------------------
+
+
+def q_events_rolling_distinct(spark, sf_dir):
+    """Trailing-7-day distinct active users per day (operators/temporal.
+    rolling_distinct — rolling WAU). COUNT(DISTINCT) is non-algebraic over
+    a sliding window, so the operator dedupes to (user, active_day), then
+    explodes each active day into the ≤7 report days it feeds: fan-out
+    bounded at 7×|user-days|, three hash shuffles total, no unbounded
+    window state, no day×table self-join. Report days after the data's
+    max day are dropped (trailing window not yet complete)."""
+    from mmkg_rag_spark.operators.temporal import rolling_distinct
+
+    e = _t(spark, sf_dir, "events")
+    out = rolling_distinct(e, key_col="user_id", ts_col="ts", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active"
+    )
+
+
+SQL_EVENTS_ROLLING_DISTINCT = """
+WITH active AS (
+  SELECT DISTINCT user_id AS k, date_trunc('day', ts) AS d FROM events
+),
+mx AS (SELECT max(d) AS max_d FROM active),
+contrib AS (
+  SELECT k, unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+    AS day
+  FROM active
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_active
+FROM contrib, mx WHERE day <= mx.max_d
+GROUP BY 1
+"""
+
+
+def q_events_last_touch(spark, sf_dir):
+    """Last-touch attribution (operators/temporal.last_touch): every
+    purchase credited to the user's most recent PRECEDING non-purchase
+    event — the marketing-attribution / provenance primitive. One hash
+    shuffle on user_id + per-user sort; the credit is an ignorenulls-last
+    running carry over rows [unbounded, -1] (the asof_join trick), never a
+    per-conversion self-join. (ts, event_id) gives a total order so the
+    result is engine-exact; direct conversions keep NULL touch."""
+    from mmkg_rag_spark.operators.temporal import last_touch
+
+    e = _t(spark, sf_dir, "events")
+    out = last_touch(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("conv_ts", "yyyy-MM-dd HH:mm:ss").alias("conv_ts"),
+        "touch_type",
+        F.date_format("touch_ts", "yyyy-MM-dd HH:mm:ss").alias("touch_ts"),
+    )
+
+
+SQL_EVENTS_LAST_TOUCH = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS conv_ts,
+       touch_type,
+       strftime(touch_ts, '%Y-%m-%d %H:%M:%S') AS touch_ts
+FROM (
+  SELECT user_id, ts, event_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS touch_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+               IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+WHERE event_type = 'purchase'
+"""
+
+
+def q_doc_profile(spark, sf_dir):
+    """Data-quality column profile of the documents table (operators/
+    profile.profile_columns — the Deequ-style pre-extraction gate): per
+    column, rows / nulls / exact distincts / min-max witnesses, ONE table
+    scan (all distinct-counts share a single Expand + two-phase hash agg),
+    emitted long-format via stack so constraint checks are plain filters.
+    min/max order by native type, render as ≤40-char strings."""
+    from mmkg_rag_spark.operators.profile import profile_columns
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(
+        d, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def _sql_profile_col(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column",
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       substr(CAST(min({col}) AS VARCHAR), 1, 40) AS min_val,
+       substr(CAST(max({col}) AS VARCHAR), 1, 40) AS max_val
+FROM documents"""
+
+
+SQL_DOC_PROFILE = "\nUNION ALL\n".join(
+    _sql_profile_col(c) for c in ["doc_id", "text", "lang", "source", "n_chars"]
+)
+
+
+def q_events_value_outliers(spark, sf_dir):
+    """Per-event-type robust outlier stats (functions/robust.
+    robust_outlier_stats): median/MAD/Hampel-fence counts — the
+    heavy-tail-proof anomaly gate (mean±kσ is dragged by the very tail it
+    should flag). Exact interpolated medians via Spark's percentile
+    aggregate ≡ DuckDB quantile_cont; group stats re-attach broadcast;
+    two grouped aggs + two broadcast joins, no raw-fact window sort.
+    Zero-MAD groups fall back to counting values ≠ median."""
+    from mmkg_rag_spark.functions.robust import robust_outlier_stats
+
+    e = _t(spark, sf_dir, "events")
+    return robust_outlier_stats(e, "event_type", "value", z=3.0)
+
+
+SQL_EVENTS_VALUE_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.median) AS absdev, m.median, m.n
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type, max(d.n) AS n,
+       round(max(d.median), 6) AS median,
+       round(max(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN m.mad > 0
+                     THEN CASE WHEN d.absdev > 3 * 1.4826 * m.mad
+                               THEN 1 ELSE 0 END
+                     ELSE CASE WHEN d.absdev > 0 THEN 1 ELSE 0 END
+                END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -3646,6 +3800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_per_source_sample": q_doc_per_source_sample,
         "doc_containment_pairs": q_doc_containment_pairs,
         "graph_assortativity": q_graph_assortativity,
+        "events_rolling_distinct": q_events_rolling_distinct,
+        "events_last_touch": q_events_last_touch,
+        "doc_profile": q_doc_profile,
+        "events_value_outliers": q_events_value_outliers,
     }
 
 
@@ -3732,4 +3890,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_per_source_sample": SQL_DOC_PER_SOURCE_SAMPLE,
         "doc_containment_pairs": SQL_DOC_CONTAINMENT,
         "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
+        "events_rolling_distinct": SQL_EVENTS_ROLLING_DISTINCT,
+        "events_last_touch": SQL_EVENTS_LAST_TOUCH,
+        "doc_profile": SQL_DOC_PROFILE,
+        "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
     }

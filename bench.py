@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "doc_per_source_sample",
     "doc_containment_pairs",
     "graph_assortativity",
+    "events_rolling_distinct",
+    "events_last_touch",
+    "doc_profile",
+    "events_value_outliers",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -267,3 +267,98 @@ def peak_concurrency(
         F.max("open").cast("bigint").alias("peak_concurrent"),
         F.count(F.lit(1)).alias("n_boundaries"),
     )
+
+
+def rolling_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-``window_days`` distinct-key count per day (rolling WAU/MAU
+    — the engagement denominator every corpus/usage dashboard needs).
+
+    COUNT(DISTINCT) is not algebraic over a sliding window, so the naive
+    plans are a per-day self-join against the full event table (quadratic
+    in days) or a global collect_set window (unbounded state). Instead:
+    dedupe to (key, active_day) — the only facts that matter — then
+    explode each active-day into the ≤ ``window_days`` report days it
+    contributes to, dedupe (key, report_day), and count per day. The
+    fan-out is bounded by window_days × |distinct (key, day)|, every
+    shuffle key is a (day|key) hash — no skew, no unbounded state, and
+    the whole thing is three hash shuffles regardless of corpus size.
+
+    Report days past the data's max day are dropped (a trailing window
+    that ends after the last observation is not fully defined yet — the
+    incremental build would restate it tomorrow).
+
+    Output: (day, n_active) for every report day with ≥1 active key.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    active = events.select(
+        F.col(key_col).alias("k"), day.alias("d")
+    ).distinct()
+    max_day = active.agg(F.max("d").alias("max_d"))
+    contrib = active.select(
+        "k",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr(f"INTERVAL {int(window_days) - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("max_d"))
+        .groupBy("day")
+        .agg(F.countDistinct("k").alias("n_active"))
+    )
+
+
+def last_touch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    most recent PRECEDING non-conversion event of the same key (the
+    marketing-attribution primitive; also exactly the provenance question
+    "which crawl/extract step last touched this record before the merge").
+
+    One hash shuffle on the key + per-key sort; the credit is an
+    ignorenulls-last window over rows [unbounded preceding, 1 preceding] —
+    the same running-carry trick asof_join uses, so there is never a
+    per-conversion self-join. Conversions with no preceding touch keep
+    NULL (direct conversions), preserved so the caller sees the full
+    denominator.
+
+    Output: one row per conversion — (key, conv_ts, touch_type, touch_ts).
+    """
+    is_touch = F.col(type_col) != F.lit(conversion)
+    # tiebreak_cols must complete (ts_col, *tiebreak) to a TOTAL order per
+    # key, or "most recent preceding" is engine-dependent under ts ties.
+    order = [ts_col] + list(tiebreak_cols or [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = F.last(
+        F.when(is_touch, F.struct(F.col(type_col), F.col(ts_col))),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("_touch", carry)
+        .filter(F.col(type_col) == F.lit(conversion))
+        .select(
+            F.col(key_col),
+            F.col(ts_col).alias("conv_ts"),
+            F.col(f"_touch.{type_col}").alias("touch_type"),
+            F.col(f"_touch.{ts_col}").alias("touch_ts"),
+        )
+    )

@@ -292,3 +292,112 @@ def test_assortativity_regular_graph_undefined_or_nan(spark):
     (r,) = degree_assortativity(edges).collect()
     assert r.n_nodes == n and r.n_edges == n
     assert r.assortativity is None or math.isnan(r.assortativity)
+
+
+# ----------------------------------------------------- rolling distinct
+
+
+def test_rolling_distinct_hand_case(spark):
+    from mmkg_rag_spark.operators.temporal import rolling_distinct
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 9)),
+        (1, d(2024, 1, 1, 17)),   # same user+day: counted once
+        (2, d(2024, 1, 2, 9)),
+        (1, d(2024, 1, 10, 9)),   # outside the 7d window of day 1-2
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.day.date(): r.n_active for r in
+           rolling_distinct(df, window_days=3).collect()}
+    # day1: {1}; day2: {1,2}; day3: {1,2}; day4: {2}; day10: {1}
+    assert out == {
+        dt.date(2024, 1, 1): 1,
+        dt.date(2024, 1, 2): 2,
+        dt.date(2024, 1, 3): 2,
+        dt.date(2024, 1, 4): 1,
+        dt.date(2024, 1, 10): 1,
+    }
+    # no report day beyond the data's max day (Jan 10)
+    assert max(out) == dt.date(2024, 1, 10)
+
+
+# ----------------------------------------------------------- last touch
+
+
+def test_last_touch_credit_and_direct(spark):
+    from mmkg_rag_spark.operators.temporal import last_touch
+
+    d = dt.datetime
+    rows = [
+        # user 1: click -> view -> purchase  => credited to view
+        (1, d(2024, 1, 1, 9), 1, "click"),
+        (1, d(2024, 1, 1, 10), 2, "view"),
+        (1, d(2024, 1, 1, 11), 3, "purchase"),
+        # purchase then click: second purchase credited to the click,
+        # the earlier purchase never is (conversions don't earn credit)
+        (1, d(2024, 1, 1, 12), 4, "click"),
+        (1, d(2024, 1, 1, 13), 5, "purchase"),
+        # user 2: direct conversion, no preceding touch
+        (2, d(2024, 1, 2, 9), 6, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {(r.user_id, r.conv_ts): (r.touch_type, r.touch_ts)
+           for r in last_touch(df, tiebreak_cols=["event_id"]).collect()}
+    assert out[(1, d(2024, 1, 1, 11))] == ("view", d(2024, 1, 1, 10))
+    assert out[(1, d(2024, 1, 1, 13))] == ("click", d(2024, 1, 1, 12))
+    assert out[(2, d(2024, 1, 2, 9))] == (None, None)
+    assert len(out) == 3
+
+
+# --------------------------------------------------------------- profile
+
+
+def test_profile_columns_single_scan_counts(spark):
+    from mmkg_rag_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, None, 7.5)],
+        ["id", "s", "x"],
+    )
+    out = {r.column: r for r in profile_columns(df).collect()}
+    assert set(out) == {"id", "s", "x"}
+    assert all(r.n_rows == 3 for r in out.values())
+    assert (out["id"].n_null, out["id"].n_distinct) == (0, 3)
+    assert (out["s"].n_null, out["s"].n_distinct) == (1, 1)
+    assert (out["x"].n_null, out["x"].n_distinct) == (1, 2)
+    # numeric bounds order numerically, not lexicographically
+    assert out["x"].min_val == "5.0" and out["x"].max_val == "7.5"
+
+
+def test_profile_truncates_witnesses(spark):
+    from mmkg_rag_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([("z" * 500,)], ["t"])
+    (r,) = profile_columns(df, ["t"]).collect()
+    assert len(r.min_val) == 40 and len(r.max_val) == 40
+
+
+# ------------------------------------------------------- robust outliers
+
+
+def test_robust_outliers_hampel(spark):
+    from mmkg_rag_spark.functions.robust import robust_outlier_stats
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]  # one gross outlier
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "value"])
+    (r,) = robust_outlier_stats(df, "grp", "value").collect()
+    assert r.n == 6
+    assert r.median == pytest.approx(12.5)
+    assert r.mad == pytest.approx(1.5)
+    assert r.n_outliers == 1  # only the 1000; mean±3σ would flag nothing
+
+
+def test_robust_outliers_zero_mad_fallback(spark):
+    from mmkg_rag_spark.functions.robust import robust_outlier_stats
+
+    vals = [5.0] * 8 + [6.0, 99.0]  # MAD = 0 (median of |x-5| is 0)
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "value"])
+    (r,) = robust_outlier_stats(df, "grp", "value").collect()
+    assert r.mad == 0.0
+    assert r.n_outliers == 2  # fallback: values != median
