@@ -3706,6 +3706,177 @@ GROUP BY d.event_type
 """
 
 
+def q_orders_monthly_yoy(spark, sf_dir):
+    """Year-over-year growth report: monthly DECIMAL-exact revenue joined
+    to the same month one year earlier. The period join is an explicit
+    equi-join on add_months(month, -12) — correct under gap months, where
+    a lag(12) window silently compares wrong periods — and it runs
+    broadcast on the months-sized aggregate, so the only corpus-wide work
+    is the one map-side-combinable groupBy. Growth is computed in DOUBLE
+    from the exact DECIMAL sums (one division per output row — no float
+    accumulation), try_divide-guarded for a zero prior month."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    prev = monthly.select(
+        F.add_months(F.col("month"), 12).cast("timestamp").alias("month"),
+        F.col("rev").alias("rev_prev"),
+    )
+    return (
+        monthly.join(F.broadcast(prev), "month", "left")
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.col("rev").cast("double").alias("revenue"),
+            "n_orders",
+            F.col("rev_prev").cast("double").alias("revenue_prev_year"),
+            F.round(
+                F.try_divide(
+                    (F.col("rev") - F.col("rev_prev")).cast("double"),
+                    F.col("rev_prev").cast("double"),
+                )
+                * 100,
+                4,
+            ).alias("yoy_pct"),
+        )
+    )
+
+
+SQL_ORDERS_MONTHLY_YOY = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS rev,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT strftime(m.month, '%Y-%m') AS month,
+       CAST(m.rev AS DOUBLE) AS revenue,
+       m.n_orders,
+       CAST(p.rev AS DOUBLE) AS revenue_prev_year,
+       round(CAST(m.rev - p.rev AS DOUBLE) / CAST(p.rev AS DOUBLE) * 100, 4)
+         AS yoy_pct
+FROM monthly m
+LEFT JOIN monthly p ON p.month + INTERVAL 12 MONTH = m.month
+"""
+
+
+def q_events_daily_anomalies(spark, sf_dir):
+    """Trailing-window anomaly detection on the per-type daily event
+    counts: each (type, day) scored against the mean/std of its 7
+    PRECEDING days, computed in closed form from exact BIGINT Σn and Σn²
+    over the frame — so both engines do the identical double arithmetic
+    from identical integers (never engine-internal Welford streams). The
+    window runs over the tiny per-(type,day) aggregate, partitioned by
+    type — the raw facts see only one map-side-combinable groupBy. Days
+    without a full 7-day history are excluded (their fence is undefined);
+    z is try_divide-guarded for zero-variance windows."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = (
+        daily.withColumn("n_prev", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.sum("n").over(w))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(w))
+        .filter(F.col("n_prev") == 7)
+    )
+    mean = F.col("s1").cast("double") / 7
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / 7
+    ) / 6
+    std = F.sqrt(var)
+    z = F.try_divide(F.col("n").cast("double") - mean, std)
+    return scored.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(mean, 6).alias("trailing_mean"),
+        F.round(std, 6).alias("trailing_std"),
+        F.round(z, 6).alias("z"),
+        (F.coalesce(F.abs(z), F.lit(0.0)) > 3.0).alias("is_anomaly"),
+    )
+
+
+SQL_EVENTS_DAILY_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, n,
+         count(*) OVER w AS n_prev,
+         CAST(SUM(n) OVER w AS BIGINT) AS s1,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round(CAST(s1 AS DOUBLE) / 7, 6) AS trailing_mean,
+       round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / 7) / 6), 6)
+         AS trailing_std,
+       round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7)
+             / NULLIF(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / 7)
+                           / 6), 0), 6) AS z,
+       coalesce(abs((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7)
+             / NULLIF(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / 7)
+                           / 6), 0)), 0) > 3.0 AS is_anomaly
+FROM scored WHERE n_prev = 7
+"""
+
+
+def q_source_term_lift(spark, sf_dir):
+    """Per-source distinctive vocabulary (operators/relevance.term_lift):
+    top-5 terms by smoothed log-odds lift — the Fightin'-Words contrast of
+    each crawl source against the REST of the corpus (what raw TF-IDF
+    can't ask). All-integer counts until two final ln() per surviving
+    row; term-keyed joins (vocab-scale, no broadcast of the vocabulary),
+    group totals broadcast, WindowGroupLimit top-k."""
+    from mmkg_rag_spark.operators.relevance import term_lift
+
+    d = _t(spark, sf_dir, "documents")
+    return term_lift(d, group_col="source", text_col="text", k=5)
+
+
+SQL_SOURCE_TERM_LIFT = r"""
+WITH toks AS (
+  SELECT source AS g, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+per_group AS (
+  SELECT g, term, CAST(count(*) AS BIGINT) AS c_tg
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+per_term AS (SELECT term, CAST(SUM(c_tg) AS BIGINT) AS c_t FROM per_group GROUP BY 1),
+group_tot AS (SELECT g, CAST(SUM(c_tg) AS BIGINT) AS n_g FROM per_group GROUP BY 1),
+total AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM group_tot),
+scored AS (
+  SELECT pg.g, pg.term, pg.c_tg, pt.c_t,
+         ln(CAST(pg.c_tg + 1 AS DOUBLE) / CAST(gt.n_g - pg.c_tg + 1 AS DOUBLE))
+         - ln(CAST(pt.c_t - pg.c_tg + 1 AS DOUBLE)
+              / CAST(t.n - gt.n_g - (pt.c_t - pg.c_tg) + 1 AS DOUBLE)) AS lift
+  FROM per_group pg
+  JOIN per_term pt USING (term)
+  JOIN group_tot gt USING (g)
+  CROSS JOIN total t
+)
+SELECT g AS source, term, c_tg, c_t, round(lift, 6) AS lift, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY lift DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -3804,6 +3975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_last_touch": q_events_last_touch,
         "doc_profile": q_doc_profile,
         "events_value_outliers": q_events_value_outliers,
+        "orders_monthly_yoy": q_orders_monthly_yoy,
+        "events_daily_anomalies": q_events_daily_anomalies,
+        "source_term_lift": q_source_term_lift,
     }
 
 
@@ -3894,4 +4068,7 @@ def oracle_sql() -> dict[str, str]:
         "events_last_touch": SQL_EVENTS_LAST_TOUCH,
         "doc_profile": SQL_DOC_PROFILE,
         "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
+        "orders_monthly_yoy": SQL_ORDERS_MONTHLY_YOY,
+        "events_daily_anomalies": SQL_EVENTS_DAILY_ANOMALIES,
+        "source_term_lift": SQL_SOURCE_TERM_LIFT,
     }

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "events_last_touch",
     "doc_profile",
     "events_value_outliers",
+    "orders_monthly_yoy",
+    "events_daily_anomalies",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

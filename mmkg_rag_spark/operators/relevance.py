@@ -271,3 +271,71 @@ def rare_ngram_score(
             F.round(F.col("sum_freq") / F.col("n_ngrams"), 4).alias("avg_freq"),
         )
     )
+
+
+def term_lift(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` DISTINCTIVE terms per group by smoothed log-odds lift —
+    Monroe/Colaresi/Quinn's "Fightin' Words" statistic with a flat +1
+    prior:
+
+        δ(t, g) = ln( (c_tg + 1) / (n_g − c_tg + 1) )
+                − ln( (c_t\\g + 1) / (n_\\g − c_t\\g + 1) )
+
+    where c_tg is term t's count inside group g and c_t\\g its count in
+    the REST of the corpus. Unlike raw TF-IDF this contrasts a group
+    against everything else, which is the question corpus curation
+    actually asks ("what does this crawl source over-represent?" —
+    boilerplate, spam vocab, language drift per host).
+
+    Plan: one token explode (map-only) → one (group, term) groupBy with
+    map-side partials → term-keyed join of the per-group counts against
+    the global term counts (both term-keyed; no broadcast needed, vocab
+    can be arbitrarily large) → group totals attached broadcast
+    (|groups| rows) → per-group top-k window (WindowGroupLimit pushdown).
+    All counts integer until the two final ln() calls per surviving row;
+    ties broken lexicographically on term.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    per_group = toks.groupBy("g", "term").agg(F.count(F.lit(1)).alias("c_tg"))
+    per_term = per_group.groupBy("term").agg(F.sum("c_tg").alias("c_t"))
+    group_tot = per_group.groupBy("g").agg(F.sum("c_tg").alias("n_g"))
+    total = group_tot.agg(F.sum("n_g").alias("n"))
+    scored = (
+        per_group.join(per_term, "term")
+        .join(F.broadcast(group_tot), "g")
+        .crossJoin(F.broadcast(total))
+        .withColumn("c_rest", F.col("c_t") - F.col("c_tg"))
+        .withColumn("n_rest", F.col("n") - F.col("n_g"))
+        .withColumn(
+            "lift",
+            F.log(
+                (F.col("c_tg") + 1).cast("double")
+                / (F.col("n_g") - F.col("c_tg") + 1).cast("double")
+            )
+            - F.log(
+                (F.col("c_rest") + 1).cast("double")
+                / (F.col("n_rest") - F.col("c_rest") + 1).cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(F.col("lift").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("g").alias(group_col),
+            "term",
+            "c_tg",
+            "c_t",
+            F.round("lift", 6).alias("lift"),
+            "rk",
+        )
+    )

@@ -490,3 +490,78 @@ def sessionize_events(
         "duration_sec",
         "open",
     )
+
+
+def upsert_events(
+    spark: SparkSession,
+    input_dir: str,
+):
+    """Streaming CDC upsert view — the continuous twin of
+    ``operators/cdc.latest_snapshot`` (and of merge_snapshot's fold).
+
+    ``applyInPandasWithState`` per user_id with O(1) state: the current
+    LATEST version (epoch, event_id, event_type, value). Each micro-batch
+    folds its rows into the state by (epoch, event_id) max — idempotent
+    and associative, the same algebra merge_snapshot relies on — and
+    emits one append-mode row per key whose latest CHANGED this batch
+    (a changelog of snapshot updates, not a re-dump of the table).
+
+    Consumers rebuild the exact batch snapshot by keeping their own
+    latest-per-key over the emitted changelog (pinned by
+    tests/test_streaming.py::test_streaming_upsert_matches_batch): at
+    any quiescent point, latest(emissions) == latest_snapshot(all events
+    so far). State never grows past one tuple per key — the minimal
+    possible for upsert semantics.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .functions.timeops import ntz_epoch
+
+    COLS = ["user_id", "epoch", "event_id", "event_type", "value"]
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        cur = tuple(state.get) if state.exists else None
+        best = cur
+        for pdf in pdfs:
+            for e, i, t, v in zip(
+                pdf["epoch"], pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                cand = (int(e), int(i), str(t), float(v))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        rows = []
+        if best is not None:
+            state.update(best)
+            if best != cur:
+                rows.append((user_id, *best))
+        yield pd.DataFrame(rows, columns=COLS)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return (
+        stream.select(
+            "user_id",
+            ntz_epoch("ts").alias("epoch"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=(
+                "user_id long, epoch long, event_id long, "
+                "event_type string, value double"
+            ),
+            stateStructType=(
+                "epoch long, event_id long, etype string, val double"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

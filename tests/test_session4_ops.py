@@ -401,3 +401,88 @@ def test_robust_outliers_zero_mad_fallback(spark):
     (r,) = robust_outlier_stats(df, "grp", "value").collect()
     assert r.mad == 0.0
     assert r.n_outliers == 2  # fallback: values != median
+
+
+# ------------------------------------------------------------ cdc merge
+
+
+def test_merge_snapshot_upsert_delete_and_stale(spark):
+    from mmkg_rag_spark.operators.cdc import merge_snapshot
+
+    target = spark.createDataFrame(
+        [("a", 5, "va", False), ("b", 5, "vb", False)],
+        ["k", "ver", "val", "del"],
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", 6, "va2", False),   # update wins (newer)
+            ("b", 4, "stale", False), # stale re-delivery loses
+            ("c", 1, "vc", False),    # insert
+            ("d", 2, "vd", True),     # delete of an unseen key: stays gone
+            ("b", 7, None, True),     # tombstone wins: b drops out
+        ],
+        ["k", "ver", "val", "del"],
+    )
+    out = {r.k: (r.ver, r.val) for r in
+           merge_snapshot(target, changes, ["k"], ["ver"],
+                          tombstone_col="del").collect()}
+    assert out == {"a": (6, "va2"), "c": (1, "vc")}
+
+
+def test_merge_snapshot_idempotent_and_associative(spark):
+    from mmkg_rag_spark.operators.cdc import merge_snapshot
+
+    t = spark.createDataFrame([("a", 1, "x")], ["k", "ver", "val"])
+    c1 = spark.createDataFrame([("a", 2, "y"), ("b", 1, "z")], ["k", "ver", "val"])
+    c2 = spark.createDataFrame([("a", 3, "w")], ["k", "ver", "val"])
+
+    def snap(df):
+        return sorted((r.k, r.ver, r.val) for r in df.collect())
+
+    seq = merge_snapshot(merge_snapshot(t, c1, ["k"], ["ver"]), c2, ["k"], ["ver"])
+    one = merge_snapshot(t, c1.unionByName(c2), ["k"], ["ver"])
+    assert snap(seq) == snap(one)
+    # re-delivering c2 changes nothing (idempotent)
+    again = merge_snapshot(seq, c2, ["k"], ["ver"])
+    assert snap(again) == snap(seq)
+
+
+# ------------------------------------------------- yoy / anomaly classes
+
+
+def test_orders_monthly_yoy_identity(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.q_orders_monthly_yoy(spark, SF_DIR).collect()
+    by_month = {r.month: r for r in rows}
+    assert rows
+    for r in rows:
+        y, m = r.month.split("-")
+        prev_key = f"{int(y) - 1}-{m}"
+        if prev_key in by_month:
+            assert r.revenue_prev_year == pytest.approx(
+                by_month[prev_key].revenue
+            ), r.month
+            assert r.yoy_pct == pytest.approx(
+                round((r.revenue - r.revenue_prev_year)
+                      / r.revenue_prev_year * 100, 4), abs=1e-9
+            )
+        else:
+            assert r.revenue_prev_year is None and r.yoy_pct is None
+
+
+def test_events_daily_anomalies_fence(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.q_events_daily_anomalies(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # closed-form mean/std from the 7 preceding days, |z|>3 fence
+        if r.z is not None:
+            assert r.is_anomaly == (abs(r.z) > 3.0)
+            # recomputed from the 6dp-ROUNDED mean/std, so allow that slop
+            assert r.z == pytest.approx(
+                (r.n - r.trailing_mean) / r.trailing_std, abs=1e-4
+            )
+        else:
+            assert r.trailing_std == 0.0 and not r.is_anomaly

@@ -452,3 +452,62 @@ def test_stream_dedup_matches_batch(spark, tmp_path_factory):
     assert len(fps) == len(set(fps))  # no fingerprint emitted twice
     batch_fps = {r.fp for r in exact_duplicates(docs).collect()}
     assert set(fps) == batch_fps  # same distinct-document universe
+
+
+def test_streaming_upsert_matches_batch(spark, tmp_path_factory):
+    """upsert_events changelog, folded to latest-per-key by the consumer,
+    == batch cdc.latest_snapshot over all events — including keys whose
+    latest arrived in an earlier micro-batch (state carry) and stale
+    late rows (older order loses, no spurious emission)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.operators.cdc import latest_snapshot
+    from mmkg_rag_spark.streaming import upsert_events
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("upsert_in"))
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    bounds = events.selectExpr(
+        "percentile(unix_timestamp(ts), 0.5) p1"
+    ).collect()[0]
+    # second slice is the EARLIER half: late/stale arrivals must lose
+    slices = [
+        events.filter(F.unix_timestamp("ts") > bounds.p1),
+        events.filter(F.unix_timestamp("ts") <= bounds.p1),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    q = (
+        upsert_events(spark, in_dir)
+        .writeStream.format("memory")
+        .queryName("upserts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.user_id: (r.epoch, r.event_id, r.event_type, r.value)
+        for r in latest_snapshot(
+            spark.table("upserts"), ["user_id"], ["epoch", "event_id"]
+        ).collect()
+    }
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+
+    want = {
+        r.user_id: (r.epoch, r.event_id, r.event_type, r.value)
+        for r in latest_snapshot(
+            events.select(
+                "user_id", ntz_epoch("ts").alias("epoch"), "event_id",
+                "event_type", "value",
+            ),
+            ["user_id"],
+            ["epoch", "event_id"],
+        ).collect()
+    }
+    assert got == want and len(got) > 0
