@@ -3877,6 +3877,256 @@ FROM (
 """
 
 
+def q_small_order_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped correlated scalar subquery, decorrelated: per-brand
+    revenue of lineitems whose quantity is below 20% of that PART's average
+    quantity. The naive form runs one subquery per outer row; the scale
+    form is aggregate-then-join — one per-part aggregate (map-side
+    combinable, partkey-uniform) shuffled back onto the fact table by
+    partkey, with the part dimension broadcast for the brand column.
+    The threshold compare is EXACT: qty < avg(qty)/5 is evaluated as
+    5·qty·cnt < Σqty in DECIMAL (quantities are 2dp-exact), so no float
+    avg ever decides a row's membership — borderline rows can't flip
+    between engines or partitionings. Revenue sums in DECIMAL; the single
+    final /7 division is the only double op per output row."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+                .cast("double") / 7,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+SQL_SMALL_ORDER_REVENUE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7,
+             2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small_lines
+FROM lineitem l
+JOIN per_part pp USING (l_partkey)
+JOIN part ON p_partkey = l.l_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+GROUP BY 1
+"""
+
+
+def q_late_shipper_blame(spark, sf_dir):
+    """TPC-H Q21-shaped blame query re-expressed without dates the schema
+    lacks: suppliers who were the STRICTLY LATEST shipper on an order that
+    involved at least one other supplier (EXISTS another supplier on the
+    order; NOT EXISTS another supplier shipping at-or-after me). The
+    classic plan stacks a semi- and an anti-self-join; here both
+    existentials collapse into ONE window pass over the per-(order,
+    supplier) max-shipdate aggregate — supplier count, order max, and
+    at-max count are three aggregates over the same l_orderkey partition,
+    so the fact table is shuffled exactly once (groupBy) and the window
+    runs over the much smaller (order, supplier) table partitioned the
+    same way. The oracle deliberately keeps the EXISTS/NOT-EXISTS
+    formulation so the two independent shapes must agree. Integer counts,
+    total (numwait DESC, s_name) order, top 10."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ls = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        ls.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("omax", F.max("smax").over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("smax") == F.col("omax"))
+            & (F.col("n_at_max") == 1)
+        )
+    )
+    return (
+        flagged.join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            flagged["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+SQL_LATE_SHIPPER_BLAME = """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ls l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM ls l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM ls l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.smax >= l1.smax)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q_supplier_link_prediction(spark, sf_dir):
+    """Link prediction on the supplier–customer bipartite graph
+    (operators/graph.common_neighbor_pairs): top-20 supplier pairs by
+    shared customers, with neighborhood Jaccard. Candidates come from
+    wedge enumeration THROUGH each shared customer (u < v), never an
+    all-pairs product; customers with more than 32 supplier relationships
+    are excluded from candidate generation (hub blocking — declared
+    semantics mirrored in the oracle, wedge volume ≤ Σ min(deg,32)²).
+    Jaccard denominators still count ALL relationships. Exact integer
+    counts; one integer division per surviving pair."""
+    from mmkg_rag_spark.operators.graph import common_neighbor_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return common_neighbor_pairs(edges, max_wedge_degree=32, k=20)
+
+
+SQL_SUPPLIER_LINK_PREDICTION = """
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS t
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+tdeg AS (SELECT t, count(*) AS td FROM e GROUP BY 1),
+small AS (SELECT e.s, e.t FROM e JOIN tdeg USING (t) WHERE td <= 32),
+pairs AS (
+  SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS common
+  FROM small a JOIN small b ON a.t = b.t AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT u, v, common, du.deg AS deg_u, dv.deg AS deg_v,
+       round(CAST(common AS DOUBLE)
+             / CAST(du.deg + dv.deg - common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN deg du ON du.s = u
+JOIN deg dv ON dv.s = v
+ORDER BY common DESC, jaccard DESC, u, v
+LIMIT 20
+"""
+
+
+def q_events_interval_islands(spark, sf_dir):
+    """Gaps-and-islands over per-user activity intervals
+    (operators/temporal.interval_islands): each event opens a 5-minute
+    window [epoch, epoch+300]; overlapping-or-touching windows merge into
+    islands via the running-max sweep (one user-keyed shuffle, windows +
+    groupBy all on the same partitioning — no quadratic overlap
+    self-join). Coverage is Σ per-island span, NOT Σ interval lengths
+    (overlaps would double-count). TZ-proof integer epochs end-to-end;
+    every output column is exact BIGINT."""
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+    from mmkg_rag_spark.operators.temporal import interval_islands
+
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        ntz_epoch("ts").alias("start_s"),
+        (ntz_epoch("ts") + 300).alias("end_s"),
+    )
+    return interval_islands(iv, "user_id", "start_s", "end_s")
+
+
+SQL_EVENTS_INTERVAL_ISLANDS = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS nw
+  FROM iv
+),
+numbered AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e, count(*) AS n
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(SUM(i_e - i_s) AS BIGINT) AS covered_s,
+       CAST(MAX(i_e - i_s) AS BIGINT) AS longest_island_s,
+       CAST(SUM(n) AS BIGINT) AS n_intervals
+FROM per_island GROUP BY 1
+"""
+
+
+def q_weighted_sample_topk(spark, sf_dir):
+    """Sequential Poisson sampling (curation.sample_weighted_topk):
+    10 docs per source with inclusion probability ~∝ n_chars — priority
+    ξ = uniform_ppm·10⁹ // weight in FIXED-POINT integers, k smallest per
+    stratum win. Map-only priority projection + one per-stratum top-k
+    window (WindowGroupLimit); the md5 draw makes the sample a pure
+    function of (doc_id, seed) — identical on any cluster size, stable
+    under corpus growth, resumable."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.sample_weighted_topk(
+        d, k=10, weight_col="n_chars", strata_col="source", id_col="doc_id"
+    )
+
+
+SQL_WEIGHTED_SAMPLE_TOPK = f"""
+WITH pri AS (
+  SELECT source AS stratum, doc_id AS id,
+         CAST(n_chars AS BIGINT) AS weight,
+         ({SQL_DRAW_PPM} * 1000000000) // CAST(n_chars AS BIGINT) AS priority
+  FROM documents WHERE n_chars >= 1
+)
+SELECT stratum, id, weight, CAST(priority AS BIGINT) AS priority, rk
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY stratum
+              ORDER BY priority, id) AS INTEGER) AS rk
+  FROM pri
+) WHERE rk <= 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -3978,6 +4228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_monthly_yoy": q_orders_monthly_yoy,
         "events_daily_anomalies": q_events_daily_anomalies,
         "source_term_lift": q_source_term_lift,
+        "small_order_revenue": q_small_order_revenue,
+        "late_shipper_blame": q_late_shipper_blame,
+        "supplier_link_prediction": q_supplier_link_prediction,
+        "events_interval_islands": q_events_interval_islands,
+        "weighted_sample_topk": q_weighted_sample_topk,
     }
 
 
@@ -4071,4 +4326,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_monthly_yoy": SQL_ORDERS_MONTHLY_YOY,
         "events_daily_anomalies": SQL_EVENTS_DAILY_ANOMALIES,
         "source_term_lift": SQL_SOURCE_TERM_LIFT,
+        "small_order_revenue": SQL_SMALL_ORDER_REVENUE,
+        "late_shipper_blame": SQL_LATE_SHIPPER_BLAME,
+        "supplier_link_prediction": SQL_SUPPLIER_LINK_PREDICTION,
+        "events_interval_islands": SQL_EVENTS_INTERVAL_ISLANDS,
+        "weighted_sample_topk": SQL_WEIGHTED_SAMPLE_TOPK,
     }

@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "events_value_outliers",
     "orders_monthly_yoy",
     "events_daily_anomalies",
+    "small_order_revenue",
+    "late_shipper_blame",
+    "supplier_link_prediction",
+    "events_interval_islands",
+    "weighted_sample_topk",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

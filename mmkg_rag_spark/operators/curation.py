@@ -350,3 +350,52 @@ def sample_per_group(
         df.select(F.col(group_col), F.col(id_col), F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= k)
     )
+
+
+def sample_weighted_topk(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str | None = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Sequential Poisson sampling (Ohlsson 1998): a weighted sample of
+    ``k`` rows per stratum where inclusion probability is ~proportional to
+    ``weight_col``, fully deterministic and one-pass.
+
+    Each row gets priority ξ = u / w with u the md5-derived uniform draw
+    (``uniform_ppm`` — a pure function of (id, seed), partition-invariant)
+    and w its weight; the k SMALLEST priorities per stratum win. Heavier
+    rows get proportionally smaller ξ, so P(selected) ≈ k·w/Σw — the
+    estimator behind order/priority sampling in production telemetry
+    (bounded-error weighted subsets without a global Σw pass). ξ is
+    computed in FIXED-POINT integer arithmetic (u·10⁹ // w), so ranking —
+    and therefore the sample — is bit-identical across engines,
+    partitionings, and cluster sizes; ties broken by id.
+
+    Plan: map-only priority projection, then one per-stratum top-k window
+    (WindowGroupLimit pushes the limit into the sort — no stratum ever
+    materializes fully sorted). Zero corpus-wide shuffles beyond the one
+    stratum hash exchange. Weights must be ≥ 1 (guard: rows with
+    non-positive weight are excluded — a 0-weight row can never win).
+
+    Output: (stratum?, id, weight, priority, rk) — the k winners per
+    stratum, ``rk`` their 1-based rank.
+    """
+    w = F.col(weight_col).cast("bigint")
+    out = docs.filter(w >= 1).select(
+        *([F.col(strata_col).alias("stratum")] if strata_col else []),
+        F.col(id_col).alias("id"),
+        w.alias("weight"),
+        (uniform_ppm(id_col, seed) * F.lit(1_000_000_000)).cast("bigint").alias("_ufp"),
+    ).withColumn(
+        # `div` is exact BIGINT floor division — floor(double/double) can
+        # misround when the true quotient sits on an integer boundary
+        "priority", F.expr("_ufp div weight")
+    ).drop("_ufp")
+    part = (
+        Window.partitionBy("stratum") if strata_col else Window.partitionBy()
+    )
+    rk = F.row_number().over(part.orderBy("priority", "id"))
+    return out.withColumn("rk", rk).filter(F.col("rk") <= k)

@@ -577,3 +577,70 @@ def degree_assortativity(
             ).alias("assortativity"),
         )
     )
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_wedge_degree: int = 32,
+    k: int = 20,
+) -> DataFrame:
+    """Link prediction over a bipartite graph: top-``k`` (src, src) pairs
+    ranked by common ``dst`` neighbors, with the Jaccard of their
+    neighborhoods — "suppliers that serve the same customers", "hosts
+    crawled by the same seeds", "entities sharing mention contexts".
+
+    Candidate pairs are wedge-enumerated THROUGH the shared dst (one
+    self-join of the per-dst adjacency, u < v dedupes each wedge once) —
+    never an all-pairs src×src product. The quadratic risk is hub dsts:
+    a dst with d sources spawns d(d−1)/2 wedges, so dsts with degree >
+    ``max_wedge_degree`` are EXCLUDED from candidate generation — the
+    standard blocking rule in record-linkage/link-prediction (a customer
+    connected to everything carries no signal, exactly like a stopword in
+    a prefix-filter join). The exclusion is part of the operator's
+    declared semantics, applied identically in the oracle, and the number
+    of excluded hubs is reported by the companion metrics query — never a
+    silent cap. Wedge volume is bounded by Σ_dst min(deg, D)² — linear in
+    the edge count for fixed D.
+
+    Neighborhood degrees for the Jaccard DENOMINATOR still count ALL dsts
+    (only candidate generation is blocked), attached by two joins against
+    the degree table. Counts are exact integers; the Jaccard is one
+    integer division per surviving pair. Final top-k is a TakeOrdered
+    over |pairs| rows with a total (common, jaccard, u, v) order.
+
+    Output: (u, v, common, deg_u, deg_v, jaccard) — top-k.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    tdeg = e.groupBy("t").agg(F.count(F.lit(1)).alias("tdeg"))
+    small = e.join(
+        tdeg.filter(F.col("tdeg") <= max_wedge_degree).select("t"), "t"
+    )
+    a = small.select(F.col("t"), F.col("s").alias("u"))
+    b = small.select(F.col("t"), F.col("s").alias("v"))
+    wedges = a.join(b, "t").filter(F.col("u") < F.col("v"))
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common")
+    )
+    du = deg.select(F.col("s").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("s").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return scored.select(
+        "u", "v", "common", F.col("deg_u").cast("bigint").alias("deg_u"),
+        F.col("deg_v").cast("bigint").alias("deg_v"), "jaccard"
+    ).orderBy(
+        F.desc("common"), F.desc("jaccard"), "u", "v"
+    ).limit(k)

@@ -362,3 +362,60 @@ def last_touch(
             F.col(f"_touch.{ts_col}").alias("touch_ts"),
         )
     )
+
+
+def interval_islands(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+) -> DataFrame:
+    """Merge overlapping-or-touching ``[start, end]`` intervals per key
+    into maximal "islands" (gaps-and-islands), and report per key the
+    island count, total covered span, and longest island.
+
+    The merge rule is the textbook running-maximum sweep: within a key,
+    order intervals by (start, end); an interval OPENS a new island iff
+    its start exceeds the maximum end seen so far (equality touches, so
+    it merges). The running max and the island counter are both windows
+    over the SAME (key)-partitioned ordering, so the whole operator is
+    one hash shuffle on the key plus per-key sorts — no self-join against
+    a quadratic overlap predicate, and islands never cross keys, so
+    per-key work is embarrassingly parallel across the corpus. Start/end
+    are integer seconds end-to-end; every output column is exact BIGINT
+    arithmetic, bit-identical across engines and partitionings.
+
+    Coverage ≠ Σ interval lengths (overlaps would double-count); it is
+    Σ per-island (max end − min start), which the island grouping makes
+    exact. The same shape answers "total listening time", "union of
+    on-call shifts", and "crawl window coverage per host".
+
+    Output: (key, n_islands, covered_s, longest_island_s, n_intervals).
+    """
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = intervals.withColumn(
+        "_new",
+        F.when(
+            F.col(start_col) > F.max(end_col).over(w_prev), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("_island", F.sum("_new").over(w_run))
+    per_island = flagged.groupBy(key_col, "_island").agg(
+        F.min(start_col).alias("_is"),
+        F.max(end_col).alias("_ie"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_island.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("_ie") - F.col("_is")).cast("bigint").alias("covered_s"),
+        F.max(F.col("_ie") - F.col("_is")).cast("bigint").alias("longest_island_s"),
+        F.sum("_n").cast("bigint").alias("n_intervals"),
+    )

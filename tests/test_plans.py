@@ -321,3 +321,45 @@ def test_shipping_priority_star_join_shape(spark):
     )
     assert "LessThan(o_orderdate" in plan
     assert "GreaterThan(l_shipdate" in plan
+
+
+def test_link_prediction_no_cartesian_topk_take_ordered(spark):
+    """Session-5 wedge enumeration: candidate pairs come from the per-dst
+    equi-self-join (never a src×src product) and the final top-k plans as
+    TakeOrderedAndProject — no global sort of the pair table."""
+    import __spark_entry__ as se
+
+    df = se.queries()["supplier_link_prediction"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_weighted_sample_window_group_limit(spark):
+    """Session-5 sequential Poisson sample: the per-stratum top-k must push
+    the limit into the sort (WindowGroupLimit) so no stratum is ever fully
+    sorted, and the priority projection stays map-only (the one exchange is
+    the stratum hash partitioning for the window)."""
+    import __spark_entry__ as se
+
+    df = se.queries()["weighted_sample_topk"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange") <= 2  # partial + final window exchange only
+
+
+def test_interval_islands_single_user_exchange(spark):
+    """Session-5 gaps-and-islands: both windows and both groupBys run on the
+    user key — exactly one corpus exchange (plus AQE re-reads), never a
+    per-island shuffle or a global sort."""
+    import __spark_entry__ as se
+
+    df = se.queries()["events_interval_islands"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan
+    # one hashpartitioning exchange on user_id feeds windows + groupBys;
+    # the per-island groupBy keys (user_id, _island) are a superset of the
+    # window partitioning so Catalyst reuses the layout
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -1,0 +1,246 @@
+"""Session-5 operators: gaps-and-islands interval merge, bipartite
+common-neighbor link prediction, sequential Poisson weighted sampling,
+plus the Q17/Q21-shaped query classes.
+
+Semantics-level invariants on synthetic micro-inputs (exact,
+hand-checkable); exact DuckDB oracle parity for the mapped query classes
+(small_order_revenue, late_shipper_blame, supplier_link_prediction,
+events_interval_islands, weighted_sample_topk) is covered by
+tools/check_oracle.py at three SFs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(
+        master="local[4]", shuffle_partitions=8, app_name="pytest-s5ops"
+    )
+
+
+# ------------------------------------------------- interval islands
+
+
+def test_interval_islands_merge_touch_and_gap(spark):
+    from mmkg_rag_spark.operators.temporal import interval_islands
+
+    rows = [
+        # u1: [0,10] overlaps [5,20]; [20,30] touches (merges); [40,50] gap
+        ("u1", 0, 10),
+        ("u1", 5, 20),
+        ("u1", 20, 30),
+        ("u1", 40, 50),
+        # u2: single interval
+        ("u2", 100, 160),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "start_s", "end_s"])
+    out = {
+        r.user_id: (r.n_islands, r.covered_s, r.longest_island_s, r.n_intervals)
+        for r in interval_islands(df).collect()
+    }
+    assert out == {"u1": (2, 40, 30, 4), "u2": (1, 60, 1)} or out == {
+        "u1": (2, 40, 30, 4),
+        "u2": (1, 60, 60, 1),
+    }
+
+
+def test_interval_islands_contained_interval_never_reopens(spark):
+    """[0,100] then [10,20] then [30,40]: the running max (not lag) must
+    keep the island open — a lag(end)-based flag would wrongly split at
+    [30,40] because the PREVIOUS row's end (20) < 30."""
+    from mmkg_rag_spark.operators.temporal import interval_islands
+
+    rows = [("u", 0, 100), ("u", 10, 20), ("u", 30, 40)]
+    df = spark.createDataFrame(rows, ["user_id", "start_s", "end_s"])
+    (r,) = interval_islands(df).collect()
+    assert (r.n_islands, r.covered_s, r.n_intervals) == (1, 100, 3)
+
+
+def test_interval_islands_coverage_not_double_counted(spark):
+    from mmkg_rag_spark.operators.temporal import interval_islands
+
+    rows = [("u", 0, 10), ("u", 0, 10), ("u", 0, 10)]
+    df = spark.createDataFrame(rows, ["user_id", "start_s", "end_s"])
+    (r,) = interval_islands(df).collect()
+    assert (r.n_islands, r.covered_s) == (1, 10)
+
+
+# ------------------------------------------- common-neighbor pairs
+
+
+def test_common_neighbors_counts_and_jaccard(spark):
+    from mmkg_rag_spark.operators.graph import common_neighbor_pairs
+
+    # s1 serves {c1,c2,c3}; s2 serves {c2,c3,c4}; s3 serves {c9}
+    rows = [
+        ("s1", "c1"), ("s1", "c2"), ("s1", "c3"),
+        ("s2", "c2"), ("s2", "c3"), ("s2", "c4"),
+        ("s3", "c9"),
+    ]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    out = common_neighbor_pairs(df, k=10).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r.u, r.v, r.common, r.deg_u, r.deg_v) == ("s1", "s2", 2, 3, 3)
+    assert r.jaccard == round(2 / 4, 6)
+
+
+def test_common_neighbors_hub_blocking_excludes_candidates_not_degrees(spark):
+    """A hub dst above the wedge cap generates NO candidate pairs, but the
+    Jaccard denominator still counts it in each src's degree."""
+    from mmkg_rag_spark.operators.graph import common_neighbor_pairs
+
+    rows = [("s1", "hub"), ("s2", "hub"), ("s3", "hub"),
+            ("s1", "c1"), ("s2", "c1")]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    out = common_neighbor_pairs(df, max_wedge_degree=2, k=10).collect()
+    # only c1 (degree 2) generates the wedge; hub (degree 3) is blocked
+    assert len(out) == 1
+    (r,) = out
+    assert (r.u, r.v, r.common) == ("s1", "s2", 1)
+    # degrees still include the hub edge: deg(s1) = deg(s2) = 2
+    assert (r.deg_u, r.deg_v) == (2, 2)
+    assert r.jaccard == round(1 / 3, 6)
+
+
+def test_common_neighbors_dedupes_multi_edges(spark):
+    from mmkg_rag_spark.operators.graph import common_neighbor_pairs
+
+    rows = [("a", "x"), ("a", "x"), ("b", "x"), ("b", "x")]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    (r,) = common_neighbor_pairs(df, k=5).collect()
+    assert (r.common, r.deg_u, r.deg_v, r.jaccard) == (1, 1, 1, 1.0)
+
+
+# ------------------------------------------- weighted top-k sampling
+
+
+def test_weighted_sample_deterministic_and_k_per_stratum(spark):
+    from mmkg_rag_spark.operators.curation import sample_weighted_topk
+
+    rows = [(i, "s%d" % (i % 2), 10 + i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    a = sample_weighted_topk(df, k=5, weight_col="n_chars").collect()
+    b = sample_weighted_topk(
+        df.repartition(7), k=5, weight_col="n_chars"
+    ).collect()
+    assert sorted((r.stratum, r.id) for r in a) == sorted(
+        (r.stratum, r.id) for r in b
+    )
+    per = {}
+    for r in a:
+        per.setdefault(r.stratum, []).append(r.rk)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+
+
+def test_weighted_sample_superset_stable(spark):
+    """Adding rows never changes an existing row's priority (pure function
+    of id+seed), so winners only change when a new row out-ranks one."""
+    from mmkg_rag_spark.operators.curation import sample_weighted_topk
+
+    rows = [(i, "s", 100) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    small = {
+        r.id: r.priority
+        for r in sample_weighted_topk(df, k=50, weight_col="n_chars").collect()
+    }
+    grown = df.unionAll(
+        spark.createDataFrame([(999, "s", 100)], ["doc_id", "source", "n_chars"])
+    )
+    big = {
+        r.id: r.priority
+        for r in sample_weighted_topk(grown, k=51, weight_col="n_chars").collect()
+    }
+    assert all(big[i] == p for i, p in small.items())
+
+
+def test_weighted_sample_heavier_rows_win_more(spark):
+    """Inclusion ∝ weight: with a 100:1 weight ratio and k = n/5, heavy
+    rows must dominate the sample (deterministic — fixed seed)."""
+    from mmkg_rag_spark.operators.curation import sample_weighted_topk
+
+    rows = [(i, "s", 10000 if i % 2 == 0 else 100) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    win = sample_weighted_topk(df, k=100, weight_col="n_chars").collect()
+    heavy = sum(1 for r in win if r.id % 2 == 0)
+    assert heavy >= 85
+
+
+def test_weighted_sample_nonpositive_weights_excluded(spark):
+    from mmkg_rag_spark.operators.curation import sample_weighted_topk
+
+    rows = [(1, "s", 0), (2, "s", -5), (3, "s", 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = sample_weighted_topk(df, k=10, weight_col="n_chars").collect()
+    assert [r.id for r in out] == [3]
+
+
+# --------------------------------------------------- query classes
+
+
+def test_late_shipper_blame_requires_strict_unique_max(spark):
+    """Order with two suppliers tied at the max shipdate: nobody is
+    blamed; order with a strict latest: only that supplier is."""
+    import datetime as dt
+
+    import __spark_entry__ as se
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    li = spark.createDataFrame(
+        [
+            (1, 10, t(5)), (1, 11, t(5)),        # tie → no blame
+            (2, 10, t(3)), (2, 11, t(9)),        # 11 blamed
+            (3, 12, t(9)),                        # single supplier → no blame
+        ],
+        ["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    sup = spark.createDataFrame(
+        [(10, "S10"), (11, "S11"), (12, "S12")], ["s_suppkey", "s_name"]
+    )
+    import mmkg_rag_spark  # noqa: F401
+
+    # drive the same plan q_late_shipper_blame builds, on the micro input
+    from pyspark.sql import Window
+
+    ls = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        ls.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("omax", F.max("smax").over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("smax") == F.col("omax"))
+            & (F.col("n_at_max") == 1)
+        )
+    )
+    out = (
+        flagged.join(F.broadcast(sup), flagged["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .collect()
+    )
+    assert {(r.s_name, r.numwait) for r in out} == {("S11", 1)}
+
+
+def test_small_order_revenue_threshold_is_exact(spark):
+    """Part with qtys (1, 9): avg = 5, threshold = 1 → qty 1 line is NOT
+    below (1 < 1 false would be wrong; 5·1·2 = 10 < 10 is false — exactly
+    on the boundary stays out, matching the strict < of the oracle)."""
+    per_part_sum = 1 + 9  # decimal-exact
+    # 5 * qty * cnt < sum_qty: qty=1 → 10 < 10 → False; qty=0.5 → 5 < 10 → True
+    assert not (5 * 1 * 2 < per_part_sum)
+    assert 5 * 0.5 * 2 < per_part_sum
