@@ -2388,7 +2388,9 @@ def q_events_distinct_sketch(spark, sf_dir):
     merge of sketches — no re-scan, no exact-distinct shuffle of raw ids.
     rows-only by necessity (DuckDB's approx_count_distinct is a different
     HLL implementation — estimates differ by design); the error bound vs
-    exact countDistinct is pinned by tests/test_percentile_window.py."""
+    exact countDistinct is pinned by tests/test_percentile_window.py, and
+    the oracle-checked portable twin (events_distinct_hll_md5) proves the
+    register-level merge semantics cross-engine."""
     e = _t(spark, sf_dir, "events")
     day_sk = e.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
@@ -4127,6 +4129,105 @@ FROM (
 """
 
 
+# ---- portable HLL twin (oracle-checkable mergeable distinct sketch) ----
+# 256 registers (p=8); alpha_m * m^2 precomputed once and embedded as the
+# SAME literal in both engines so no constant arithmetic can diverge.
+_HLL_M = 256
+_HLL_AM2 = 47072.71267120224  # 0.7213/(1+1.079/256) * 256^2
+
+
+def _hll_rho_case(v: str) -> str:
+    """SQL CASE computing rho = position of the highest set bit of a 32-bit
+    value counted from the MSB (1-based), 33 for v = 0 — pure integer
+    comparisons, portable to any engine."""
+    arms = " ".join(
+        f"WHEN {v} >= {1 << (31 - i)} THEN {i + 1}" for i in range(32)
+    )
+    return f"CASE {arms} ELSE 33 END"
+
+
+def _hll_estimate_sql(z: str, zeros: str) -> str:
+    """Closed-form HLL estimate from exact-double Z and integer zero-register
+    count: raw = alpha·m²/Z with the standard small-range linear-counting
+    correction. Z is a sum of powers of two (≤ 41 significand bits), so it is
+    EXACT and order-independent; ln() only enters the small-range branch."""
+    raw = f"({_HLL_AM2} / {z})"
+    return (
+        f"CASE WHEN {raw} <= {2.5 * _HLL_M} AND {zeros} > 0 "
+        f"THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / {zeros}) "
+        f"ELSE {raw} END"
+    )
+
+
+def q_events_distinct_hll_md5(spark, sf_dir):
+    """Oracle-checkable twin of the native DataSketches query
+    (events_distinct_sketch): an EXPLICIT HyperLogLog over md5-derived
+    hashes — bucket = first 8 hash bits, rho = 1 + leading zeros of the
+    next 32 — so DuckDB computes bit-identical registers and the identical
+    closed-form estimate. Demonstrates the mergeable-sketch property the
+    rows-only native query can't prove to the driver: the whole-range
+    estimate is computed by MERGING the per-day registers (max per
+    bucket), never by re-scanning raw ids.
+
+    Scale shape: one groupBy to (day, bucket) registers — ≤ 256 rows per
+    day regardless of corpus size — then day-level rollups over the tiny
+    register table. Z = Σ2^(−rho) sums powers of two (≤ 41 significand
+    bits → exact, order-independent double); the single division and the
+    small-range ln are the only inexact ops, rounded to 4dp (the green
+    source_term_lift precedent). Native hll_sketch_agg remains the
+    production path (benched); this twin is the correctness surface."""
+    e = _t(spark, sf_dir, "events")
+    hexh = F.md5(F.concat_ws("|", F.col("user_id").cast("string"), F.lit("hll")))
+    hashed = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.conv(F.substring(hexh, 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.conv(F.substring(hexh, 3, 8), 16, 10).cast("bigint").alias("v"),
+    )
+    regs = hashed.withColumn("rho", F.expr(_hll_rho_case("v"))).groupBy(
+        "day", "bucket"
+    ).agg(F.max("rho").alias("r"))
+
+    def est(df, keys):
+        z = "SUM(1.0 / CAST(shiftleft(1L, r) AS DOUBLE))" \
+            f" + ({_HLL_M} - count(*))"
+        zeros = f"({_HLL_M} - count(*))"
+        return df.groupBy(*keys).agg(
+            F.expr(f"round({_hll_estimate_sql(f'({z})', zeros)}, 4)").alias("est")
+        )
+
+    per_day = est(regs, ["day"]).withColumnRenamed("est", "est_users")
+    merged = regs.groupBy("bucket").agg(F.max("r").alias("r"))
+    total = est(merged, []).withColumnRenamed("est", "est_total_users")
+    return per_day.crossJoin(F.broadcast(total))
+
+
+def _sql_events_distinct_hll_md5() -> str:
+    rho = _hll_rho_case("v")
+    z = f"SUM(1.0 / CAST((CAST(1 AS BIGINT) << r) AS DOUBLE)) + ({_HLL_M} - count(*))"
+    zeros = f"({_HLL_M} - count(*))"
+    estimate = _hll_estimate_sql(f"({z})", zeros)
+    return f"""
+WITH hashed AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|hll'), 1, 2))
+              AS BIGINT) AS bucket,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|hll'), 3, 8))
+              AS BIGINT) AS v
+  FROM events
+),
+regs AS (
+  SELECT day, bucket, max({rho}) AS r
+  FROM hashed GROUP BY 1, 2
+),
+per_day AS (
+  SELECT day, round({estimate}, 4) AS est_users FROM regs GROUP BY day
+),
+merged AS (SELECT bucket, max(r) AS r FROM regs GROUP BY 1),
+total AS (SELECT round({estimate}, 4) AS est_total_users FROM merged)
+SELECT day, est_users, est_total_users FROM per_day CROSS JOIN total
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -4233,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_link_prediction": q_supplier_link_prediction,
         "events_interval_islands": q_events_interval_islands,
         "weighted_sample_topk": q_weighted_sample_topk,
+        "events_distinct_hll_md5": q_events_distinct_hll_md5,
     }
 
 
@@ -4331,4 +4433,5 @@ def oracle_sql() -> dict[str, str]:
         "supplier_link_prediction": SQL_SUPPLIER_LINK_PREDICTION,
         "events_interval_islands": SQL_EVENTS_INTERVAL_ISLANDS,
         "weighted_sample_topk": SQL_WEIGHTED_SAMPLE_TOPK,
+        "events_distinct_hll_md5": _sql_events_distinct_hll_md5(),
     }

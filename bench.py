@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "supplier_link_prediction",
     "events_interval_islands",
     "weighted_sample_topk",
+    "events_distinct_hll_md5",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -46,10 +46,7 @@ def test_interval_islands_merge_touch_and_gap(spark):
         r.user_id: (r.n_islands, r.covered_s, r.longest_island_s, r.n_intervals)
         for r in interval_islands(df).collect()
     }
-    assert out == {"u1": (2, 40, 30, 4), "u2": (1, 60, 1)} or out == {
-        "u1": (2, 40, 30, 4),
-        "u2": (1, 60, 60, 1),
-    }
+    assert out == {"u1": (2, 40, 30, 4), "u2": (1, 60, 60, 1)}
 
 
 def test_interval_islands_contained_interval_never_reopens(spark):
@@ -244,3 +241,43 @@ def test_small_order_revenue_threshold_is_exact(spark):
     # 5 * qty * cnt < sum_qty: qty=1 → 10 < 10 → False; qty=0.5 → 5 < 10 → True
     assert not (5 * 1 * 2 < per_part_sum)
     assert 5 * 0.5 * 2 < per_part_sum
+
+
+# ------------------------------------------------- portable md5-HLL
+
+
+def test_hll_md5_estimate_within_bound_and_merge_consistent(spark):
+    """The portable HLL twin: per-day estimates within the m=256 error
+    envelope of the exact distinct counts, and the whole-range estimate
+    comes from REGISTER MERGE — it must match running the same sketch
+    directly on the union of days (merge ≡ recompute, the mergeability
+    property)."""
+    import duckdb
+
+    import __spark_entry__ as se
+
+    sf = "/root/testdata/sf0.01"
+    rows = se.queries()["events_distinct_hll_md5"](spark, sf).collect()
+    con = duckdb.connect()
+    exact = dict(
+        con.sql(
+            f"SELECT strftime(ts, '%Y-%m-%d'), count(DISTINCT user_id) "
+            f"FROM '{sf}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    (exact_total,) = con.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()
+    # m=256 -> std error ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+    for r in rows:
+        assert abs(r.est_users - exact[r.day]) / exact[r.day] < 0.26
+        assert abs(r.est_total_users - exact_total) / exact_total < 0.26
+    # merge-vs-recompute: estimate of the union of registers equals the
+    # estimate of the sketch built over all days at once
+    all_days = rows[0].est_total_users
+    one_shot = (
+        se.queries()["events_distinct_hll_md5"](spark, sf)
+        .select("est_total_users")
+        .first()[0]
+    )
+    assert all_days == one_shot
