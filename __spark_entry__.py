@@ -4228,6 +4228,107 @@ SELECT day, est_users, est_total_users FROM per_day CROSS JOIN total
 """
 
 
+def q_cust_order_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped distribution query: how many customers placed
+    exactly k (non-urgent) orders, INCLUDING k=0 — the zero bucket is the
+    whole point, so the join must be outer-preserving. Scale shape:
+    aggregate the fact table FIRST (orders → per-custkey counts, map-side
+    combinable, one shuffle on o_custkey), then LEFT-join the customer
+    dimension onto the pre-shrunk counts — never join raw orders to
+    customer. The second aggregate groups on the count itself (at most
+    |max orders per customer| + 1 rows), so it collapses to a tiny
+    hash aggregate regardless of corpus size."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_CUST_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+)
+SELECT COALESCE(n, 0) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+_PROSPECT_CCS = ("13", "31", "23", "29", "30", "18", "17")
+
+
+def q_cust_prospects(spark, sf_dir):
+    """TPC-H Q22-shaped prospect query: customers in a set of "country
+    code" groups (last-two-digit slice of c_name — the schema has no
+    phone column) whose balance exceeds the positive-balance average of
+    that candidate pool and who never placed an URGENT order (every
+    synthetic customer has some order, so the classic "no orders at all"
+    predicate would be vacuously empty — the anti-join shape is what the
+    class exercises), grouped by code.
+    Scale shape: the global average is a 1-row broadcast scalar (never a
+    correlated subquery), the no-orders predicate is a LEFT ANTI join on
+    o_custkey (one shuffle of the pre-filtered candidate slice, not the
+    dimension), and the threshold compare is EXACT — bal·n_bal > Σbal in
+    DECIMAL, so no double average ever decides a borderline row's
+    membership across engines or partitionings."""
+    cc = F.substring("c_name", 17, 2)
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    cands = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("cc", cc)
+        .filter(F.col("cc").isin(*_PROSPECT_CCS))
+        .select("cc", "c_custkey", bal.alias("bal"))
+    )
+    stats = cands.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("sum_bal"), F.count(F.lit(1)).alias("n_bal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cands.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal") * F.col("n_bal") > F.col("sum_bal"))
+        .join(o, cands["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("cc")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal").cast("double"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_CUST_PROSPECTS = f"""
+WITH cands AS (
+  SELECT substring(c_name, 17, 2) AS cc, c_custkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+  WHERE substring(c_name, 17, 2) IN {_PROSPECT_CCS!r}
+),
+stats AS (
+  SELECT SUM(bal) AS sum_bal, CAST(count(*) AS BIGINT) AS n_bal
+  FROM cands WHERE bal > 0
+)
+SELECT cc, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(SUM(bal) AS DOUBLE), 2) AS totacctbal
+FROM cands CROSS JOIN stats
+WHERE bal * n_bal > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderpriority = '1-URGENT'
+                    AND o_custkey = cands.c_custkey)
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -4335,6 +4436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_islands": q_events_interval_islands,
         "weighted_sample_topk": q_weighted_sample_topk,
         "events_distinct_hll_md5": q_events_distinct_hll_md5,
+        "cust_order_distribution": q_cust_order_distribution,
+        "cust_prospects": q_cust_prospects,
     }
 
 
@@ -4434,4 +4537,6 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_islands": SQL_EVENTS_INTERVAL_ISLANDS,
         "weighted_sample_topk": SQL_WEIGHTED_SAMPLE_TOPK,
         "events_distinct_hll_md5": _sql_events_distinct_hll_md5(),
+        "cust_order_distribution": SQL_CUST_ORDER_DISTRIBUTION,
+        "cust_prospects": SQL_CUST_PROSPECTS,
     }

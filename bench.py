@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "events_interval_islands",
     "weighted_sample_topk",
     "events_distinct_hll_md5",
+    "cust_order_distribution",
+    "cust_prospects",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the
