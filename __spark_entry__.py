@@ -4329,6 +4329,248 @@ GROUP BY 1
 """
 
 
+SNB_WINDOW = 4
+
+
+def q_snb_candidate_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernandez–Stolfo) — the classic
+    alternative to LSH banding for ER candidate generation (the D1
+    canonicalizer family; reference entity merge
+    /root/reference/src/mmkg_rag/index/merge.py): sort the DISTINCT name
+    dictionary, pair each name with its next SNB_WINDOW-1 neighbors in
+    sort order, keep pairs whose word-set Jaccard ≥ 1/3 (integer
+    cross-multiply — no float ever decides membership). Scale shape: the
+    DICTIONARY sorts, never the corpus, via the two-phase exact global
+    rank (functions/ranks.py — one PARALLEL range shuffle, no Exchange
+    SinglePartition), and the window pairing is an EQUI-join on rank
+    after exploding offsets 1..W-1 — candidate volume is exactly
+    (W-1)·n, data-independent, the property that makes SNB robust where
+    a skewed blocking key blows up bucket joins."""
+    from mmkg_rag_spark.functions.ranks import global_row_numbers
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    # the test dictionaries are ≤100 names: 8 range partitions keep the
+    # two-phase rank's per-partition worker spin-up proportionate (32
+    # near-empty mapInPandas partitions cost ~3 s of pure startup); at
+    # corpus scale pass defaultParallelism — the knob, not the algorithm
+    ranked = global_row_numbers(names, ["p_name"], num_partitions=8).select(
+        "p_name", "rank"
+    )
+    probes = ranked.withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(SNB_WINDOW - 1)))
+    ).select(
+        F.col("p_name").alias("name_a"),
+        (F.col("rank") + F.col("d")).alias("rank_b"),
+    )
+    right = ranked.select(
+        F.col("p_name").alias("name_b"), F.col("rank").alias("rank_b")
+    )
+    toks_a = F.array_distinct(F.split("name_a", " "))
+    toks_b = F.array_distinct(F.split("name_b", " "))
+    inter = F.size(F.array_intersect(toks_a, toks_b)).cast("long")
+    uni = (F.size(toks_a) + F.size(toks_b)).cast("long") - inter
+    return (
+        probes.join(right, "rank_b")
+        .select(
+            "name_a",
+            "name_b",
+            inter.alias("n_common"),
+            uni.alias("n_union"),
+        )
+        .filter(F.col("n_common") * 3 >= F.col("n_union"))
+    )
+
+
+SQL_SNB_CANDIDATE_PAIRS = f"""
+WITH ranked AS (
+  SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS r
+  FROM (SELECT DISTINCT p_name FROM part)
+),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         len(list_intersect(list_distinct(string_split(a.p_name, ' ')),
+                            list_distinct(string_split(b.p_name, ' ')))) AS i,
+         len(list_distinct(string_split(a.p_name, ' ')))
+           + len(list_distinct(string_split(b.p_name, ' '))) AS s
+  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND {SNB_WINDOW - 1}
+)
+SELECT name_a, name_b, CAST(i AS BIGINT) AS n_common,
+       CAST(s - i AS BIGINT) AS n_union
+FROM pairs WHERE 3 * i >= s - i
+"""
+
+
+def q_events_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average (TWAP) of an irregularly-sampled
+    value stream — the canonical sensor/price rollup where a plain AVG
+    over-weights bursts. Each value holds until the next event: weight =
+    seconds to the next event (lead over the TZ-proof integer epoch with
+    event_id tiebreak; the last event carries no interval). The
+    numerator is EXACT — DECIMAL(18,2) value × BIGINT seconds summed as
+    decimal, so no order-dependent double accumulation; only the final
+    division is float, on identical inputs both engines. One user-keyed
+    shuffle shared by the window and the groupBy."""
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+
+    e = _t(spark, sf_dir, "events").withColumn("ep", ntz_epoch("ts"))
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    d = (
+        e.withColumn("ep2", F.lead("ep").over(w))
+        .filter(F.col("ep2").isNotNull())
+        .withColumn("dt", F.col("ep2") - F.col("ep"))
+        .withColumn("v", F.col("value").cast("decimal(18,2)"))
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt").alias("span_sec"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt")).cast("double") / F.sum("dt"), 6
+        ).alias("twap"),
+    )
+
+
+SQL_EVENTS_TWAP = """
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+           (PARTITION BY user_id
+            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS ep2,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(ep2 - ep) AS BIGINT) AS span_sec,
+       round(CAST(SUM(v * (ep2 - ep)) AS DOUBLE) / SUM(ep2 - ep), 6) AS twap
+FROM d WHERE ep2 IS NOT NULL
+GROUP BY 1
+"""
+
+
+QTY_THRESHOLD = 300
+
+
+def q_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    quantity exceeds a threshold, joined back to orders + customer. Scale
+    shape: aggregate the FACT table first — one shuffle on l_orderkey
+    with map-side partial sums — then HAVING-filter to the tiny
+    heavy-order set and BROADCAST it into orders; the customer join runs
+    on the already-filtered rows, so raw lineitem never joins a
+    dimension. Quantities sum as DECIMAL so the threshold compare and
+    the emitted total are exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qd"))
+        .filter(F.col("qd") > QTY_THRESHOLD)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round(F.col("qd").cast("double"), 2).alias("total_qty"),
+        )
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qd
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {QTY_THRESHOLD}
+)
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(CAST(qd AS DOUBLE), 2) AS total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+_FK_RELATIONS = [
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer.c_custkey",
+     "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def q_ref_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit over every FK edge of the star schema —
+    the data-quality gate a pipeline runs BEFORE joining 100 TB of facts
+    (a silent orphan key means silent row loss in every inner join
+    downstream). Per relation: distinct FK keys, orphan keys (FK values
+    with no dimension row) and unused dimension keys, all from ONE
+    full-outer join of the two DISTINCT key sets — the fact side
+    collapses to distinct keys first (map-side combinable), so the join
+    is keys-vs-keys, never rows-vs-rows. The union output is
+    |relations| rows."""
+    out = None
+    for rel, ftab, fk, dtab, pk in _FK_RELATIONS:
+        fkeys = (
+            _t(spark, sf_dir, ftab)
+            .select(F.col(fk).cast("long").alias("k"))
+            .distinct()
+            .withColumn("f", F.lit(1))
+        )
+        pkeys = (
+            _t(spark, sf_dir, dtab)
+            .select(F.col(pk).cast("long").alias("k"))
+            .distinct()
+            .withColumn("p", F.lit(1))
+        )
+        row = (
+            fkeys.join(pkeys, "k", "full_outer")
+            .agg(
+                F.count("f").alias("n_fk_keys"),
+                F.count(F.when(F.col("p").isNull(), 1)).alias("orphan_keys"),
+                F.count(F.when(F.col("f").isNull(), 1)).alias("unused_keys"),
+            )
+            .select(
+                F.lit(rel).alias("relation"),
+                "n_fk_keys",
+                "orphan_keys",
+                "unused_keys",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _sql_ref_integrity() -> str:
+    parts = []
+    for rel, ftab, fk, dtab, pk in _FK_RELATIONS:
+        parts.append(f"""
+SELECT '{rel}' AS relation,
+       CAST(count(f.k) AS BIGINT) AS n_fk_keys,
+       CAST(count(*) FILTER (p.k IS NULL) AS BIGINT) AS orphan_keys,
+       CAST(count(*) FILTER (f.k IS NULL) AS BIGINT) AS unused_keys
+FROM (SELECT DISTINCT CAST({fk} AS BIGINT) AS k FROM {ftab}) f
+FULL OUTER JOIN (SELECT DISTINCT CAST({pk} AS BIGINT) AS k FROM {dtab}) p
+ON f.k = p.k""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -4438,6 +4680,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_hll_md5": q_events_distinct_hll_md5,
         "cust_order_distribution": q_cust_order_distribution,
         "cust_prospects": q_cust_prospects,
+        "snb_candidate_pairs": q_snb_candidate_pairs,
+        "events_time_weighted_avg": q_events_time_weighted_avg,
+        "large_volume_orders": q_large_volume_orders,
+        "ref_integrity_audit": q_ref_integrity_audit,
     }
 
 
@@ -4539,4 +4785,8 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_hll_md5": _sql_events_distinct_hll_md5(),
         "cust_order_distribution": SQL_CUST_ORDER_DISTRIBUTION,
         "cust_prospects": SQL_CUST_PROSPECTS,
+        "snb_candidate_pairs": SQL_SNB_CANDIDATE_PAIRS,
+        "events_time_weighted_avg": SQL_EVENTS_TWAP,
+        "large_volume_orders": SQL_LARGE_VOLUME_ORDERS,
+        "ref_integrity_audit": _sql_ref_integrity(),
     }

@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "events_distinct_hll_md5",
     "cust_order_distribution",
     "cust_prospects",
+    "snb_candidate_pairs",
+    "events_time_weighted_avg",
+    "large_volume_orders",
+    "ref_integrity_audit",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

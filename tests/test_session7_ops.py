@@ -1,0 +1,206 @@
+"""Session-7 query classes: sorted-neighborhood ER blocking, per-user
+time-weighted average, TPC-H Q18-shaped having-join, and the
+referential-integrity audit.
+
+Semantics-level invariants on synthetic micro-inputs (exact,
+hand-checkable); exact DuckDB oracle parity for all four classes is
+covered by tools/check_oracle.py at three SFs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(
+        master="local[4]", shuffle_partitions=8, app_name="pytest-s7ops"
+    )
+
+
+# ------------------------------------------------ snb_candidate_pairs
+
+
+def test_snb_micro_exact_pairs(spark):
+    """Four names whose sorted adjacency and word-set Jaccard are
+    hand-checkable: only the two share-a-word adjacent pairs survive."""
+    import __spark_entry__ as se
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "alpha bolt"), (2, "alpha ring"), (3, "beta ring"),
+             (4, "zeta cog"), (5, "alpha bolt")],  # dup name: dict dedups
+            ["p_partkey", "p_name"],
+        ).write.parquet(os.path.join(d, "part.parquet"))
+        rows = {
+            (r.name_a, r.name_b): (r.n_common, r.n_union)
+            for r in se.q_snb_candidate_pairs(spark, d).collect()
+        }
+    assert rows == {
+        ("alpha bolt", "alpha ring"): (1, 3),
+        ("alpha ring", "beta ring"): (1, 3),
+    }
+
+
+def test_snb_invariants_sf(spark):
+    """Window-bounded candidate volume, threshold respected, and pairs
+    oriented low-rank -> high-rank (lexicographically a < b)."""
+    import __spark_entry__ as se
+
+    out = se.q_snb_candidate_pairs(spark, SF_DIR).collect()
+    n_names = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select("p_name").distinct().count()
+    )
+    assert 0 < len(out) <= (se.SNB_WINDOW - 1) * n_names
+    for r in out:
+        assert r.name_a < r.name_b  # rank order == lexicographic order
+        assert 3 * r.n_common >= r.n_union
+        assert r.n_union >= r.n_common >= 1
+
+
+# -------------------------------------------- events_time_weighted_avg
+
+
+def test_twap_micro_exact(spark):
+    """v=10 held 10 s then v=20 held 30 s -> TWAP (100+600)/40 = 17.5;
+    the final event contributes no interval."""
+    import __spark_entry__ as se
+
+    t0 = dt.datetime(2024, 1, 1)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, t0, 7, "view", 10.0, "{}"),
+                (2, t0 + dt.timedelta(seconds=10), 7, "view", 20.0, "{}"),
+                (3, t0 + dt.timedelta(seconds=40), 7, "view", 99.0, "{}"),
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        [r] = se.q_events_time_weighted_avg(spark, d).collect()
+    assert r.user_id == 7
+    assert r.n_intervals == 2
+    assert r.span_sec == 40
+    assert r.twap == pytest.approx(17.5)
+
+
+def test_twap_weights_differ_from_plain_avg(spark):
+    """On the sf corpus the time weighting must actually change the
+    answer vs the unweighted mean for at least one user (else the class
+    degenerates), and every span is positive."""
+    import __spark_entry__ as se
+
+    out = se.q_events_time_weighted_avg(spark, SF_DIR)
+    plain = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("plain_avg"))
+    )
+    j = out.join(plain, "user_id").collect()
+    assert all(r.span_sec > 0 for r in j)
+    assert any(abs(r.twap - r.plain_avg) > 1e-9 for r in j)
+
+
+# ------------------------------------------------ large_volume_orders
+
+
+def test_large_volume_orders_micro(spark):
+    """Order straddling the threshold: 301 qualifies, 299 does not."""
+    import __spark_entry__ as se
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(10, 1, 150.5, 1), (10, 2, 150.5, 2),   # sum 301 > 300
+             (11, 1, 299.0, 1)],                      # sum 299: out
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_partkey"],
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        spark.createDataFrame(
+            [(10, 5, 1234.567), (11, 5, 50.0)],
+            ["o_orderkey", "o_custkey", "o_totalprice"],
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            [(5, "Customer#5")], ["c_custkey", "c_name"]
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        [r] = se.q_large_volume_orders(spark, d).collect()
+    assert (r.c_custkey, r.c_name, r.o_orderkey) == (5, "Customer#5", 10)
+    assert r.total_qty == pytest.approx(301.0)
+    assert r.o_totalprice == pytest.approx(1234.57)
+
+
+def test_large_volume_orders_threshold_tight(spark):
+    """Every emitted order's recomputed quantity exceeds the threshold,
+    and no qualifying order is dropped (completeness vs a direct agg)."""
+    import __spark_entry__ as se
+
+    out = se.q_large_volume_orders(spark, SF_DIR)
+    direct = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > se.QTY_THRESHOLD)
+    )
+    got = {r.o_orderkey for r in out.collect()}
+    want = {r.l_orderkey for r in direct.collect()}
+    assert got == want and len(got) > 0
+
+
+# ------------------------------------------------ ref_integrity_audit
+
+
+def test_ref_integrity_consistent_corpus(spark):
+    """The synthetic star schema is referentially consistent: zero
+    orphans on every edge; the events->customer edge has exactly
+    |customer| - |distinct users| unused keys."""
+    import __spark_entry__ as se
+
+    rows = {r.relation: r for r in
+            se.q_ref_integrity_audit(spark, SF_DIR).collect()}
+    assert len(rows) == len(se._FK_RELATIONS)
+    assert all(r.orphan_keys == 0 for r in rows.values())
+    ev = rows["events.user_id->customer.c_custkey"]
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert ev.n_fk_keys == n_users
+    assert ev.unused_keys == n_cust - n_users
+
+
+def test_ref_integrity_detects_planted_violations(spark):
+    """Planted orphan FK and unused dim key are both counted."""
+    import __spark_entry__ as se
+
+    t0 = dt.datetime(2024, 1, 1)
+    with tempfile.TemporaryDirectory() as d:
+        def w(name, rows, cols):
+            spark.createDataFrame(rows, cols).write.parquet(
+                os.path.join(d, f"{name}.parquet"))
+
+        w("region", [(0,)], ["r_regionkey"])
+        w("nation", [(0, 0)], ["n_nationkey", "n_regionkey"])
+        w("customer", [(1, 0), (2, 0)], ["c_custkey", "c_nationkey"])
+        w("supplier", [(1, 0), (9, 0)], ["s_suppkey", "s_nationkey"])
+        w("part", [(1,)], ["p_partkey"])
+        w("orders", [(10, 1)], ["o_orderkey", "o_custkey"])
+        # l_partkey=77 is an orphan; supplier 9 is never referenced
+        w("lineitem", [(10, 77, 1)],
+          ["l_orderkey", "l_partkey", "l_suppkey"])
+        w("events", [(1, t0, 1)], ["event_id", "ts", "user_id"])
+        rows = {r.relation: r for r in
+                se.q_ref_integrity_audit(spark, d).collect()}
+    assert rows["lineitem.l_partkey->part.p_partkey"].orphan_keys == 1
+    assert rows["lineitem.l_partkey->part.p_partkey"].unused_keys == 1
+    assert rows["lineitem.l_suppkey->supplier.s_suppkey"].unused_keys == 1
+    assert rows["orders.o_custkey->customer.c_custkey"].unused_keys == 1
+    assert rows["nation.n_regionkey->region.r_regionkey"].orphan_keys == 0
