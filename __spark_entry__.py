@@ -4571,6 +4571,219 @@ ON f.k = p.k""")
     return "\nUNION ALL\n".join(parts)
 
 
+_QSKETCH_QUANTILES = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def q_events_value_quantile_sketch(spark, sf_dir):
+    """Mergeable fixed-bin quantile sketch (histogram digest) — the
+    quantile sibling of the HLL twin: per-type value histograms at bin
+    width 0.25 are the SKETCH (a few hundred integers, mergeable by
+    plain addition), and p50/p90/p99 read off the cumulative registers
+    with in-bin linear interpolation. The '__all__' row is computed by
+    MERGING the per-type registers (sum per bin) — the mergeability
+    property proven in-query, register-for-register, exactly like a
+    per-shard rollup at 100 TB would. Determinism: bins are
+    floor(value·4) (one IEEE multiply), rank targets are exact integer
+    ceilings, and the interpolation is the identical expression tree on
+    both engines."""
+    e = _t(spark, sf_dir, "events")
+    hist = (
+        e.groupBy(
+            "event_type", F.floor(F.col("value") * 4).cast("long").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = hist.groupBy("b").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("__all__").alias("event_type"), "b", "cnt"
+    )
+    all_hist = hist.select("event_type", "b", "cnt").unionAll(merged)
+    w = Window.partitionBy("event_type").orderBy("b")
+    cum = (
+        all_hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cp", F.col("cum") - F.col("cnt"))
+        .withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+        )
+    )
+    qs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(nm).alias("qname"),
+                F.lit(num).cast("long").alias("qn"),
+                F.lit(den).cast("long").alias("qd"),
+            )
+            for nm, num, den in _QSKETCH_QUANTILES
+        ])
+    )
+    t = F.expr("(qn * n + qd - 1) div qd")
+    est = (
+        F.lit(0.25) * F.col("b")
+        + F.lit(0.25) * (F.col("t") - F.col("cp")) / F.col("cnt")
+    )
+    picked = (
+        cum.withColumn("q", qs)
+        .select("event_type", "b", "cnt", "cum", "cp", "n", "q.*")
+        .withColumn("t", t)
+        .filter((F.col("cum") >= F.col("t")) & (F.col("cp") < F.col("t")))
+        .withColumn("est", F.round(est, 6))
+    )
+    return picked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.max(F.when(F.col("qname") == "p50", F.col("est"))).alias("p50"),
+        F.max(F.when(F.col("qname") == "p90", F.col("est"))).alias("p90"),
+        F.max(F.when(F.col("qname") == "p99", F.col("est"))).alias("p99"),
+    )
+
+
+SQL_EVENTS_QUANTILE_SKETCH = """
+WITH hist AS (
+  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+all_hist AS (
+  SELECT event_type, b, cnt FROM hist
+  UNION ALL
+  SELECT '__all__' AS event_type, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM hist GROUP BY b
+),
+cum AS (
+  SELECT event_type, b, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) - cnt AS cp,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM all_hist
+),
+picked AS (
+  SELECT c.event_type, c.n, q.qname,
+         round(0.25 * c.b + 0.25 * ((q.qn * c.n + q.qd - 1) // q.qd - c.cp)
+               / c.cnt, 6) AS est
+  FROM cum c
+  JOIN (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+       q(qname, qn, qd)
+    ON c.cum >= (q.qn * c.n + q.qd - 1) // q.qd
+   AND c.cp < (q.qn * c.n + q.qd - 1) // q.qd
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       MAX(CASE WHEN qname = 'p50' THEN est END) AS p50,
+       MAX(CASE WHEN qname = 'p90' THEN est END) AS p90,
+       MAX(CASE WHEN qname = 'p99' THEN est END) AS p99
+FROM picked GROUP BY 1
+"""
+
+
+def q_events_type_dow_chisq(spark, sf_dir):
+    """Chi-square contribution table for event_type × weekday — the
+    categorical-association screen (is traffic mix independent of
+    weekday?) a curation pipeline runs before stratifying on a feature.
+    Weekday is pure integer arithmetic on the TZ-proof epoch
+    ((days+4) mod 7 — 1970-01-01 was a Thursday), never a locale/zone
+    calendar call. Per-cell exactness: observed·N − row·col is BIGINT
+    (≤1e10 at these scales), expected_milli is an exact integer division
+    — the only floats are one squared cast and one division on identical
+    inputs, so the oracle hash-matches without any summation-order
+    hazard (no float SUM anywhere: the statistic ships as the per-cell
+    contribution table, Σ is the reader's one exact addition)."""
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.floor(ntz_epoch("ts") / 86400) + 4) % 7)
+        .cast("long")
+        .alias("dow"),
+    )
+    cells = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("r"))
+    cols = e.groupBy("dow").agg(F.count(F.lit(1)).alias("c"))
+    n = e.agg(F.count(F.lit(1)).alias("n_total"))
+    j = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    num = (F.col("o") * F.col("n_total") - F.col("r") * F.col("c")).cast(
+        "double"
+    )
+    den = (F.col("r") * F.col("c") * F.col("n_total")).cast("double")
+    return j.select(
+        "event_type",
+        "dow",
+        F.col("o").alias("observed"),
+        F.expr("r * c * 1000 div n_total").alias("expected_milli"),
+        F.round(num * num / den, 6).alias("chisq_contrib"),
+    )
+
+
+SQL_EVENTS_CHISQ = """
+WITH e AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow
+  FROM events
+),
+cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+          FROM e GROUP BY 1, 2),
+rws AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r
+        FROM e GROUP BY 1),
+cls AS (SELECT dow, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e)
+SELECT event_type, dow, o AS observed,
+       r * c * 1000 // n_total AS expected_milli,
+       round(CAST(o * n_total - r * c AS DOUBLE)
+             * CAST(o * n_total - r * c AS DOUBLE)
+             / CAST(r * c * n_total AS DOUBLE), 6) AS chisq_contrib
+FROM cells JOIN rws USING (event_type) JOIN cls USING (dow)
+CROSS JOIN tot
+"""
+
+
+def q_region_nation_rollup(spark, sf_dir):
+    """ROLLUP along the geographic hierarchy region → nation — the
+    drill-down twin of the CUBE class (hierarchical subtotals + grand
+    total, no cross-granularity sets). The dimension chain
+    (customer→nation→region) joins BEFORE the rollup so Catalyst plans
+    one Expand (3 replicas) + one aggregate exchange over the
+    pre-joined facts; the dimension joins are broadcast (25-nation /
+    5-region tables). Revenue sums as DECIMAL — the grand-total cell
+    aggregates every order, the maximal ulp-drift exposure the cube
+    class documents."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nt), c["c_nationkey"] == nt["n_nationkey"])
+        .join(F.broadcast(r), nt["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("revenue"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+SQL_REGION_NATION_ROLLUP = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 2)
+         AS revenue,
+       CAST(grouping(r_name, n_name) AS BIGINT) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -4684,6 +4897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_weighted_avg": q_events_time_weighted_avg,
         "large_volume_orders": q_large_volume_orders,
         "ref_integrity_audit": q_ref_integrity_audit,
+        "events_value_quantile_sketch": q_events_value_quantile_sketch,
+        "events_type_dow_chisq": q_events_type_dow_chisq,
+        "region_nation_rollup": q_region_nation_rollup,
     }
 
 
@@ -4789,4 +5005,7 @@ def oracle_sql() -> dict[str, str]:
         "events_time_weighted_avg": SQL_EVENTS_TWAP,
         "large_volume_orders": SQL_LARGE_VOLUME_ORDERS,
         "ref_integrity_audit": _sql_ref_integrity(),
+        "events_value_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
+        "events_type_dow_chisq": SQL_EVENTS_CHISQ,
+        "region_nation_rollup": SQL_REGION_NATION_ROLLUP,
     }

@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "events_time_weighted_avg",
     "large_volume_orders",
     "ref_integrity_audit",
+    "events_value_quantile_sketch",
+    "events_type_dow_chisq",
+    "region_nation_rollup",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

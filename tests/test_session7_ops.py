@@ -204,3 +204,113 @@ def test_ref_integrity_detects_planted_violations(spark):
     assert rows["lineitem.l_suppkey->supplier.s_suppkey"].unused_keys == 1
     assert rows["orders.o_custkey->customer.c_custkey"].unused_keys == 1
     assert rows["nation.n_regionkey->region.r_regionkey"].orphan_keys == 0
+
+
+# ------------------------------------------- events_value_quantile_sketch
+
+
+def test_quantile_sketch_micro_exact(spark):
+    """Hand-computed histogram: values 1.0 x4, 2.0 x4, 10.0 x2 ->
+    bins 4/8/40, cum 4/8/10; p50 lands in bin 8 with 1/4 in-bin offset."""
+    import __spark_entry__ as se
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    vals = [1.0] * 4 + [2.0] * 4 + [10.0] * 2
+    for i, v in enumerate(vals):
+        rows.append((i, t0 + dt.timedelta(seconds=i), 1, "view", v, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.event_type: r for r in
+               se.q_events_value_quantile_sketch(spark, d).collect()}
+    for k in ("view", "__all__"):
+        r = out[k]
+        assert r.n_events == 10
+        assert r.p50 == pytest.approx(2.0625)
+        assert r.p90 == pytest.approx(10.125)
+        assert r.p99 == pytest.approx(10.25)
+
+
+def test_quantile_sketch_merge_property(spark):
+    """__all__ must equal the sketch of the union of the per-type
+    registers — recompute it independently by re-binning all events."""
+    import __spark_entry__ as se
+
+    out = {r.event_type: r for r in
+           se.q_events_value_quantile_sketch(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = ev.count()
+    assert out["__all__"].n_events == n
+    assert sum(r.n_events for t, r in out.items() if t != "__all__") == n
+    # quantile estimates bracket the exact quantiles within one bin width
+    exact = ev.selectExpr(
+        "percentile(value, 0.5) AS p50", "percentile(value, 0.99) AS p99"
+    ).collect()[0]
+    assert abs(out["__all__"].p50 - exact.p50) <= 0.25
+    assert abs(out["__all__"].p99 - exact.p99) <= 0.25
+
+
+# ------------------------------------------------ events_type_dow_chisq
+
+
+def test_chisq_single_type_zero(spark):
+    """With one event_type the table is degenerate: every cell has
+    observed == column total, so every contribution is exactly 0."""
+    import __spark_entry__ as se
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(days=i % 3), 1, "view", 1.0, "{}")
+            for i in range(9)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = se.q_events_type_dow_chisq(spark, d).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.chisq_contrib == 0.0
+        assert r.expected_milli == r.observed * 1000
+
+
+def test_chisq_sf_invariants(spark):
+    """Observed counts re-sum to N; expected counts re-sum to ~N
+    (exact integer-milli truncation loses < 1 per cell)."""
+    import __spark_entry__ as se
+
+    out = se.q_events_type_dow_chisq(spark, SF_DIR).collect()
+    n = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.observed for r in out) == n
+    exp_sum = sum(r.expected_milli for r in out) / 1000
+    assert n - len(out) / 1000 <= exp_sum <= n
+    assert all(r.chisq_contrib >= 0 for r in out)
+    assert all(0 <= r.dow <= 6 for r in out)
+
+
+# ------------------------------------------------ region_nation_rollup
+
+
+def test_rollup_hierarchy_consistency(spark):
+    """Detail rows re-aggregate to region subtotals, subtotals to the
+    grand total; gid encodes the grouping level (0 detail, 1 region
+    subtotal, 3 grand total)."""
+    import __spark_entry__ as se
+
+    out = se.q_region_nation_rollup(spark, SF_DIR).collect()
+    detail = [r for r in out if r.gid == 0]
+    sub = {r.r_name: r for r in out if r.gid == 1}
+    [grand] = [r for r in out if r.gid == 3]
+    assert {r.gid for r in out} == {0, 1, 3}
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert grand.n_orders == n_orders
+    assert sum(r.n_orders for r in detail) == n_orders
+    for rn, s in sub.items():
+        assert s.n_orders == sum(
+            r.n_orders for r in detail if r.r_name == rn
+        )
+        assert s.revenue == pytest.approx(
+            sum(r.revenue for r in detail if r.r_name == rn), abs=0.05
+        )
