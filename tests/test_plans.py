@@ -363,3 +363,95 @@ def test_interval_islands_single_user_exchange(spark):
     # the per-island groupBy keys (user_id, _island) are a superset of the
     # window partitioning so Catalyst reuses the layout
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_snb_pairing_is_equi_join_no_cartesian(spark):
+    """Sorted-neighborhood pairing must plan as an equi-join on rank —
+    never a nested-loop/cartesian over the dictionary. (The two
+    SinglePartition exchanges inside are the |partitions|-row offset
+    window of the two-phase rank — documented, never the data.)"""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["snb_candidate_pairs"](
+        spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_twap_single_user_exchange(spark):
+    """The lead() window and the per-user aggregate must share ONE
+    hashpartitioning(user_id) exchange; no SinglePartition anywhere."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["events_time_weighted_avg"](
+        spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_large_volume_orders_broadcasts_having_set(spark):
+    """The HAVING-filtered heavy-order set must broadcast into orders
+    (and the customer join stays broadcast at dimension size): two
+    BroadcastHashJoins, one fact-side aggregate exchange, no cartesian."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["large_volume_orders"](
+        spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ref_integrity_full_outer_keys_vs_keys(spark):
+    """Every relation audits via ONE full-outer join of the two DISTINCT
+    key sets; the only SinglePartition exchanges are the 1-row final
+    aggregates (one per relation)."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["ref_integrity_audit"](
+        spark, "/root/testdata/sf0.001"))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    n_rel = len(se._FK_RELATIONS)
+    assert plan.count("Exchange SinglePartition") == n_rel
+
+
+def test_quantile_sketch_partitioned_windows(spark):
+    """All cumulative-register windows partition by event_type — a
+    partition-less window (Exchange SinglePartition) would serialize the
+    sketch scan; the quantile-spec explode must not plan a join at all."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["events_value_quantile_sketch"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chisq_broadcast_marginals(spark):
+    """Row/column marginals attach by broadcast hash join; the single
+    1-row N scalar is the only nested-loop (the broadcast-scalar attach
+    pattern) and the only SinglePartition exchange (the global count)."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["events_type_dow_chisq"](
+        spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_single_expand_broadcast_dims(spark):
+    """ROLLUP plans ONE Expand over the pre-joined facts; all three
+    dimension joins broadcast; one aggregate exchange total."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["region_nation_rollup"](
+        spark, "/root/testdata/sf0.001"))
+    assert plan.count("Expand") == 1
+    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
