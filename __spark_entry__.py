@@ -4571,9 +4571,6 @@ ON f.k = p.k""")
     return "\nUNION ALL\n".join(parts)
 
 
-_QSKETCH_QUANTILES = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
-
-
 def q_events_value_quantile_sketch(spark, sf_dir):
     """Mergeable fixed-bin quantile sketch (histogram digest) — the
     quantile sibling of the HLL twin: per-type value histograms at bin
@@ -4585,54 +4582,17 @@ def q_events_value_quantile_sketch(spark, sf_dir):
     per-shard rollup at 100 TB would. Determinism: bins are
     floor(value·4) (one IEEE multiply), rank targets are exact integer
     ceilings, and the interpolation is the identical expression tree on
-    both engines."""
+    both engines. Register/quantile logic lives in functions/qsketch.py,
+    shared with the streaming register fold
+    (streaming.quantile_sketch_registers) whose state IS the registers."""
+    from mmkg_rag_spark.functions import qsketch
+
     e = _t(spark, sf_dir, "events")
-    hist = (
-        e.groupBy(
-            "event_type", F.floor(F.col("value") * 4).cast("long").alias("b")
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    hist = qsketch.histogram(e)
+    all_hist = hist.select("event_type", "b", "cnt").unionAll(
+        qsketch.merge_registers(hist)
     )
-    merged = hist.groupBy("b").agg(F.sum("cnt").alias("cnt")).select(
-        F.lit("__all__").alias("event_type"), "b", "cnt"
-    )
-    all_hist = hist.select("event_type", "b", "cnt").unionAll(merged)
-    w = Window.partitionBy("event_type").orderBy("b")
-    cum = (
-        all_hist.withColumn("cum", F.sum("cnt").over(w))
-        .withColumn("cp", F.col("cum") - F.col("cnt"))
-        .withColumn(
-            "n", F.sum("cnt").over(Window.partitionBy("event_type"))
-        )
-    )
-    qs = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(nm).alias("qname"),
-                F.lit(num).cast("long").alias("qn"),
-                F.lit(den).cast("long").alias("qd"),
-            )
-            for nm, num, den in _QSKETCH_QUANTILES
-        ])
-    )
-    t = F.expr("(qn * n + qd - 1) div qd")
-    est = (
-        F.lit(0.25) * F.col("b")
-        + F.lit(0.25) * (F.col("t") - F.col("cp")) / F.col("cnt")
-    )
-    picked = (
-        cum.withColumn("q", qs)
-        .select("event_type", "b", "cnt", "cum", "cp", "n", "q.*")
-        .withColumn("t", t)
-        .filter((F.col("cum") >= F.col("t")) & (F.col("cp") < F.col("t")))
-        .withColumn("est", F.round(est, 6))
-    )
-    return picked.groupBy("event_type").agg(
-        F.max("n").alias("n_events"),
-        F.max(F.when(F.col("qname") == "p50", F.col("est"))).alias("p50"),
-        F.max(F.when(F.col("qname") == "p90", F.col("est"))).alias("p90"),
-        F.max(F.when(F.col("qname") == "p99", F.col("est"))).alias("p99"),
-    )
+    return qsketch.quantiles_from_registers(all_hist)
 
 
 SQL_EVENTS_QUANTILE_SKETCH = """

@@ -217,6 +217,31 @@ def windowed_event_counts(
     )
 
 
+def quantile_sketch_registers(
+    spark: SparkSession,
+    input_dir: str,
+):
+    """Streaming register fold for the mergeable quantile sketch
+    (functions/qsketch.py — the batch twin is the driver query
+    ``q_events_value_quantile_sketch``).
+
+    The sketch's mergeability makes it a NATIVE streaming aggregation:
+    readStream(events) → groupBy(event_type, bin) → count. The streaming
+    state is exactly the registers — one BIGINT per (type, occupied
+    bin), bounded by the VALUE RANGE, never by stream length, so this
+    runs forever on an unbounded feed with constant memory. After any
+    number of micro-batches the complete-mode output equals the batch
+    histogram of everything ingested (register-for-register — pinned by
+    tests/test_streaming.py), and quantiles read off it with the same
+    ``qsketch.quantiles_from_registers`` the batch query uses. Returns
+    the streaming registers DataFrame; callers attach a sink.
+    """
+    from .functions import qsketch
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    return qsketch.histogram(stream)
+
+
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 

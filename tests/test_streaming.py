@@ -511,3 +511,54 @@ def test_streaming_upsert_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_quantile_sketch_registers_match_batch(spark, tmp_path_factory):
+    """Streaming register fold across multiple micro-batches ==
+    batch histogram register-for-register; quantiles derived from the
+    streamed registers == the batch driver query's per-type rows."""
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.functions import qsketch
+    from mmkg_rag_spark.streaming import quantile_sketch_registers
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("qsketch_in"))
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    events.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    regs = quantile_sketch_registers(spark, in_dir)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("qsketch_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.event_type, r.b): r.cnt
+        for r in spark.sql("select * from qsketch_regs").collect()
+    }
+    want = {
+        (r.event_type, r.b): r.cnt
+        for r in qsketch.histogram(events).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # quantiles off the streamed registers == the batch driver query
+    import __spark_entry__ as se
+
+    streamed_q = {
+        r.event_type: (r.n_events, r.p50, r.p90, r.p99)
+        for r in qsketch.quantiles_from_registers(
+            spark.sql("select event_type, b, cnt from qsketch_regs")
+        ).collect()
+    }
+    batch_q = {
+        r.event_type: (r.n_events, r.p50, r.p90, r.p99)
+        for r in se.q_events_value_quantile_sketch(spark, sf).collect()
+        if r.event_type != "__all__"
+    }
+    assert streamed_q == batch_q
