@@ -4744,6 +4744,283 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+_Q7_NATIONS = ("NATION_18", "NATION_19")  # trade in both directions at every SF
+
+
+def _rev_dec():
+    """Exact decimal revenue: extprice·(1−discount), the repo-wide
+    pattern (see q_agg_pricing_summary) — no double ever enters a SUM."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+
+
+def q_nation_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): revenue between two nations in
+    BOTH directions, by (supplier nation, customer nation, year). Scale
+    shape: nation (25 rows) and supplier broadcast; the nation-pair
+    filter applies to the supplier/customer sides BEFORE the fact join
+    (semi-selective dimension predicates pushed below the big joins —
+    Catalyst pushes the isin() through the join onto the broadcast
+    sides), then one aggregate exchange on the 3 grouping keys. Year is
+    a wall-clock field read of the NTZ shipdate — TZ-proof on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .filter(F.col("n_name").isin(*_Q7_NATIONS))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .filter(F.col("n_name").isin(*_Q7_NATIONS))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cn, o["o_custkey"] == cn["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_VOLUME_SHIPPING = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE),
+             2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN {_Q7_NATIONS!r} AND cn.n_name IN {_Q7_NATIONS!r}
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): per supplier-nation per
+    year, SUM(revenue − cost). The schema has no partsupp table, so the
+    cost model is declared as qty·retailprice·0.1 (an exact DECIMAL
+    product — 0.1 is DECIMAL(2,1), never a double) — the class is the
+    SHAPE: a 4-table star join into a two-key aggregate, all decimal
+    arithmetic so the grand sums are order-independent. Dimensions
+    broadcast; one fact shuffle on the grouping keys."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    cost = (
+        F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.1).cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(_rev_dec() - cost).cast("double"), 2
+            ).alias("profit")
+        )
+    )
+
+
+SQL_NATION_PROFIT = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                      - CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(p_retailprice AS DECIMAL(12,2))
+                        * CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE), 2)
+         AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): per month, the percentage of
+    revenue from PROMO-type parts. Both the promo and total sums stay
+    DECIMAL end-to-end; only the final share division is float, on
+    identical inputs (one cast + one divide + one round — the same tree
+    both engines). Part broadcasts; one aggregate exchange on the
+    month key."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ym = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+    rev = _rev_dec()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(ym.alias("ym"))
+        .agg(
+            F.sum(promo).alias("_pr"),
+            F.sum(rev).alias("_tr"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "ym",
+            F.round(
+                F.lit(100) * F.col("_pr").cast("double")
+                / F.col("_tr").cast("double"),
+                4,
+            ).alias("promo_share_pct"),
+            "n_items",
+        )
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH m AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+         SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS pr,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS tr,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT ym, round(100 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE), 4)
+         AS promo_share_pct,
+       n_items
+FROM m
+"""
+
+
+_Q15_FROM = "1996-01-01"
+_Q15_TO = "1996-04-01"
+
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): suppliers whose quarterly revenue
+    EQUALS the maximum — the view + scalar-max shape. The max attaches
+    as a 1-row broadcast scalar and the tie compare happens in EXACT
+    DECIMAL (never a rounded double), so ties are engine-invariant.
+    One fact shuffle (per-supplier aggregate), everything after is
+    supplier-dimension sized."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(_Q15_FROM)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(_Q15_TO)))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_dec()).alias("rev")
+    )
+    mx = per_supp.agg(F.max("rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_FROM}'
+    AND l_shipdate < TIMESTAMP '{_Q15_TO}'
+  GROUP BY 1
+),
+mx AS (SELECT MAX(rev) AS max_rev FROM per_supp)
+SELECT s_suppkey, s_name, round(CAST(rev AS DOUBLE), 2) AS total_revenue
+FROM per_supp CROSS JOIN mx
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = max_rev
+"""
+
+
+def q_disjunctive_filter_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR-branches over (brand, size range, quantity range) — the
+    class that exercises OR pushdown: Catalyst must push the common
+    l_quantity bounds and the partkey join below the disjunction rather
+    than materialize the cross of branches. Part broadcasts; output is
+    ONE row (global decimal sum + count)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(5, 20) & q.between(10, 30))
+        | ((b == "Brand#3") & sz.between(20, 40) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_FILTER_REVENUE = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE),
+             2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -4860,6 +5137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantile_sketch": q_events_value_quantile_sketch,
         "events_type_dow_chisq": q_events_type_dow_chisq,
         "region_nation_rollup": q_region_nation_rollup,
+        "nation_volume_shipping": q_nation_volume_shipping,
+        "nation_profit": q_nation_profit,
+        "promo_revenue_share": q_promo_revenue_share,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "disjunctive_filter_revenue": q_disjunctive_filter_revenue,
     }
 
 
@@ -4968,4 +5250,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": SQL_EVENTS_QUANTILE_SKETCH,
         "events_type_dow_chisq": SQL_EVENTS_CHISQ,
         "region_nation_rollup": SQL_REGION_NATION_ROLLUP,
+        "nation_volume_shipping": SQL_NATION_VOLUME_SHIPPING,
+        "nation_profit": SQL_NATION_PROFIT,
+        "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+        "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+        "disjunctive_filter_revenue": SQL_DISJUNCTIVE_FILTER_REVENUE,
     }

@@ -127,6 +127,11 @@ BENCH_QUERIES = [
     "events_value_quantile_sketch",
     "events_type_dow_chisq",
     "region_nation_rollup",
+    "nation_volume_shipping",
+    "nation_profit",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "disjunctive_filter_revenue",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -314,3 +314,128 @@ def test_rollup_hierarchy_consistency(spark):
         assert s.revenue == pytest.approx(
             sum(r.revenue for r in detail if r.r_name == rn), abs=0.05
         )
+
+
+# ------------------------------------- TPC-H Q7/Q9/Q14/Q15/Q19 shapes
+
+
+def test_volume_shipping_both_directions(spark):
+    """The nation-pair filter must keep BOTH directions and nothing
+    else; item counts re-sum to a direct count of cross-pair items."""
+    import __spark_entry__ as se
+
+    out = se.q_nation_volume_shipping(spark, SF_DIR).collect()
+    dirs = {(r.supp_nation, r.cust_nation) for r in out}
+    a, b = se._Q7_NATIONS
+    assert dirs == {(a, b), (b, a)}
+    assert all(r.revenue > 0 and r.n_items > 0 for r in out)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    s = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    direct = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n.selectExpr("n_nationkey as sk", "n_name as sn"),
+              F.col("s_nationkey") == F.col("sk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n.selectExpr("n_nationkey as ck", "n_name as cn"),
+              F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("sn").isin(a, b) & F.col("cn").isin(a, b)
+                & (F.col("sn") != F.col("cn")))
+        .count()
+    )
+    assert sum(r.n_items for r in out) == direct
+
+
+def test_nation_profit_totals(spark):
+    """Group profits re-sum to the global profit under the same exact
+    decimal cost model (order-independence of the decimal sums)."""
+    import __spark_entry__ as se
+
+    out = se.q_nation_profit(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    cost = (
+        F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.1).cast("decimal(2,1)")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    )
+    [g] = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(F.sum(rev - cost).cast("double").alias("total"))
+        .collect()
+    )
+    assert sum(r.profit for r in out) == pytest.approx(g.total, abs=0.05)
+    # every (nation, year) group is present exactly once
+    assert len({(r.nation, r.l_year) for r in out}) == len(out)
+
+
+def test_promo_share_bounds_and_one_month(spark):
+    """Share within [0, 100]; one month recomputed directly."""
+    import __spark_entry__ as se
+
+    out = {r.ym: r for r in
+           se.q_promo_revenue_share(spark, SF_DIR).collect()}
+    assert all(0 <= r.promo_share_pct <= 100 for r in out.values())
+    ym0 = sorted(out)[1]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    j = li.join(p, li.l_partkey == p.p_partkey).filter(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")) == ym0
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    [d] = j.agg(
+        (F.lit(100)
+         * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+         / F.sum(rev)).alias("share")
+    ).collect()
+    assert out[ym0].promo_share_pct == pytest.approx(d.share, abs=1e-3)
+
+
+def test_top_supplier_is_argmax(spark):
+    """Winners are exactly the argmax set of the direct per-supplier
+    quarterly revenue aggregate."""
+    import __spark_entry__ as se
+
+    out = se.q_top_supplier_revenue(spark, SF_DIR).collect()
+    assert len(out) >= 1
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit(se._Q15_FROM))
+        & (F.col("l_shipdate") < F.lit(se._Q15_TO))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = {r.l_suppkey: r.rev for r in
+           li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev")).collect()}
+    mx = max(per.values())
+    want = {k for k, v in per.items() if v == pytest.approx(mx, rel=1e-12)}
+    assert {r.s_suppkey for r in out} == want
+    for r in out:
+        assert r.total_revenue == pytest.approx(mx, abs=0.01)
+
+
+def test_disjunctive_filter_matches_direct(spark):
+    """The OR-branch revenue equals a direct recompute; each branch
+    contributes only rows satisfying its own conjunction."""
+    import __spark_entry__ as se
+
+    [r] = se.q_disjunctive_filter_revenue(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    q, sz, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(5, 20) & q.between(10, 30))
+        | ((b == "Brand#3") & sz.between(20, 40) & q.between(20, 50))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    [d] = j.filter(cond).agg(
+        F.sum(rev).alias("rev"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    assert r.n_items == d.n and d.n > 0
+    assert r.revenue == pytest.approx(d.rev, abs=0.05)
