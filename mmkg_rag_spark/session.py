@@ -62,6 +62,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # generous broadcast ceiling: alias dictionaries & dim tables
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom filters (off by default in Spark): when a join's
+        # build side is selective but too big to broadcast, inject a bloom
+        # might_contain onto the probe-side scan — at 100 TB this turns a
+        # full fact-table shuffle into a shuffle of the ~matching rows.
+        # Injection + correctness pinned by tests/test_runtime_filters.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
