@@ -5021,6 +5021,133 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+_Q8_REGION = "EUROPE"
+_Q8_NATION = "NATION_19"
+
+
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): of all revenue sold to a
+    region's customers, the fraction supplied by one nation, per year.
+    Numerator is a conditional decimal sum over the SAME rows as the
+    denominator (one pass, no second join), the share is the single
+    float division at the end. The customer side filters to the region
+    BEFORE the fact join (broadcast nation→region chain); one aggregate
+    exchange on the year."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    region_custs = (
+        c.join(
+            F.broadcast(
+                n.join(r, n["n_regionkey"] == r["r_regionkey"]).filter(
+                    F.col("r_name") == _Q8_REGION
+                )
+            ),
+            c["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = _rev_dec()
+    target = F.when(
+        F.col("supp_nation") == _Q8_NATION, rev
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(region_custs, o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(target).alias("_nr"), F.sum(rev).alias("_tr"))
+        .select(
+            "l_year",
+            F.round(F.col("_tr").cast("double"), 2).alias("total_revenue"),
+            F.round(
+                F.lit(100) * F.col("_nr").cast("double")
+                / F.col("_tr").cast("double"),
+                4,
+            ).alias("mkt_share_pct"),
+        )
+    )
+
+
+SQL_NATION_MARKET_SHARE = f"""
+WITH rows_ AS (
+  SELECT year(l_shipdate) AS y, sn.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(6,4))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = '{_Q8_REGION}'
+)
+SELECT CAST(y AS BIGINT) AS l_year,
+       round(CAST(SUM(rev) AS DOUBLE), 2) AS total_revenue,
+       round(100 * CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                                 THEN rev
+                                 ELSE CAST(0 AS DECIMAL(12,2)) END)
+                        AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 4) AS mkt_share_pct
+FROM rows_ GROUP BY 1
+"""
+
+
+def q_parts_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) over a filtered part slice, excluding
+    a blacklisted supplier set (NOT IN → LEFT ANTI join; the schema has
+    no partsupp, so the supplier–part relation is the DISTINCT
+    (suppkey, partkey) projection of lineitem — collapsed FIRST, so the
+    count-distinct aggregates pairs, never raw facts). The blacklist is
+    name-derived (names ending in '7') since there is no comment
+    column; the anti join broadcasts it."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("7")
+    ).select("s_suppkey")
+    pairs = li.distinct()
+    return (
+        pairs.join(bad, pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_PARTS_SUPPLIER_COUNT = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5142,6 +5269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "top_supplier_revenue": q_top_supplier_revenue,
         "disjunctive_filter_revenue": q_disjunctive_filter_revenue,
+        "nation_market_share": q_nation_market_share,
+        "parts_supplier_count": q_parts_supplier_count,
     }
 
 
@@ -5255,4 +5384,6 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
         "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
         "disjunctive_filter_revenue": SQL_DISJUNCTIVE_FILTER_REVENUE,
+        "nation_market_share": SQL_NATION_MARKET_SHARE,
+        "parts_supplier_count": SQL_PARTS_SUPPLIER_COUNT,
     }

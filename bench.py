@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "promo_revenue_share",
     "top_supplier_revenue",
     "disjunctive_filter_revenue",
+    "nation_market_share",
+    "parts_supplier_count",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

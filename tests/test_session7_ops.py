@@ -439,3 +439,74 @@ def test_disjunctive_filter_matches_direct(spark):
     ).collect()
     assert r.n_items == d.n and d.n > 0
     assert r.revenue == pytest.approx(d.rev, abs=0.05)
+
+
+# ----------------------------------------- Q8 / Q16 shapes
+
+
+def test_market_share_bounds_and_direct(spark):
+    """Share within [0,100]; numerator and denominator recomputed
+    directly for one year."""
+    import __spark_entry__ as se
+
+    out = {r.l_year: r for r in
+           se.q_nation_market_share(spark, SF_DIR).collect()}
+    assert len(out) > 0
+    assert all(0 <= r.mkt_share_pct <= 100 for r in out.values())
+    y0 = sorted(out)[1]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    s = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    r_ = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n.selectExpr("n_nationkey as ck", "n_regionkey as crk"),
+              F.col("c_nationkey") == F.col("ck"))
+        .join(r_, F.col("crk") == r_.r_regionkey)
+        .filter(F.col("r_name") == se._Q8_REGION)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n.selectExpr("n_nationkey as sk", "n_name as sn"),
+              F.col("s_nationkey") == F.col("sk"))
+        .filter(F.year("l_shipdate") == y0)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    [d] = j.agg(
+        F.sum(rev).alias("tr"),
+        F.sum(F.when(F.col("sn") == se._Q8_NATION, rev).otherwise(0.0))
+        .alias("nr"),
+    ).collect()
+    assert out[y0].total_revenue == pytest.approx(d.tr, abs=0.05)
+    assert out[y0].mkt_share_pct == pytest.approx(
+        100 * d.nr / d.tr, abs=1e-3)
+
+
+def test_parts_supplier_count_excludes_blacklist(spark):
+    """Counts match a direct distinct-pair recompute and blacklisted
+    suppliers (names ending '7') never contribute."""
+    import __spark_entry__ as se
+
+    out = {(r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+           for r in se.q_parts_supplier_count(spark, SF_DIR).collect()}
+    assert len(out) > 0
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    s = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    bad = {r.s_suppkey for r in
+           s.filter(F.col("s_name").endswith("7")).collect()}
+    pairs = (
+        li.select("l_suppkey", "l_partkey").distinct()
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+                & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .collect()
+    )
+    want = {}
+    for r in pairs:
+        if r.l_suppkey in bad:
+            continue
+        k = (r.p_brand, r.p_type, r.p_size)
+        want.setdefault(k, set()).add(r.l_suppkey)
+    assert out == {k: len(v) for k, v in want.items()}
