@@ -134,12 +134,28 @@ BENCH_QUERIES = [
     "disjunctive_filter_revenue",
     "nation_market_share",
     "parts_supplier_count",
+    # session-7 completeness sweep: every registered query is benched
+    # (the md5-mode dedup twins are covered by their native-hash
+    # variants above, so they stay oracle-only)
+    "anti_join_inactive",
+    "doc_fingerprint",
+    "embedding_near_dup",
+    "events_json_extract",
+    "fuzzy_topk_parts",
+    "kg_edges",
+    "kg_nodes",
+    "regex_scan",
+    "scalar_string_ops",
+    "set_ops_nations",
+    "source_term_lift",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the
 # timed number is the graph algorithm, not a duplicate of kg_degree_topk's
 # build measurement
-KG_WARM = {"kg_pagerank", "kg_communities", "kg_search_eris"}
+KG_WARM = {
+    "kg_pagerank", "kg_communities", "kg_search_eris", "kg_nodes", "kg_edges",
+}
 
 # reduce result materialization cost for wide outputs: count instead of collect
 COUNT_ONLY = {
