@@ -132,3 +132,91 @@ class ParquetCatalog:
 
     def snapshots(self, table: str) -> list[dict]:
         return self._load_manifest(table)
+
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) --------
+    def _data_files(self, path: str) -> list[str]:
+        return [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    def compact(
+        self,
+        table: str,
+        snap: str | None = None,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> dict:
+        """Small-file compaction — the ``rewrite_data_files`` maintenance
+        action every long-running table needs: streaming commits and
+        per-stage snapshots accumulate KB-sized files whose per-file open
+        cost eventually dominates scans (at 100 TB a table of 10 MB files
+        is 10^7 opens per query). Rewrites the snapshot's data into
+        ~``target_file_bytes`` files as a NEW snapshot; the source
+        snapshot stays readable (time travel preserved — compaction is a
+        data-identical re-layout, never a destructive rewrite).
+
+        Scale shape: ``coalesce`` (narrow — merges co-located partitions,
+        NO shuffle) since compaction only ever reduces file count; the
+        one full-shuffle alternative (repartition) buys nothing here.
+        Returns stats {files_before, files_after, bytes, snapshot}.
+        """
+        manifest = self._load_manifest(table)
+        if not manifest:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        if snap is None:
+            entry = max(manifest, key=lambda s: (s.get("seq", 0), s["ts"]))
+        else:
+            entry = next(s for s in manifest if s["id"] == snap)
+        files = self._data_files(entry["path"])
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        if len(files) < max(min_files, n_out + 1):
+            return {
+                "table": table,
+                "snapshot": entry["id"],
+                "files_before": len(files),
+                "files_after": len(files),
+                "bytes": total,
+                "compacted": False,
+            }
+        new_snap = fingerprint("compact", entry["id"], target_file_bytes)
+        df = self.spark.read.parquet(entry["path"]).coalesce(int(n_out))
+        path = self.snapshot_dir(table, new_snap)
+        df.write.mode("overwrite").parquet(path)
+        self._commit(
+            table,
+            new_snap,
+            path,
+            {"compacted_from": entry["id"], "files_before": len(files)},
+        )
+        return {
+            "table": table,
+            "snapshot": new_snap,
+            "files_before": len(files),
+            "files_after": len(self._data_files(path)),
+            "bytes": total,
+            "compacted": True,
+        }
+
+    def expire_snapshots(self, table: str, *, keep_last: int = 2) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots (manifest entry
+        AND data files) — the ``expire_snapshots`` maintenance action that
+        bounds storage growth of append-forever tables. NOTE: expired
+        fingerprints can no longer serve stage-resume hits; run this on
+        serving tables, not on in-flight pipeline stages."""
+        import shutil
+
+        manifest = self._load_manifest(table)
+        manifest.sort(key=lambda s: (s.get("seq", 0), s["ts"]))
+        keep = manifest[-keep_last:] if keep_last > 0 else []
+        expired = [s for s in manifest if s not in keep]
+        # commit the shrunk manifest FIRST (atomic), then delete data —
+        # a crash between the two leaves unreferenced dirs, never a
+        # manifest entry pointing at deleted data
+        self._save_manifest(table, keep)
+        for s in expired:
+            shutil.rmtree(s["path"], ignore_errors=True)
+        return [s["id"] for s in expired]
