@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--chunk-size", type=int, default=8000)
     ap.add_argument("--overlap", type=int, default=400)
     ap.add_argument("--force", action="store_true", help="recompute all stages")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the build, compact the graph tables "
+                         "(rewrite_data_files analog) and report stats")
     ap.add_argument("--master", default=None)
     ap.add_argument("--ask", default=None, metavar="QUESTION",
                     help="after the build, answer QUESTION over the graph "
@@ -243,6 +246,16 @@ def main(argv: list[str] | None = None) -> int:
     print("top degrees:")
     for r in deg.limit(5).collect():
         print(f"  {r['name']}: {r['count']}")
+
+    # -- optional maintenance: table compaction ------------------------------
+    if args.compact:
+        for table in ("nodes", "edges", "image_edges"):
+            stats = catalog.compact(table)
+            print(
+                f"[compact] {table}: {stats['files_before']} -> "
+                f"{stats['files_after']} files"
+                + ("" if stats["compacted"] else " (already compact)")
+            )
 
     # -- optional QA over the built graph (R6 driver) ----------------------
     if args.ask:

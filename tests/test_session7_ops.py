@@ -251,6 +251,9 @@ def test_quantile_sketch_merge_property(spark):
     ).collect()[0]
     assert abs(out["__all__"].p50 - exact.p50) <= 0.25
     assert abs(out["__all__"].p99 - exact.p99) <= 0.25
+    # quantile monotonicity holds for every group
+    for r in out.values():
+        assert r.p50 <= r.p90 <= r.p99
 
 
 # ------------------------------------------------ events_type_dow_chisq
