@@ -5148,6 +5148,48 @@ GROUP BY 1, 2, 3
 """
 
 
+SEQ_LEN = 512
+
+
+def q_pack_training_sequences(spark, sf_dir):
+    """Fixed-length training-sequence packing with document lineage
+    (curation.pack_sequences) — the step between shard packing and the
+    training loader: the corpus is one concatenated token stream,
+    sequence k owns token positions [k·L, (k+1)·L), and each output row
+    is one (seq_id, doc_id, doc_offset, n_span) span — the provenance
+    map that lets a loader assemble any sequence, or attribute any
+    sequence position back to its source document, without
+    re-tokenizing. Scale shape: offsets via the two-phase distributed
+    prefix sum (assign_shards' machinery — no corpus-order global
+    window), then map-only integer arithmetic with a bounded explode
+    (≤ n div L + 2 rows per doc)."""
+    from mmkg_rag_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_tp(spark, sf_dir, "documents"), SEQ_LEN)
+
+
+SQL_PACK_TRAINING_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, {ts.sql_token_count('text')} AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS BIGINT) AS cum_before
+  FROM t WHERE n_tokens > 0
+)
+SELECT CAST(u.s AS BIGINT) AS seq_id, doc_id,
+  CAST(GREATEST(cum_before, u.s * {SEQ_LEN}) - cum_before AS BIGINT)
+    AS doc_offset,
+  CAST(LEAST(cum_before + n_tokens, (u.s + 1) * {SEQ_LEN})
+       - GREATEST(cum_before, u.s * {SEQ_LEN}) AS BIGINT) AS n_span
+FROM c, LATERAL unnest(generate_series(
+    cum_before // {SEQ_LEN},
+    (cum_before + n_tokens - 1) // {SEQ_LEN})) AS u(s)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5271,6 +5313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_filter_revenue": q_disjunctive_filter_revenue,
         "nation_market_share": q_nation_market_share,
         "parts_supplier_count": q_parts_supplier_count,
+        "pack_training_sequences": q_pack_training_sequences,
     }
 
 
@@ -5386,4 +5429,5 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_filter_revenue": SQL_DISJUNCTIVE_FILTER_REVENUE,
         "nation_market_share": SQL_NATION_MARKET_SHARE,
         "parts_supplier_count": SQL_PARTS_SUPPLIER_COUNT,
+        "pack_training_sequences": SQL_PACK_TRAINING_SEQUENCES,
     }

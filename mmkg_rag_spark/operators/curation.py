@@ -115,6 +115,26 @@ def assign_shards(
     key. The offset window's orderBy(bucket) sorts consistently with the
     id order in both regimes, which is what makes the two phases compose.
     """
+    return token_prefix_sums(
+        docs, id_col, text_col, bucket_size, bucket_prefix_len
+    ).select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.floor(F.col("cum_before") / F.lit(shard_tokens)).alias("shard_id"),
+    )
+
+
+def token_prefix_sums(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 1000,
+    bucket_prefix_len: int = 4,
+) -> DataFrame:
+    """(id, n_tokens, cum_before): each document's whitespace-token count
+    and its EXACT global token offset under ``id_col`` order — the
+    two-phase distributed prefix sum ``assign_shards`` documents (shared
+    by :func:`pack_sequences`)."""
     dtype = dict(docs.dtypes)[id_col]
     base = ensure_min_partitions(docs).select(
         F.col(id_col).alias("id"),
@@ -143,12 +163,53 @@ def assign_shards(
 
     return (
         within.join(F.broadcast(offsets), "bucket")
-        .withColumn("cum_before", F.col("offset") + F.col("cum_in") - F.col("n_tokens"))
-        .select(
-            F.col("id").alias(id_col),
-            "n_tokens",
-            F.floor(F.col("cum_before") / F.lit(shard_tokens)).alias("shard_id"),
+        .withColumn(
+            "cum_before",
+            F.col("offset") + F.col("cum_in") - F.col("n_tokens"),
         )
+        .select("id", "n_tokens", "cum_before")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 1000,
+    bucket_prefix_len: int = 4,
+) -> DataFrame:
+    """Fixed-length training-sequence packing with document lineage.
+
+    The corpus is one concatenated token stream in ``id_col`` order;
+    training sequence *k* owns global token positions
+    ``[k·L, (k+1)·L)``. Every document fans out to exactly the sequences
+    it overlaps — ``explode(sequence(first, last))``, at most
+    ``n div L + 2`` rows per document — and each span row carries
+    ``(seq_id, doc_id, doc_offset, n_span)``: the lineage a training
+    loader needs to assemble any sequence without re-tokenizing the
+    corpus, and the provenance map back from a sequence position to its
+    source document. Offsets come from the same two-phase distributed
+    prefix sum as :func:`assign_shards` (no global-order window of the
+    corpus); everything after is map-only integer arithmetic. Zero-token
+    documents occupy no positions and emit no span.
+    """
+    p = token_prefix_sums(
+        docs, id_col, text_col, bucket_size, bucket_prefix_len
+    ).filter(F.col("n_tokens") > 0)
+    first = F.expr(f"cum_before div {seq_len}")
+    last = F.expr(f"(cum_before + n_tokens - 1) div {seq_len}")
+    spans = p.withColumn("seq_id", F.explode(F.sequence(first, last)))
+    start = F.greatest(F.col("cum_before"), F.col("seq_id") * seq_len)
+    end = F.least(
+        F.col("cum_before") + F.col("n_tokens"),
+        (F.col("seq_id") + 1) * seq_len,
+    )
+    return spans.select(
+        "seq_id",
+        F.col("id").alias(id_col),
+        (start - F.col("cum_before")).alias("doc_offset"),
+        (end - start).alias("n_span"),
     )
 
 

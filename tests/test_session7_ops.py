@@ -513,3 +513,59 @@ def test_parts_supplier_count_excludes_blacklist(spark):
         k = (r.p_brand, r.p_type, r.p_size)
         want.setdefault(k, set()).add(r.l_suppkey)
     assert out == {k: len(v) for k, v in want.items()}
+
+
+# --------------------------------------------- pack_training_sequences
+
+
+def test_pack_sequences_micro_exact(spark):
+    """Three docs of 3/4/2 tokens at L=4: hand-computed spans including
+    a doc that straddles a sequence boundary."""
+    from mmkg_rag_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i")],
+        ["doc_id", "text"],
+    )
+    rows = {(r.seq_id, r.doc_id): (r.doc_offset, r.n_span)
+            for r in pack_sequences(docs, 4).collect()}
+    # stream: doc1 [0,3) doc2 [3,7) doc3 [7,9); seqs of 4: [0,4) [4,8) [8,12)
+    assert rows == {
+        (0, 1): (0, 3),   # doc1 fully in seq0
+        (0, 2): (0, 1),   # doc2 first token completes seq0
+        (1, 2): (1, 3),   # doc2 rest in seq1
+        (1, 3): (0, 1),   # doc3 first token completes seq1
+        (2, 3): (1, 1),   # doc3 last token starts seq2
+    }
+
+
+def test_pack_sequences_invariants_sf(spark):
+    """Lineage is complete and consistent: per-doc spans re-sum to the
+    doc's token count, every sequence except the last is exactly full,
+    and offsets tile each document without gaps."""
+    import __spark_entry__ as se
+    from mmkg_rag_spark.functions.textstats import token_count
+
+    out = se.q_pack_training_sequences(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = {r.doc_id: r.n for r in docs.select(
+        "doc_id", token_count(F.col("text")).alias("n")).collect()
+        if r.n > 0}
+    got_per_doc = {}
+    for r in out:
+        got_per_doc.setdefault(r.doc_id, []).append((r.doc_offset, r.n_span))
+    assert set(got_per_doc) == set(want)
+    for d, spans in got_per_doc.items():
+        spans.sort()
+        assert sum(n for _, n in spans) == want[d]
+        # spans tile the document: each starts where the previous ended
+        pos = 0
+        for off, n in spans:
+            assert off == pos and n > 0
+            pos += n
+    per_seq = {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_span
+    last = max(per_seq)
+    for s, n in per_seq.items():
+        assert n == se.SEQ_LEN if s != last else 0 < n <= se.SEQ_LEN
