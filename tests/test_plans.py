@@ -455,3 +455,71 @@ def test_rollup_single_expand_broadcast_dims(spark):
     assert plan.count("BroadcastHashJoin") == 3
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_tpch_shapes_broadcast_dims_single_agg_exchange(spark):
+    """The Q7/Q9/Q14 star-join classes: dimensions broadcast, ONE
+    fact-side aggregate exchange, never a cartesian/nested-loop."""
+    import __spark_entry__ as se
+
+    for name, n_bhj in [
+        ("nation_volume_shipping", 5),
+        ("nation_profit", 3),
+        ("promo_revenue_share", 1),
+    ]:
+        plan = _plan(se.queries()[name](spark, "/root/testdata/sf0.001"))
+        assert plan.count("BroadcastHashJoin") == n_bhj, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "CartesianProduct" not in plan and \
+            "BroadcastNestedLoopJoin" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_top_supplier_scalar_max_attach(spark):
+    """Q15: the scalar max attaches without a nested-loop join (the
+    equality filter turns the 1-row cross join into a hash join); the
+    only SinglePartition exchange is the global-max 1-row aggregate."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["top_supplier_revenue"](
+        spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_disjunctive_or_predicates_stay_below_one_join(spark):
+    """Q19: the OR branches must evaluate on the joined rows of ONE
+    broadcast join — never expand into per-branch joins or a cartesian."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["disjunctive_filter_revenue"](
+        spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_market_share_one_pass_no_second_join(spark):
+    """Q8: numerator and denominator come from the SAME joined rows —
+    one aggregate exchange on the year, no nested loops."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["nation_market_share"](
+        spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_prefix_sum_shape(spark):
+    """Sequence packing: the only SinglePartition exchange is the
+    |buckets|-row offset window (never the corpus), the span fan-out is
+    a Generate (explode), and no join beyond the broadcast offset
+    attach."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["pack_training_sequences"](
+        spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Generate") == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
