@@ -5190,6 +5190,62 @@ FROM c, LATERAL unnest(generate_series(
 """
 
 
+LATE_DAYS = 90
+
+
+def q_shipment_lateness_by_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority audit): per order priority,
+    how many lineitems shipped late (> LATE_DAYS days after the order
+    date) and the late fraction. Date arithmetic is day-granular on the
+    CAST-to-DATE wall-clock fields of the NTZ timestamps — TZ-proof and
+    identical on both engines; the late test and counts are pure
+    integers, the one float division is the final rate. One fact join
+    (orders broadcast-eligible as the smaller side), one aggregate
+    exchange on the 5-value priority key (map-side combinable, so the
+    low-cardinality key never skews the shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    late = (
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.col("o_orderdate").cast("date"))
+        > LATE_DAYS
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count(F.when(late, 1)).alias("n_late"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            "n_late",
+            F.round(
+                F.col("n_late").cast("double") / F.col("n_items"), 4
+            ).alias("late_rate"),
+        )
+    )
+
+
+SQL_SHIPMENT_LATENESS = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(*) FILTER (date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE))
+                             > {LATE_DAYS}) AS BIGINT) AS n_late,
+       round(CAST(count(*) FILTER (date_diff('day',
+                                             CAST(o_orderdate AS DATE),
+                                             CAST(l_shipdate AS DATE))
+                                   > {LATE_DAYS}) AS DOUBLE)
+             / count(*), 4) AS late_rate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5314,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": q_nation_market_share,
         "parts_supplier_count": q_parts_supplier_count,
         "pack_training_sequences": q_pack_training_sequences,
+        "shipment_lateness_by_priority": q_shipment_lateness_by_priority,
     }
 
 
@@ -5430,4 +5487,5 @@ def oracle_sql() -> dict[str, str]:
         "nation_market_share": SQL_NATION_MARKET_SHARE,
         "parts_supplier_count": SQL_PARTS_SUPPLIER_COUNT,
         "pack_training_sequences": SQL_PACK_TRAINING_SEQUENCES,
+        "shipment_lateness_by_priority": SQL_SHIPMENT_LATENESS,
     }

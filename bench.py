@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "nation_market_share",
     "parts_supplier_count",
     "pack_training_sequences",
+    "shipment_lateness_by_priority",
     # session-7 completeness sweep: every registered query is benched
     # (the md5-mode dedup twins are covered by their native-hash
     # variants above, so they stay oracle-only)

@@ -569,3 +569,50 @@ def test_pack_sequences_invariants_sf(spark):
     last = max(per_seq)
     for s, n in per_seq.items():
         assert n == se.SEQ_LEN if s != last else 0 < n <= se.SEQ_LEN
+
+
+# --------------------------------------- shipment_lateness_by_priority
+
+
+def test_lateness_micro_exact(spark):
+    """One order with a 91-day-late item and an on-time item: exact
+    counts and rate; the >90 boundary is exclusive."""
+    import __spark_entry__ as se
+
+    t0 = dt.datetime(2024, 1, 1)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(10, t0 + dt.timedelta(days=91)),   # late
+             (10, t0 + dt.timedelta(days=90)),   # exactly 90: NOT late
+             (10, t0 + dt.timedelta(days=1))],
+            ["l_orderkey", "l_shipdate"],
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        spark.createDataFrame(
+            [(10, 1, t0, "2-HIGH")],
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        [r] = se.q_shipment_lateness_by_priority(spark, d).collect()
+    assert (r.o_orderpriority, r.n_items, r.n_late) == ("2-HIGH", 3, 1)
+    assert r.late_rate == pytest.approx(round(1 / 3, 4))
+
+
+def test_lateness_sf_invariants(spark):
+    """All five priorities present; counts re-sum to |lineitem| and the
+    late split re-derives from a direct recompute."""
+    import __spark_entry__ as se
+
+    out = {r.o_orderpriority: r for r in
+           se.q_shipment_lateness_by_priority(spark, SF_DIR).collect()}
+    assert len(out) == 5
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert sum(r.n_items for r in out.values()) == li.count()
+    direct = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff(F.col("l_shipdate").cast("date"),
+                           F.col("o_orderdate").cast("date"))
+                > se.LATE_DAYS)
+        .count()
+    )
+    assert sum(r.n_late for r in out.values()) == direct
+    assert all(0 <= r.late_rate <= 1 for r in out.values())
