@@ -389,10 +389,10 @@ def q_doc_quality(spark, sf_dir):
 
 SQL_DOC_QUALITY = f"""
 SELECT doc_id,
-  round({ts.sql_quality_score('text')}, 4) AS quality,
-  round({ts.sql_alpha_ratio('text')}, 4) AS alpha_ratio,
-  round({ts.sql_stopword_ratio('text')}, 4) AS stopword_ratio,
-  round({ts.sql_punct_ratio('text')}, 4) AS punct_ratio
+  {ts.sql_round_spark(ts.sql_quality_score('text'), 4)} AS quality,
+  {ts.sql_round_spark(ts.sql_alpha_ratio('text'), 4)} AS alpha_ratio,
+  {ts.sql_round_spark(ts.sql_stopword_ratio('text'), 4)} AS stopword_ratio,
+  {ts.sql_round_spark(ts.sql_punct_ratio('text'), 4)} AS punct_ratio
 FROM documents
 """
 
@@ -1033,7 +1033,7 @@ cont AS (SELECT DISTINCT g5.id AS doc_id FROM g5 JOIN bg5 USING (gram)),
 stats AS (
   SELECT doc_id,
     {ts.sql_token_count('text')} AS n_tokens,
-    round({ts.sql_quality_score('text')}, 4) AS quality,
+    {ts.sql_round_spark(ts.sql_quality_score('text'), 4)} AS quality,
     {ts.sql_lang_id('text')} AS lang_pred
   FROM documents
 )

@@ -221,6 +221,29 @@ def sql_stopword_ratio(col: str) -> str:
     )
 
 
+def sql_round_spark(expr: str, d: int) -> str:
+    """DuckDB twin of Spark's ``round(double, d)`` EXACTLY.
+
+    Spark rounds HALF_UP on the double's SHORTEST DECIMAL REPR
+    (``BigDecimal.valueOf`` → ``Double.toString``), while DuckDB rounds
+    the exact binary expansion — for a value whose shortest repr IS a
+    decimal tie but whose binary value sits just below it (e.g. the
+    double printed ``0.53275`` is exactly 0.53274999…), the two differ
+    by 1e-d. Routing the double through VARCHAR (DuckDB also prints the
+    shortest roundtrip repr) into DECIMAL reproduces Spark's semantics;
+    DECIMAL round is half-away-from-zero == HALF_UP for the
+    non-negative scores this is used on. Found live: documents sf0.1
+    doc_id 2027, quality repr 0.53275 → Spark 0.5328 vs DuckDB 0.5327.
+    """
+    return (
+        # scale 18: a double's shortest repr carries up to 17 significant
+        # digits — a smaller scale re-rounds "0.6347499999999999" up to a
+        # tie and breaks the twin in the other direction
+        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18)), "
+        f"{d}) AS DOUBLE)"
+    )
+
+
 def sql_quality_score(col: str) -> str:
     return (
         f"0.4 * least(1.0, CAST({sql_token_count(col)} AS DOUBLE) / 100.0)"

@@ -616,3 +616,37 @@ def test_lateness_sf_invariants(spark):
     )
     assert sum(r.n_late for r in out.values()) == direct
     assert all(0 <= r.late_rate <= 1 for r in out.values())
+
+
+# ------------------------------------------- sql_round_spark semantics
+
+
+def test_sql_round_spark_matches_spark_round(spark):
+    """Spark rounds a double on its SHORTEST DECIMAL REPR (HALF_UP via
+    BigDecimal.valueOf); DuckDB rounds the exact binary value. The
+    oracle helper must reproduce Spark on the divergent cases found
+    live (repr-tie 0.53275 whose binary value is below the tie) and on
+    near-tie reprs a too-small DECIMAL scale would re-round."""
+    import struct
+
+    import duckdb
+
+    from mmkg_rag_spark.functions.textstats import sql_round_spark
+
+    cases = [
+        struct.unpack(">d", bytes.fromhex("3fe10c49ba5e353f"))[0],  # 0.53275
+        0.6347499999999999,
+        0.6077499999999999,
+        0.03125,       # exactly representable tie
+        0.8125, 0.125, 0.0, 1.0, 0.47110000001, 0.0005,
+    ]
+    df = spark.createDataFrame([(v,) for v in cases], ["x"])
+    got_spark = [r.y for r in
+                 df.select(F.round("x", 4).alias("y")).collect()]
+    got_duck = [
+        duckdb.sql(
+            f"SELECT {sql_round_spark(f'CAST({v!r} AS DOUBLE)', 4)}"
+        ).fetchone()[0]
+        for v in cases
+    ]
+    assert got_spark == got_duck
