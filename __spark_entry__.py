@@ -21,7 +21,13 @@ pages derived from ``sf0.001`` and returns the degree summary.
 Float policy for oracle parity: all cross-engine doubles are produced by
 identical expression trees (same op order ⇒ identical IEEE results) or exact
 DECIMAL aggregation cast to double at the end; every emitted double is
-round()ed. Counts are BIGINT on both sides.
+round()ed. Counts are BIGINT on both sides. One residual trap: even on
+BIT-IDENTICAL doubles, Spark's round() (HALF_UP on the shortest decimal
+repr) and DuckDB's round() (exact binary value) disagree when the repr is a
+decimal tie whose binary value sits below it — use
+``textstats.sql_round_spark`` in the oracle when a rounded double is a
+free-form ratio/score (found live: doc_quality at sf0.1; decimal-sourced
+doubles whose scale ≤ the round digits can never tie and are safe).
 """
 
 from __future__ import annotations
