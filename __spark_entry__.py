@@ -5252,6 +5252,396 @@ GROUP BY 1
 """
 
 
+# --- Session-8 additions: the six TPC-H shapes that complete 22/22 ---
+# The schema has no partsupp table and no commit/receipt dates, so Q2 /
+# Q4 / Q11 / Q20 are declared against lineitem-derived supply evidence
+# (each docstring states the substitution); the class under test is the
+# SHAPE — the join/agg/semi-join topology and its 100-TB plan — not the
+# TPC-H text.
+
+_Q2_REGION = "EUROPE"
+_Q2_PTYPE = "LARGE"
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for every part of one
+    type, the supplier(s) in one region offering the lowest observed
+    line price. partsupp does not exist in this schema, so the offer
+    relation is derived from lineitem: cost(part, supplier) =
+    MIN(l_extendedprice) — MIN of raw doubles is order-independent and
+    engine-exact, so the per-part "equals the minimum" tie compare is
+    deterministic with no decimal scaffolding. Scale shape: the region
+    filter lands on the supplier dimension BEFORE the fact join (the
+    classic Q2 trap is joining the fact first); supplier/nation/region
+    and part all broadcast; one fact shuffle builds the offer relation,
+    and the per-part minimum is a window over the offer table
+    (part-supplier sized, orders of magnitude smaller than the fact)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == _Q2_PTYPE).select(
+        "p_partkey", "p_name"
+    )
+    sn = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
+                 "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("_min", F.min("_cost").over(w))
+        .filter(F.col("_cost") == F.col("_min"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            F.round("_cost", 2).alias("best_price"),
+        )
+    )
+
+
+SQL_MIN_COST_SUPPLIER = f"""
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = '{_Q2_PTYPE}'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = '{_Q2_REGION}'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name AS nation,
+       p_partkey, p_name, round(cost, 2) AS best_price
+FROM offers
+QUALIFY cost = min(cost) OVER (PARTITION BY p_partkey)
+"""
+
+
+_Q4_FROM = "1996-07-01"
+_Q4_TO = "1996-10-01"
+
+
+def q_order_priority_returns(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): orders placed in one
+    quarter that had at least one problem line, counted per priority.
+    The schema has no commit/receipt dates, so the EXISTS predicate is
+    l_returnflag = 'R' (a returned line) instead of commit < receipt —
+    same topology: a date-sliced order scan LEFT SEMI joined to a
+    filtered lineitem scan, then a 5-key rollup. Scale shape: both
+    filters are pushdown-able scan predicates; the semi-join shuffles
+    only orderkeys + the priority column and stops probing an order on
+    first match; the aggregate is map-side combinable on 5 keys."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_FROM))
+        & (F.col("o_orderdate") < F.lit(_Q4_TO))
+    ).select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY_RETURNS = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{_Q4_TO} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q_discount_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): one filtered scan,
+    one global sum — what revenue would be forgone if mid-band
+    discounts were eliminated for small orders in one year. The
+    discount-band predicate compares on round(l_discount·100) — both
+    engines compute it on the identical stored double with the same two
+    ops, so the band membership is bit-reproducible without trusting
+    double literals; the summed product is exact DECIMAL. Scale shape:
+    ZERO joins and zero wide exchanges — every predicate reaches the
+    parquet scan (shipdate range is min/max-prunable), the sum is a
+    partial-agg + 1-row final, the ideal 100-TB plan for this class."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & disc_pct.between(2, 4)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(6,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_DISCOUNT_REVENUE_DELTA = """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE), 2)
+         AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 2 AND 4
+  AND l_quantity < 24
+"""
+
+
+_Q10_FROM = "1996-01-01"
+_Q10_TO = "1996-04-01"
+
+
+def q_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): the top 20 customers
+    by revenue lost to returned lines in one quarter. The top-20 rank
+    orders on the EXACT decimal revenue (ties impossible to flake) with
+    c_custkey as the total-order tiebreak; the emitted revenue is the
+    rounded double. Scale shape: the quarter filter prunes orders at
+    the scan; lineitem joins the pruned orders (shuffle on orderkey),
+    one aggregate exchange on custkey, then customer/nation broadcast
+    onto the customer-sized aggregate; the global top-20 is a
+    TakeOrdered over at most |customers| rows, never the fact."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_FROM))
+        & (F.col("o_orderdate") < F.lit(_Q10_TO))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev_dec()).alias("_rev"))
+    )
+    w = Window.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+    return (
+        per_cust.join(
+            F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"]
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "c_custkey",
+            "c_name",
+            # round in EXACT decimal first (HALF_UP on both engines),
+            # THEN cast — the sum's scale-6 decimal can land on a .xx5
+            # tie that double-round flakes on (found live at sf0.01).
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+            "rank",
+        )
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{_Q10_FROM} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{_Q10_TO} 00:00:00'
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name AS nation,
+       CAST(row_number() OVER (ORDER BY rev DESC, c_custkey) AS BIGINT)
+         AS rank
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+QUALIFY rank <= 20
+"""
+
+
+_Q11_NATION = "NATION_7"
+
+
+def q_important_parts_value(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): parts whose
+    supply value from one nation's suppliers exceeds a threshold
+    fraction of the nation's total. partsupp does not exist, so supply
+    value is SUM(l_extendedprice) (exact DECIMAL) of the nation's
+    shipped lines per part; the threshold is 2× the MEAN part value
+    (TPC-H's 0.0001/SF constant rescaled so the cut is non-degenerate
+    at every SF). The compare is division-free — val·n_parts >
+    2·total — evaluated as the identical double expression tree on
+    both engines (repo float policy; the decimal·bigint product would
+    exceed DECIMAL(38) headroom at large SF). Scale shape: nation
+    filter broadcasts onto supplier before the fact scan; ONE fact
+    aggregate produces the per-part values; the grand total is a
+    re-aggregate of the per-part table (part-sized, not a second fact
+    pass) attached as a 1-row broadcast scalar — the same
+    scalar-attach pattern as nation_share_of_region."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _Q11_NATION
+    ).select("n_nationkey")
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    per_part = (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias(
+                "_val"
+            )
+        )
+    )
+    total = per_part.agg(
+        F.sum("_val").alias("_total"),
+        F.count(F.lit(1)).alias("_nparts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_val").cast("double") * F.col("_nparts")
+            > F.lit(2.0) * F.col("_total").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("_val").cast("double"), 2).alias("supply_value"),
+        )
+    )
+
+
+SQL_IMPORTANT_PARTS_VALUE = f"""
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = '{_Q11_NATION}'
+  GROUP BY 1
+)
+SELECT p_partkey, round(CAST(val AS DOUBLE), 2) AS supply_value
+FROM per_part
+WHERE CAST(val AS DOUBLE) * (SELECT count(*) FROM per_part)
+      > 2.0 * (SELECT CAST(SUM(val) AS DOUBLE) FROM per_part)
+"""
+
+
+_Q20_NATION = "NATION_3"
+_Q20_PREFIX = "red"
+_Q20_SHARE = 0.2  # exact binary double (0.2 parses identically)
+
+
+def q_promo_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation who dominate the supply of some part with a name prefix —
+    the nested-aggregate semi-join topology (Q20's partsupp/availqty
+    test becomes: this supplier shipped > 20% of the part's 1997
+    volume). Quantities are integral doubles, so the sums are exact
+    integers and the share compare is engine-invariant. Scale shape:
+    the name-prefix filter broadcasts part onto the fact scan; ONE fact
+    aggregate to (part, supplier); the per-part denominator is a window
+    over that aggregate (no second fact pass); the winner set semi-joins
+    the supplier dimension, nation filter applied dimension-side."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(_Q20_PREFIX)
+    ).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _Q20_NATION
+    ).select("n_nationkey")
+    sp = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = (
+        sp.withColumn("_part_qty", F.sum("_qty").over(w))
+        .filter(F.col("_qty") > F.lit(_Q20_SHARE) * F.col("_part_qty"))
+        .select("l_suppkey")
+        # no distinct(): LEFT SEMI dedupes by construction, and the
+        # winner set broadcasts (supplier-bounded), so the semi-join
+        # adds zero exchanges
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(winners),
+            s["s_suppkey"] == winners["l_suppkey"],
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_PROMO_PART_SUPPLIERS = f"""
+WITH sp AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+           AND p_name LIKE '{_Q20_PREFIX}%'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+winners AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, qty,
+           SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM sp
+  ) WHERE qty > CAST({_Q20_SHARE} AS DOUBLE) * part_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = '{_Q20_NATION}'
+WHERE EXISTS (SELECT 1 FROM winners WHERE l_suppkey = s_suppkey)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5377,6 +5767,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_supplier_count": q_parts_supplier_count,
         "pack_training_sequences": q_pack_training_sequences,
         "shipment_lateness_by_priority": q_shipment_lateness_by_priority,
+        "min_cost_supplier": q_min_cost_supplier,
+        "order_priority_returns": q_order_priority_returns,
+        "discount_revenue_delta": q_discount_revenue_delta,
+        "returned_item_customers": q_returned_item_customers,
+        "important_parts_value": q_important_parts_value,
+        "promo_part_suppliers": q_promo_part_suppliers,
     }
 
 
@@ -5494,4 +5890,10 @@ def oracle_sql() -> dict[str, str]:
         "parts_supplier_count": SQL_PARTS_SUPPLIER_COUNT,
         "pack_training_sequences": SQL_PACK_TRAINING_SEQUENCES,
         "shipment_lateness_by_priority": SQL_SHIPMENT_LATENESS,
+        "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+        "order_priority_returns": SQL_ORDER_PRIORITY_RETURNS,
+        "discount_revenue_delta": SQL_DISCOUNT_REVENUE_DELTA,
+        "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
+        "important_parts_value": SQL_IMPORTANT_PARTS_VALUE,
+        "promo_part_suppliers": SQL_PROMO_PART_SUPPLIERS,
     }

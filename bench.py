@@ -150,6 +150,13 @@ BENCH_QUERIES = [
     "scalar_string_ops",
     "set_ops_nations",
     "source_term_lift",
+    # session-8: the six shapes completing TPC-H 22/22
+    "min_cost_supplier",
+    "order_priority_returns",
+    "discount_revenue_delta",
+    "returned_item_customers",
+    "important_parts_value",
+    "promo_part_suppliers",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

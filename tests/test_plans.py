@@ -475,6 +475,44 @@ def test_tpch_shapes_broadcast_dims_single_agg_exchange(spark):
         assert "Exchange SinglePartition" not in plan, name
 
 
+def test_session8_tpch_completion_shapes(spark):
+    """The six shapes that complete TPC-H 22/22 keep the star-join
+    discipline: every dimension broadcasts, the fact shuffles at most
+    once (aggregate exchange), no cartesian/nested-loop anywhere, and
+    Q6 runs with ZERO joins and zero wide exchanges."""
+    import __spark_entry__ as se
+
+    sf = "/root/testdata/sf0.001"
+    qs = se.queries()
+
+    # Q6: pure filtered scan + global agg — no join, no hash exchange
+    plan = _plan(qs["discount_revenue_delta"](spark, sf))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange SinglePartition") == 1  # 1-row final agg
+
+    # Q4: left-semi on the fact, broadcast not required but the order
+    # side is quarter-pruned; rollup is one low-cardinality exchange
+    plan = _plan(qs["order_priority_returns"](spark, sf))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # Q2/Q10/Q11/Q20: all dims broadcast; at most 2 hash exchanges
+    # (fact aggregate + the small post-agg window/re-agg), no cartesian.
+    # Q11's grand-total attach is the 1-row broadcast-scalar pattern,
+    # which plans as a BNLJ with a single-row build side — constant
+    # cost at any scale, so it is exempt from the BNLJ ban.
+    for name in ("min_cost_supplier", "returned_item_customers",
+                 "important_parts_value", "promo_part_suppliers"):
+        plan = _plan(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        if name != "important_parts_value":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 2, name
+
+
 def test_top_supplier_scalar_max_attach(spark):
     """Q15: the scalar max attaches without a nested-loop join (the
     equality filter turns the 1-row cross join into a hash join); the
