@@ -5642,6 +5642,59 @@ WHERE EXISTS (SELECT 1 FROM winners WHERE l_suppkey = s_suppkey)
 """
 
 
+_DUPSPAN_K = 8
+_DUPSPAN_MIN = 2
+
+
+def q_dup_substring_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-span marking
+    (textdedup.duplicate_window_spans): maximal per-document token spans
+    covered by k-token windows that repeat ≥2 times corpus-wide — the
+    suffix-array dedup of Lee et al. 2022 reformulated as two uniform
+    shuffles (window-hash count + per-doc island merge). Completes the
+    dedup family: exact (whole doc), MinHash/SimHash (near-dup doc),
+    containment (embedded doc), and now sub-document substring spans."""
+    from mmkg_rag_spark.operators.textdedup import duplicate_window_spans
+
+    return duplicate_window_spans(
+        _tp(spark, sf_dir, "documents"), k=_DUPSPAN_K, min_count=_DUPSPAN_MIN
+    )
+
+
+SQL_DUP_SUBSTRING_SPANS = f"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(l[u.i + 1 : u.i + {_DUPSPAN_K}], ' ')) AS h
+  FROM arrs, LATERAL unnest(generate_series(0, len(l) - {_DUPSPAN_K})) AS u(i)
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM wins
+  ) WHERE cnt >= {_DUPSPAN_MIN}
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + {_DUPSPAN_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked)
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_DUPSPAN_K} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_DUPSPAN_K} - min(pos) AS BIGINT) AS dup_tokens,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl
+GROUP BY doc_id, isl_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5773,6 +5826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_customers": q_returned_item_customers,
         "important_parts_value": q_important_parts_value,
         "promo_part_suppliers": q_promo_part_suppliers,
+        "dup_substring_spans": q_dup_substring_spans,
     }
 
 
@@ -5896,4 +5950,5 @@ def oracle_sql() -> dict[str, str]:
         "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
         "important_parts_value": SQL_IMPORTANT_PARTS_VALUE,
         "promo_part_suppliers": SQL_PROMO_PART_SUPPLIERS,
+        "dup_substring_spans": SQL_DUP_SUBSTRING_SPANS,
     }

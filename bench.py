@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "returned_item_customers",
     "important_parts_value",
     "promo_part_suppliers",
+    "dup_substring_spans",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -541,3 +541,76 @@ def containment_pairs(
             F.round(F.greatest("cont_a", "cont_b"), 4).alias("containment"),
         )
     )
+
+
+def duplicate_window_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span marking (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    k-token window that occurs ≥ min_count times anywhere in the corpus
+    marks its span; overlapping/adjacent marked windows merge into
+    maximal spans per document. The caller cuts those token ranges (or
+    drops the doc) — the surgical dedup that removes boilerplate and
+    quoted passages exact-dedup and MinHash both miss.
+
+    The reference paper builds a corpus suffix array — inherently
+    single-machine. This is the distributed reformulation: fixed-width
+    window fingerprints (an md5 per window, built IN-ROW from the token
+    array like relevance.ngram_counts — no per-position shuffle) find
+    exactly the duplicated substrings of length ≥ k, and the span merge
+    is a gaps-and-islands pass per document.
+
+    Scale shape (100 TB): window rows are linear in corpus tokens; the
+    duplicate test is ONE exchange on the 128-bit window hash (a window
+    count, not a groupBy + self-join back); the island merge is ONE
+    exchange on doc_id; the final per-span aggregate reuses the doc_id
+    partitioning (grouping keys are a superset), so the whole operator
+    is two shuffles, both on uniform keys. No driver-side state.
+
+    Returns (doc_id, span_start, span_end, dup_tokens, n_windows) with
+    token-index spans, end exclusive.
+    """
+    from pyspark.sql import Window
+
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    glen = F.greatest(F.size(arr) - F.lit(k - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(arr, j + 1, glen).alias(f"w{j}") for j in range(k)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.md5(F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)]))
+    )
+    wins = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams)
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), F.col("col").alias("h"))
+
+    wh = Window.partitionBy("h")
+    marked = (
+        wins.withColumn("_cnt", F.count(F.lit(1)).over(wh))
+        .filter(F.col("_cnt") >= min_count)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    new_island = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    islands = marked.withColumn("_isl", F.sum(new_island).over(wd))
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+            "n_windows",
+        )
+    )

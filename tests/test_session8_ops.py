@@ -1,0 +1,149 @@
+"""Session-8 additions: the six TPC-H-completion shapes (plan pins live
+in test_plans.py; oracle parity at three SFs via tools/check_oracle.py)
+and the ExactSubstr-style duplicate-window-span operator.
+
+Semantics-level invariants on synthetic micro-inputs (exact,
+hand-checkable).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(
+        master="local[4]", shuffle_partitions=8, app_name="pytest-s8ops"
+    )
+
+
+# ------------------------------------------- duplicate_window_spans
+
+
+def _spans(spark, rows, k=3, min_count=2):
+    from mmkg_rag_spark.operators.textdedup import duplicate_window_spans
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_window_spans(docs, k=k, min_count=min_count)
+    return {
+        (r.doc_id, r.span_start, r.span_end): (r.dup_tokens, r.n_windows)
+        for r in out.collect()
+    }
+
+
+def test_dup_spans_planted_cross_doc_duplicate(spark):
+    """A 5-token passage planted in two docs at different offsets marks
+    exactly that passage in both (k=3 ⇒ 3 windows merge into one
+    maximal span of 5 tokens)."""
+    passage = "the quick brown fox jumps"
+    rows = [
+        (1, f"alpha beta {passage} gamma delta"),
+        (2, f"{passage} epsilon zeta eta theta iota"),
+    ]
+    spans = _spans(spark, rows, k=3)
+    # doc 1: passage occupies token positions 2..6 → span [2, 7)
+    assert spans == {
+        (1, 2, 7): (5, 3),
+        (2, 0, 5): (5, 3),
+    }
+
+
+def test_dup_spans_merge_adjacent_and_split_on_gap(spark):
+    """Two duplicated 3-grams separated by a unique token in one doc
+    produce TWO spans (gap > k ⇒ islands split); back-to-back
+    duplicated windows merge into one."""
+    rows = [
+        (1, "a b c UNIQ1 x y z"),
+        (2, "a b c p q r s x y z"),
+        # make both 3-grams corpus-duplicates
+    ]
+    spans = _spans(spark, rows, k=3)
+    assert (1, 0, 3) in spans and (1, 4, 7) in spans
+    assert (2, 0, 3) in spans and (2, 7, 10) in spans
+
+
+def test_dup_spans_in_doc_repetition_counts(spark):
+    """min_count counts ALL occurrences (ExactSubstr semantics): a
+    passage repeated within ONE doc is marked even with no second
+    document."""
+    rows = [(1, "m n o filler1 m n o"), (2, "totally different words here")]
+    spans = _spans(spark, rows, k=3)
+    assert (1, 0, 3) in spans and (1, 4, 7) in spans
+    assert not any(d == 2 for d, _, _ in spans)
+
+
+def test_dup_spans_no_false_positives(spark):
+    """All-unique corpus → zero spans."""
+    rows = [(1, "one two three four"), (2, "five six seven eight")]
+    assert _spans(spark, rows, k=3) == {}
+
+
+def test_dup_spans_short_docs_skipped(spark):
+    """Docs shorter than k tokens emit no windows and never crash."""
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "a b c d"), (4, "a b c d")]
+    spans = _spans(spark, rows, k=3)
+    assert set(spans) == {(3, 0, 4), (4, 0, 4)}
+
+
+def test_dup_spans_plan_two_uniform_shuffles(spark):
+    """The 100-TB shape: exactly two hash exchanges (window-hash count
+    + per-doc island merge; the span aggregate reuses the doc_id
+    partitioning), no join, no cartesian."""
+    import __spark_entry__ as se
+
+    df = se.q_dup_substring_spans(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------- TPC-H completion shapes
+
+
+def test_q6_single_row_global_aggregate(spark):
+    """The Q6 global aggregate returns exactly one row with a
+    non-negative count — the no-GROUP-BY shape the SQL-oracle twin
+    relies on."""
+    import __spark_entry__ as se
+
+    df = se.q_discount_revenue_delta(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].n_items >= 0
+
+
+def test_q2_every_part_keeps_only_minimum_offers(spark):
+    """Per part, every surviving row's best_price equals the part's
+    minimum (ties all kept, never arbitrarily broken)."""
+    import __spark_entry__ as se
+
+    df = se.q_min_cost_supplier(spark, "/root/testdata/sf0.01")
+    bad = (
+        df.groupBy("p_partkey")
+        .agg(F.min("best_price").alias("mn"), F.max("best_price").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_q20_winners_subset_of_nation_suppliers(spark):
+    """Every emitted supplier belongs to the target nation."""
+    import __spark_entry__ as se
+
+    df = se.q_promo_part_suppliers(spark, "/root/testdata/sf0.01")
+    s = se._t(spark, "/root/testdata/sf0.01", "supplier")
+    n = se._t(spark, "/root/testdata/sf0.01", "nation").filter(
+        F.col("n_name") == se._Q20_NATION
+    )
+    nation_supps = {
+        r.s_suppkey
+        for r in s.join(n, s["s_nationkey"] == n["n_nationkey"]).collect()
+    }
+    out = {r.s_suppkey for r in df.collect()}
+    assert out <= nation_supps
