@@ -5695,6 +5695,54 @@ GROUP BY doc_id, isl_id
 """
 
 
+def q_dedup_cut_text(spark, sf_dir):
+    """ExactSubstr CUT (textdedup.cut_duplicate_spans): every document
+    rebuilt with its duplicated spans removed; the md5 of the rebuilt
+    text pins the exact reconstruction cross-engine. Coverage equals
+    the union of the marked windows, so the oracle skips the island
+    merge and tests token membership directly."""
+    from mmkg_rag_spark.operators.textdedup import cut_duplicate_spans
+
+    return cut_duplicate_spans(
+        _tp(spark, sf_dir, "documents"), k=_DUPSPAN_K, min_count=_DUPSPAN_MIN
+    )
+
+
+SQL_DEDUP_CUT_TEXT = f"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(l[u.i + 1 : u.i + {_DUPSPAN_K}], ' ')) AS h
+  FROM arrs, LATERAL unnest(generate_series(0, len(l) - {_DUPSPAN_K})) AS u(i)
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM wins
+  ) WHERE cnt >= {_DUPSPAN_MIN}
+),
+cov AS (
+  SELECT doc_id, list(DISTINCT p) AS covered FROM (
+    SELECT doc_id, u.p
+    FROM marked,
+         LATERAL unnest(generate_series(pos, pos + {_DUPSPAN_K} - 1)) AS u(p)
+  ) GROUP BY doc_id
+),
+cut AS (
+  SELECT a.doc_id, a.l,
+         list_filter(a.l, (t, i) ->
+           NOT list_contains(coalesce(c.covered, []), i - 1)) AS kept
+  FROM arrs a LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+FROM cut
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -5827,6 +5875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts_value": q_important_parts_value,
         "promo_part_suppliers": q_promo_part_suppliers,
         "dup_substring_spans": q_dup_substring_spans,
+        "dedup_cut_text": q_dedup_cut_text,
     }
 
 
@@ -5951,4 +6000,5 @@ def oracle_sql() -> dict[str, str]:
         "important_parts_value": SQL_IMPORTANT_PARTS_VALUE,
         "promo_part_suppliers": SQL_PROMO_PART_SUPPLIERS,
         "dup_substring_spans": SQL_DUP_SUBSTRING_SPANS,
+        "dedup_cut_text": SQL_DEDUP_CUT_TEXT,
     }

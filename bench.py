@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "important_parts_value",
     "promo_part_suppliers",
     "dup_substring_spans",
+    "dedup_cut_text",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -614,3 +614,54 @@ def duplicate_window_spans(
             "n_windows",
         )
     )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply-side of duplicate_window_spans (the ExactSubstr CUT step):
+    rebuild each document with every duplicated span removed, keeping
+    docs with no spans intact.
+
+    Emits a narrow audit row per doc — (doc_id, n_tokens, n_kept,
+    clean_md5) — rather than the full cleaned text, so the result is
+    cheap to materialize and the md5 still pins the exact
+    reconstruction end-to-end. Callers that want the text itself use
+    the same kept-token filter without the final md5.
+
+    Scale shape: span discovery is duplicate_window_spans' two uniform
+    shuffles; the merged spans (a per-doc handful, bounded by
+    n_tokens/k) gather into one small array per doc, join back on
+    doc_id, and the token cut is a single in-row higher-order filter —
+    no token-level explode, no per-row Python.
+    """
+    spans = duplicate_window_spans(docs, k, min_count, id_col, text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), arr.alias("_toks"))
+    joined = base.join(per_doc, "doc_id", "left").withColumn(
+        "_spans",
+        F.coalesce(
+            "_spans",
+            F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        ),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+    )

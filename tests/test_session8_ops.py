@@ -102,6 +102,36 @@ def test_dup_spans_plan_two_uniform_shuffles(spark):
     assert "CartesianProduct" not in plan
 
 
+# ---------------------------------------------- cut_duplicate_spans
+
+
+def test_cut_spans_exact_reconstruction(spark):
+    """The cut rebuilds exactly the uncovered tokens: planted passage
+    removed from both docs, unique remainder preserved in order; a doc
+    that is ONE duplicated span cuts to the empty string (md5(''))."""
+    import hashlib
+
+    from mmkg_rag_spark.operators.textdedup import cut_duplicate_spans
+
+    passage = "the quick brown fox jumps"
+    rows = [
+        (1, f"alpha beta {passage} gamma delta"),
+        (2, f"{passage} epsilon zeta"),
+        (3, passage),  # fully duplicated -> empty after cut
+        (4, "entirely unique content here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_md5)
+        for r in cut_duplicate_spans(docs, k=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1] == (9, 4, md5("alpha beta gamma delta"))
+    assert out[2] == (7, 2, md5("epsilon zeta"))
+    assert out[3] == (5, 0, md5(""))
+    assert out[4] == (4, 4, md5("entirely unique content here"))
+
+
 # ------------------------------------------- TPC-H completion shapes
 
 
