@@ -5642,6 +5642,72 @@ WHERE EXISTS (SELECT 1 FROM winners WHERE l_suppkey = s_suppkey)
 """
 
 
+_Q5_REGION = "ASIA"
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue by nation for
+    orders where the CUSTOMER and SUPPLIER share a nation inside one
+    region, for one year — the only TPC-H query whose join graph is
+    cyclic (the c_nationkey = s_nationkey edge closes the loop). The
+    same-nation test is an extra equi-condition on the supplier
+    broadcast join, never a second fact pass. Scale shape: the year
+    filter prunes orders at the scan; customer and the region-filtered
+    supplier/nation both broadcast; ONE fact shuffle (lineitem ⋈
+    pruned orders) and one 5-key aggregate exchange; revenue is exact
+    DECIMAL."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == _Q5_REGION)
+    sn = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(sn),
+            (li["l_suppkey"] == sn["s_suppkey"])
+            & (c["c_nationkey"] == sn["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_rev_dec()).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE), 2)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = '{_Q5_REGION}'
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
 _DUPSPAN_K = 8
 _DUPSPAN_MIN = 2
 
@@ -5876,6 +5942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_part_suppliers": q_promo_part_suppliers,
         "dup_substring_spans": q_dup_substring_spans,
         "dedup_cut_text": q_dedup_cut_text,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -6001,4 +6068,5 @@ def oracle_sql() -> dict[str, str]:
         "promo_part_suppliers": SQL_PROMO_PART_SUPPLIERS,
         "dup_substring_spans": SQL_DUP_SUBSTRING_SPANS,
         "dedup_cut_text": SQL_DEDUP_CUT_TEXT,
+        "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     }

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "promo_part_suppliers",
     "dup_substring_spans",
     "dedup_cut_text",
+    "local_supplier_volume",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -504,7 +504,8 @@ def test_session8_tpch_completion_shapes(spark):
     # which plans as a BNLJ with a single-row build side — constant
     # cost at any scale, so it is exempt from the BNLJ ban.
     for name in ("min_cost_supplier", "returned_item_customers",
-                 "important_parts_value", "promo_part_suppliers"):
+                 "important_parts_value", "promo_part_suppliers",
+                 "local_supplier_volume"):
         plan = _plan(qs[name](spark, sf))
         assert "CartesianProduct" not in plan, name
         if name != "important_parts_value":
