@@ -1265,27 +1265,28 @@ SELECT query_id, nn_id, rank, score FROM ranked WHERE rank <= {k}
 """
 
 
-def _sql_ann_ivf(
-    k: int = 5, n_lists: int = 16, n_probe: int = 4, dim: int = 64,
-    kmeans_iters: int = 2,
-) -> str:
-    """DuckDB twin of ann.ivf_topk_cosine — the k-means is reproduced IN SQL.
+def _sql_kmeans_dist(a: str, b: str, dim: int) -> str:
+    return (
+        f"round(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), 6)"
+    )
+
+
+def _sql_kmeans_ctes(
+    n_lists: int, kmeans_iters: int, dim: int
+) -> tuple[list[str], str]:
+    """Shared CTE prefix reproducing ann._kmeans_centroids in DuckDB:
+    ``e`` (the vectors), the unrolled Lloyd loop, and ``a_final`` (the
+    final (vec_id, v, list_id) assignment). Returns (ctes, name of the
+    final centroid CTE). Used by the IVF and SemDeDup oracles.
 
     Parity design: both engines round every centroid distance to 6 dp
     before the argmin and every centroid mean to 9 dp, so assignments and
     centroids are pure functions of the rounded values — summation-order
     float noise (Spark's sequential zip_with vs DuckDB's list_sum /
-    partition-merge AVG) cannot flip anything. The Lloyd loop is unrolled
-    (kmeans_iters CTE pairs), init = the n_lists smallest-id vectors,
-    empty lists keep their previous centroid (COALESCE left join), exactly
-    like the operator.
-    """
-    def dist(a: str, b: str) -> str:
-        return (
-            f"round(list_sum(list_transform(generate_series(1, {dim}), "
-            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), 6)"
-        )
-
+    partition-merge AVG) cannot flip anything. Init = the n_lists
+    smallest-id vectors; empty lists keep their previous centroid
+    (COALESCE left join), exactly like the operator."""
     avg_list = ", ".join(f"round(avg(v[{i + 1}]), 9)" for i in range(dim))
 
     def assign_cte(name: str, cents: str) -> str:
@@ -1293,14 +1294,13 @@ def _sql_ann_ivf(
   SELECT vec_id, v, list_id FROM (
     SELECT e.vec_id, e.v, c.list_id,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        ORDER BY {dist('e.v', 'c.v')}, c.list_id) AS rn
+        ORDER BY {_sql_kmeans_dist('e.v', 'c.v', dim)}, c.list_id) AS rn
     FROM e CROSS JOIN {cents} c
   ) WHERE rn = 1
 )"""
 
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)",
         f"""c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, v
   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_lists})
@@ -1321,6 +1321,23 @@ def _sql_ann_ivf(
         )
         prev = f"c{it}"
     ctes.append(assign_cte("a_final", prev))
+    return ctes, prev
+
+
+def _sql_ann_ivf(
+    k: int = 5, n_lists: int = 16, n_probe: int = 4, dim: int = 64,
+    kmeans_iters: int = 2,
+) -> str:
+    """DuckDB twin of ann.ivf_topk_cosine — the k-means is reproduced IN
+    SQL via the shared _sql_kmeans_ctes prefix (see its docstring for the
+    rounding-based parity design)."""
+    def dist(a: str, b: str) -> str:
+        return _sql_kmeans_dist(a, b, dim)
+
+    ctes, prev = _sql_kmeans_ctes(n_lists, kmeans_iters, dim)
+    ctes.insert(
+        1, "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)"
+    )
     ctes.append(
         f"""probe AS (
   SELECT query_id, qv, list_id FROM (
@@ -5708,6 +5725,48 @@ GROUP BY 1
 """
 
 
+_SEMDEDUP_TAU = 0.4
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (ann.semdedup_survivors): embedding-cluster-then-prune
+    semantic dedup — deterministic k-means (shared with IVF), then drop
+    every vector with a smaller-id cluster-mate at cosine ≥ τ. The
+    oracle reproduces the whole k-means + the cluster-bucketed pair
+    test in SQL via the shared _sql_kmeans_ctes prefix."""
+    from mmkg_rag_spark.operators.ann import semdedup_survivors
+
+    return semdedup_survivors(
+        _t(spark, sf_dir, "embeddings"), tau=_SEMDEDUP_TAU
+    )
+
+
+def _sql_semdedup(
+    n_lists: int = 16, kmeans_iters: int = 2, dim: int = 64,
+    tau: float = _SEMDEDUP_TAU,
+) -> str:
+    """DuckDB twin of ann.semdedup_survivors: shared k-means CTEs, then
+    the min-id survivor rule as a NOT-EXISTS over same-cluster pairs
+    (cosine rounded to 6 dp pre-compare on both engines)."""
+    ctes, _ = _sql_kmeans_ctes(n_lists, kmeans_iters, dim)
+    ctes.append(
+        f"""dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM a_final a JOIN a_final b
+    ON a.list_id = b.list_id AND a.vec_id > b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= {tau}
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id"
+        + "\nFROM a_final a"
+        + "\nWHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)"
+    )
+
+
 _DUPSPAN_K = 8
 _DUPSPAN_MIN = 2
 
@@ -5943,6 +6002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_substring_spans": q_dup_substring_spans,
         "dedup_cut_text": q_dedup_cut_text,
         "local_supplier_volume": q_local_supplier_volume,
+        "semdedup": q_semdedup,
     }
 
 
@@ -6069,4 +6129,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_substring_spans": SQL_DUP_SUBSTRING_SPANS,
         "dedup_cut_text": SQL_DEDUP_CUT_TEXT,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "semdedup": _sql_semdedup(),
     }

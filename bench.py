@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "dup_substring_spans",
     "dedup_cut_text",
     "local_supplier_volume",
+    "semdedup",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -455,6 +455,128 @@ def ivf_tuning_report(
     }
 
 
+def _nearest_list_expr(vec, cents_arr):
+    """Column: index of the nearest centroid (min squared L2).
+
+    argmin via sort-of-structs: the distance array is referenced ONCE.
+    (A chained when(d<best,…) min doubles the expression tree per
+    centroid — 2^K nodes, OOMs codegen at K=16.) The centroids are a
+    single literal matrix walked by one transform lambda — K separate
+    per-centroid subtrees pay per-tree codegen cost, the same cliff as
+    the LSH plane matrix (ann._bucket_key_structs).
+
+    Distances are rounded to 6 decimals before the argmin so the chosen
+    list is a pure function of the rounded values — summation-order
+    float noise (different partial-sum trees across engines/partitions)
+    can never flip an assignment, which is what lets a SQL oracle
+    reproduce the whole k-means exactly. The transform's fold is the
+    identical sequential zip_with sum, so assignments are bit-identical
+    to the per-centroid form.
+    """
+    matrix = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents_arr]
+    )
+    arr = F.transform(
+        matrix,
+        lambda cent, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                ),
+                6,
+            ).alias("d"),
+            i.alias("list_id"),
+        ),
+    )
+    return F.element_at(F.array_sort(arr), 1)["list_id"]
+
+
+def _kmeans_centroids(c, n_lists: int, kmeans_iters: int):
+    """Deterministic Lloyd k-means over (nn_id, v) rows; the driver holds
+    only the K centroids. Init = the n_lists smallest-id vectors;
+    assignment via _nearest_list_expr (6-dp-rounded distances); update =
+    groupBy mean rounded to 9 dp (F.avg's partition-merge order differs
+    from any other engine's AVG; rounding collapses the ~1e-15 noise so
+    the centroid coordinates are engine-independent). Empty lists keep
+    their previous centroid. Shared by IVF search and SemDeDup, and
+    reproduced verbatim by the SQL oracles (_sql_kmeans_ctes)."""
+    import numpy as np
+
+    cents = np.array(
+        [r.v for r in c.orderBy("nn_id").limit(n_lists).collect()],
+        dtype=np.float64,
+    )
+    for _ in range(kmeans_iters):
+        assigned = c.withColumn("list_id", _nearest_list_expr(F.col("v"), cents))
+        dim = len(cents[0])
+        means = (
+            assigned.select(
+                "list_id",
+                *[F.element_at("v", i + 1).alias(f"d{i}") for i in range(dim)],
+            )
+            .groupBy("list_id")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r.list_id] = [round(r[f"d{i}"], 9) for i in range(dim)]
+        cents = new
+    return cents
+
+
+def semdedup_survivors(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    kmeans_iters: int = 2,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup —
+    cluster the embeddings, then within each cluster drop every vector
+    that has a smaller-id neighbor with cosine ≥ tau. The min-id
+    survivor rule is the deterministic stand-in for the paper's
+    keep-one-per-duplicate-group step; survivors = vectors with no
+    higher-similarity smaller-id cluster-mate.
+
+    Scale shape — the paper's own trick, kept intact: the pairwise
+    cosine test is CLUSTER-BUCKETED (an equi-join on list_id), so
+    candidate pairs are Σ_c |c|², never |D|²; clustering is the same
+    deterministic k-means as IVF (shared _kmeans_centroids, so the SQL
+    oracle reproduces the assignments exactly); the cosine is an in-row
+    fold rounded to 6 dp before the threshold compare (engine-exact);
+    survivors come from a LEFT ANTI join against the dropped ids — no
+    connected components needed for the greedy rule.
+
+    Returns (vec_id, list_id) survivor rows.
+    """
+    c = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col).alias("nn_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).cache()
+    cents = _kmeans_centroids(c, n_lists, kmeans_iters)
+    assigned = c.withColumn("list_id", _nearest_list_expr(F.col("v"), cents))
+    dropped = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.nn_id") > F.col("b.nn_id")),
+        )
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= tau)
+        .select(F.col("a.nn_id").alias("nn_id"))
+    )
+    return assigned.join(dropped, "nn_id", "left_anti").select(
+        F.col("nn_id").alias("vec_id"),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+
+
 def ivf_topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -487,81 +609,10 @@ def ivf_topk_cosine(
         F.col(query_vec_col).cast("array<double>").alias("qv"),
     )
 
-    # ---- deterministic k-means (driver holds only K centroids) ----
-    import numpy as np
-
-    cents = np.array(
-        [r.v for r in c.orderBy("nn_id").limit(n_lists).collect()], dtype=np.float64
-    )
-
-    def _dist(vec, cent):
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in cent]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-
-    def _assign_expr(vec, cents_arr):
-        """Column: index of the nearest centroid (min squared L2).
-
-        argmin via sort-of-structs: the distance array is referenced ONCE.
-        (A chained when(d<best,…) min doubles the expression tree per
-        centroid — 2^K nodes, OOMs codegen at K=16.) The centroids are a
-        single literal matrix walked by one transform lambda — K separate
-        per-centroid subtrees pay per-tree codegen cost, the same cliff as
-        the LSH plane matrix (ann._bucket_key_structs).
-
-        Distances are rounded to 6 decimals before the argmin so the chosen
-        list is a pure function of the rounded values — summation-order
-        float noise (different partial-sum trees across engines/partitions)
-        can never flip an assignment, which is what lets a SQL oracle
-        reproduce the whole k-means exactly. The transform's fold is the
-        identical sequential zip_with sum, so assignments are bit-identical
-        to the per-centroid form.
-        """
-        matrix = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents_arr]
-        )
-        arr = F.transform(
-            matrix,
-            lambda cent, i: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda s, x: s + x,
-                    ),
-                    6,
-                ).alias("d"),
-                i.alias("list_id"),
-            ),
-        )
-        return F.element_at(F.array_sort(arr), 1)["list_id"]
-
-    for _ in range(kmeans_iters):
-        assigned = c.withColumn("list_id", _assign_expr(F.col("v"), cents))
-        dim = len(cents[0])
-        means = (
-            assigned.select(
-                "list_id", *[F.element_at("v", i + 1).alias(f"d{i}") for i in range(dim)]
-            )
-            .groupBy("list_id")
-            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
-            .collect()
-        )
-        new = cents.copy()
-        for r in means:
-            # 9-dp rounding: F.avg's partition-merge order differs from any
-            # other engine's AVG; rounding collapses the ~1e-15 noise so the
-            # centroid coordinates are engine-independent
-            new[r.list_id] = [round(r[f"d{i}"], 9) for i in range(dim)]
-        cents = new
-
-    corpus_l = c.withColumn("list_id", _assign_expr(F.col("v"), cents)).cache()
+    cents = _kmeans_centroids(c, n_lists, kmeans_iters)
+    corpus_l = c.withColumn(
+        "list_id", _nearest_list_expr(F.col("v"), cents)
+    ).cache()
 
     # ---- probe: n_probe nearest lists per query (same fused matrix) ----
     cent_matrix = F.array(

@@ -132,6 +132,35 @@ def test_cut_spans_exact_reconstruction(spark):
     assert out[4] == (4, 4, md5("entirely unique content here"))
 
 
+# ------------------------------------------------ semdedup_survivors
+
+
+def test_semdedup_min_id_survivor_per_near_dup_group(spark):
+    """Two near-identical vectors in the same cluster keep only the
+    smaller id; the distant vector and the other cluster survive."""
+    from mmkg_rag_spark.operators.ann import semdedup_survivors
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),   # cos(1,2) ≈ 1 → dropped (id 2 > 1)
+        (3, [0.0, 1.0]),      # orthogonal to 1/2 → survives
+        (4, [-1.0, 0.0]),     # own cluster → survives
+    ]
+    docs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semdedup_survivors(docs, n_lists=2, kmeans_iters=1, tau=0.9)
+    assert {r.vec_id for r in out.collect()} == {1, 3, 4}
+
+
+def test_semdedup_tau_one_keeps_everything_but_exact_dups(spark):
+    """τ just above every pairwise cosine keeps the full corpus."""
+    from mmkg_rag_spark.operators.ann import semdedup_survivors
+
+    rows = [(i, [float(i + 1), float((i * 7) % 5)]) for i in range(6)]
+    docs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semdedup_survivors(docs, n_lists=2, kmeans_iters=1, tau=1.0000001)
+    assert out.count() == 6
+
+
 # ------------------------------------------- TPC-H completion shapes
 
 
