@@ -5725,6 +5725,36 @@ GROUP BY 1
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (curation.leakage_safe_split):
+    the split hashes the exact-dedup group representative, so duplicate
+    documents can never straddle a split boundary. One fingerprint
+    exchange; the draw is the engine-portable md5 ppm (SQL_DRAW_PPM
+    pattern on keep_id)."""
+    return curation.leakage_safe_split(_tp(spark, sf_dir, "documents"))
+
+
+SQL_DATASET_SPLIT = f"""
+WITH fp AS (
+  SELECT doc_id, {ts.sql_fingerprint('text')} AS f FROM documents
+),
+rep AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS keep_id FROM fp
+),
+d AS (
+  SELECT doc_id, keep_id,
+         CAST(('0x' || substr(md5(CAST(keep_id AS VARCHAR) || '|42'), 1, 8))
+              AS BIGINT) % 1000000 AS u
+  FROM rep
+)
+SELECT doc_id, keep_id,
+       CASE WHEN u < 980000 THEN 'train'
+            WHEN u < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM d
+"""
+
+
 _SEMDEDUP_TAU = 0.4
 
 
@@ -6003,6 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cut_text": q_dedup_cut_text,
         "local_supplier_volume": q_local_supplier_volume,
         "semdedup": q_semdedup,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -6130,4 +6161,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cut_text": SQL_DEDUP_CUT_TEXT,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "semdedup": _sql_semdedup(),
+        "dataset_split": SQL_DATASET_SPLIT,
     }

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "dedup_cut_text",
     "local_supplier_volume",
     "semdedup",
+    "dataset_split",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

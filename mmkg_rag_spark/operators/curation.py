@@ -460,3 +460,47 @@ def sample_weighted_topk(
     )
     rk = F.row_number().over(part.orderBy("priority", "id"))
     return out.withColumn("rk", rk).filter(F.col("rk") <= k)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    train_ppm: int = 980_000,
+    val_ppm: int = 990_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split decision hashes
+    the EXACT-DEDUP GROUP representative (min id among docs sharing a
+    text fingerprint), so byte-identical duplicates can never straddle a
+    split boundary — the standard train/test contamination guard in
+    corpus pipelines (a duplicated document split across train and test
+    silently inflates eval).
+
+    Thresholds are parts-per-million on the same engine-portable md5
+    draw as sample_stratified (uniform_ppm): u < train_ppm → train,
+    u < val_ppm → val, else test. The assignment is a pure function of
+    (group representative, seed): partition-invariant, cluster-size
+    invariant, and superset-stable — new UNIQUE documents never move
+    existing ones, and a new duplicate lands in its twin's split.
+
+    Scale shape: ONE exchange (the fingerprint window min — uniform
+    128-bit key); the draw and the threshold CASE are map-only.
+    Returns (doc_id, keep_id, split).
+    """
+    from ..functions.textstats import fingerprint
+
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    rep = fp.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("_fp"))
+    )
+    u = uniform_ppm("keep_id", seed)
+    split = (
+        F.when(u < train_ppm, "train")
+        .when(u < val_ppm, "val")
+        .otherwise("test")
+    )
+    return rep.select("doc_id", "keep_id", split.alias("split"))

@@ -161,6 +161,47 @@ def test_semdedup_tau_one_keeps_everything_but_exact_dups(spark):
     assert out.count() == 6
 
 
+# ------------------------------------------------ leakage_safe_split
+
+
+def test_split_duplicates_never_straddle(spark):
+    """Byte-identical (post-normalization) duplicates always land in the
+    same split, keyed by the min doc_id of the group; split values are
+    exhaustive."""
+    from mmkg_rag_spark.operators.curation import leakage_safe_split
+
+    rows = [
+        (1, "Shared   Text here"),
+        (7, "shared text HERE"),   # same fingerprint as 1 (normalized)
+        (3, "unique one"),
+        (4, "unique two"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.keep_id, r.split) for r in
+           leakage_safe_split(docs).collect()}
+    assert out[1] == out[7]            # same rep, same split
+    assert out[1][0] == 1
+    assert {v[1] for v in out.values()} <= {"train", "val", "test"}
+
+
+def test_split_is_partition_invariant(spark):
+    """The assignment is a pure function of (rep, seed): identical under
+    a different partitioning of the same input."""
+    from mmkg_rag_spark.operators.curation import leakage_safe_split
+
+    rows = [(i, f"doc number {i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r.doc_id: r.split for r in leakage_safe_split(docs).collect()}
+    b = {r.doc_id: r.split for r in
+         leakage_safe_split(docs.repartition(17)).collect()}
+    assert a == b
+    # 98/1/1 ppm thresholds: train dominates on 200 unique docs
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > 180
+
+
 # ------------------------------------------- TPC-H completion shapes
 
 
