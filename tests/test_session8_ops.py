@@ -161,6 +161,51 @@ def test_semdedup_tau_one_keeps_everything_but_exact_dups(spark):
     assert out.count() == 6
 
 
+def test_spans_and_cut_reconcile_on_random_corpus(spark):
+    """Cross-operator invariant on a seeded random corpus engineered to
+    be duplicate-heavy (tiny vocab): per doc, the merged spans are
+    disjoint, sorted, within bounds, each ≥ k tokens — and the CUT's
+    kept count equals n_tokens minus the spans' covered tokens, i.e.
+    coverage(union of windows) == union(merged spans), tying the two
+    operators together exactly."""
+    import random
+
+    from mmkg_rag_spark.operators.textdedup import (
+        cut_duplicate_spans,
+        duplicate_window_spans,
+    )
+
+    rng = random.Random(0)
+    vocab = [f"w{i}" for i in range(7)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = 3
+    spans = duplicate_window_spans(docs, k=k).collect()
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    n_toks = {i: len(t.split()) for i, t in rows}
+    covered = {}
+    for doc_id, ss in per_doc.items():
+        ss.sort(key=lambda r: r.span_start)
+        prev_end = -1
+        for r in ss:
+            assert 0 <= r.span_start < r.span_end <= n_toks[doc_id]
+            assert r.dup_tokens == r.span_end - r.span_start >= k
+            assert r.n_windows >= 1
+            assert r.span_start > prev_end, "spans must be disjoint, gap ≥ 1"
+            prev_end = r.span_end
+        covered[doc_id] = sum(r.dup_tokens for r in ss)
+    cut = {r.doc_id: r for r in cut_duplicate_spans(docs, k=k).collect()}
+    assert set(cut) == set(n_toks)
+    for doc_id, r in cut.items():
+        assert r.n_tokens == n_toks[doc_id]
+        assert r.n_kept == r.n_tokens - covered.get(doc_id, 0)
+
+
 # ------------------------------------------------ leakage_safe_split
 
 
