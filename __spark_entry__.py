@@ -5898,6 +5898,231 @@ FROM cut
 """
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by PMI lift (operators/relevance.
+    pmi_collocations): the Church-&-Hanks phrase-mining pass a corpus
+    pipeline runs before tokenizer training. In-row bigram build (no
+    (doc, position) shuffle), term-keyed unigram joins, corpus totals as
+    broadcast 1-row scalars, min_count>=5 gate, deterministic (lt, rt)
+    tiebreak on the top-k cut. The only float op is ONE fixed-association
+    double expression per surviving pair — written identically in the
+    oracle, so the hashes match bit-for-bit."""
+    from mmkg_rag_spark.operators.relevance import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5, k=50)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH arrs AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS a
+  FROM documents
+),
+bg AS (
+  SELECT a[j] AS lt, a[j + 1] AS rt
+  FROM arrs, unnest(range(1, len(a))) AS u(j)
+),
+pair_cnt AS (
+  SELECT lt, rt, CAST(count(*) AS BIGINT) AS pair_cnt FROM bg GROUP BY 1, 2
+),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY 1
+),
+n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+n_bi AS (SELECT CAST(SUM(pair_cnt) AS BIGINT) AS n_bi FROM pair_cnt)
+SELECT lt, rt, pair_cnt, left_cnt, right_cnt,
+       round(
+         ((CAST(pair_cnt AS DOUBLE) * CAST(n_uni AS DOUBLE))
+            * CAST(n_uni AS DOUBLE))
+         / ((CAST(n_bi AS DOUBLE) * CAST(left_cnt AS DOUBLE))
+              * CAST(right_cnt AS DOUBLE)),
+         6) AS lift
+FROM (
+  SELECT p.lt, p.rt, p.pair_cnt, ul.c AS left_cnt, ur.c AS right_cnt
+  FROM pair_cnt p
+  JOIN uni ul ON ul.term = p.lt
+  JOIN uni ur ON ur.term = p.rt
+  WHERE p.pair_cnt >= 5
+), n_uni, n_bi
+ORDER BY lift DESC, lt, rt
+LIMIT 50
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy-hitters (share > 1/(k+1), k=31) via a Misra-Gries
+    nomination pass (functions/heavyhitters.heavy_hitters): a map-only
+    O(k)-state sketch nominates candidates (provably a superset of the
+    heavy hitters), then ONE semi-join recount confirms them exactly —
+    the full vocabulary is never shuffled. The oracle is the naive exact
+    GROUP BY + HAVING twin; the MG pass can only over-nominate, never
+    change the answer, so they agree bit-for-bit (all-integer math,
+    share_ppm by integer DIV on both engines)."""
+    from mmkg_rag_spark.functions.heavyhitters import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    return heavy_hitters(d, k=31)
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE term <> '' GROUP BY 1
+),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM c)
+SELECT term, cnt, n_tokens,
+       CAST(cnt * 1000000 // n_tokens AS BIGINT) AS share_ppm
+FROM c, t
+WHERE cnt * 32 > n_tokens
+ORDER BY cnt DESC, term
+"""
+
+
+_BPE_MERGES = 24
+
+
+def _sql_bpe_chain(n: int) -> str:
+    """Shared CTE chain for the BPE oracles: the merge loop UNROLLED as
+    ``n`` (pair-count -> argmax -> apply) CTE triples over the
+    word-frequency table. Words ride as delimited symbol strings
+    ``|s1||s2||...|``; applying a merge is ONE ``replace`` of
+    ``|a||b|`` with ``|ab|`` — each occurrence owns its delimiters, so
+    SQL's non-overlapping left-to-right replace is exactly the trainer's
+    ``_apply_merge`` (adjacent occurrences share no characters)."""
+    parts = [
+        # AS MATERIALIZED is load-bearing: w{i} is referenced twice per
+        # level (p{i+1} and w{i+1}); inlined CTEs would expand to 2^n
+        # scans of the parquet.
+        "WITH wc AS MATERIALIZED (",
+        "  SELECT word, CAST(count(*) AS BIGINT) AS cnt",
+        "  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)",
+        "  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY 1",
+        "),",
+        "w0 AS MATERIALIZED (",
+        "  SELECT '|' || array_to_string(",
+        "           list_append(regexp_extract_all(word, '.'), '</w>'), '||')",
+        "         || '|' AS s, cnt",
+        "  FROM wc",
+        ")",
+    ]
+    for i in range(1, n + 1):
+        parts += [
+            f", p{i} AS (",
+            f"  SELECT sy[j] AS l, sy[j + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c",
+            f"  FROM (SELECT string_split(trim(s, '|'), '||') AS sy, cnt FROM w{i - 1}) t,",
+            f"       unnest(range(1, len(sy))) AS u(j)",
+            f"  GROUP BY 1, 2",
+            f"), m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1)",
+            f", w{i} AS MATERIALIZED (",
+            f"  SELECT replace(w.s, '|' || m.l || '||' || m.r || '|',",
+            f"                 '|' || m.l || m.r || '|') AS s, w.cnt",
+            f"  FROM w{i - 1} w, m{i} m",
+            f")",
+        ]
+    return "\n".join(parts)
+
+
+def _sql_bpe_merges(n: int = _BPE_MERGES) -> str:
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS rk, l AS lt, r AS rt, c AS pair_cnt FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    return f"{_sql_bpe_chain(n)}\nSELECT * FROM (\n{union}\n) ORDER BY rk"
+
+
+def _sql_bpe_encode(n: int = _BPE_MERGES) -> str:
+    """Encode oracle: apply the learned replace chain to every distinct
+    word once, count surviving symbols, join the per-word token cost back
+    onto the exploded documents. Equivalent to the trainer's
+    lowest-rank-first encode because a merge's operand symbols always
+    predate it (rank order IS dependency order)."""
+    expr = "s0"
+    for i in range(1, n + 1):
+        expr = (
+            f"replace({expr},"
+            f" (SELECT '|' || l || '||' || r || '|' FROM m{i}),"
+            f" (SELECT '|' || l || r || '|' FROM m{i}))"
+        )
+    return f"""{_sql_bpe_chain(n)}
+, vocab AS (
+  SELECT word,
+         '|' || array_to_string(
+           list_append(regexp_extract_all(word, '.'), '</w>'), '||') || '|' AS s0
+  FROM wc
+),
+enc AS (
+  SELECT word,
+         CAST(len(string_split(trim({expr}, '|'), '||')) AS BIGINT) AS n_syms
+  FROM vocab
+),
+docw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+stats AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(SUM(e.n_syms) AS BIGINT) AS n_bpe_tokens
+  FROM docw d JOIN enc e USING (word)
+  WHERE d.word <> '' GROUP BY 1
+)
+SELECT doc.doc_id,
+       coalesce(s.n_words, 0) AS n_words,
+       coalesce(s.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents doc LEFT JOIN stats s USING (doc_id)
+ORDER BY doc.doc_id
+"""
+
+
+def _train_corpus_bpe(spark, sf_dir):
+    """Shared train step for the two BPE queries: one corpus groupBy to
+    the word-frequency table, then the merge loop on the driver over the
+    BOUNDED table (functions/bpe.train_bpe; cap + dropped-tail counts
+    disclosed in its stats row). Tokens containing the oracle's '|'
+    delimiter are excluded on both engines (none exist in the corpus;
+    the exclusion keeps the contract exact rather than assumed)."""
+    from mmkg_rag_spark.functions import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    wc = bpe.word_counts(d).filter(~F.col("word").contains("|"))
+    merges, _stats = bpe.train_bpe(
+        wc, n_merges=_BPE_MERGES, min_pair_count=1, max_vocab_words=100_000
+    )
+    return d, merges
+
+
+def q_bpe_merge_table(spark, sf_dir):
+    """BPE tokenizer training (functions/bpe.train_bpe): the learned
+    merge table (rk, lt, rt, pair_cnt) for 24 merges. ONE distributed
+    word-count shuffle; the merge loop runs on the driver over the
+    bounded word-frequency table (the way production BPE trainers scale
+    — pair statistics never need the corpus again). Oracle: the merge
+    loop UNROLLED as 24 chained argmax CTEs in DuckDB — an iterative
+    algorithm made hash-checkable, not rows-only."""
+    d, merges = _train_corpus_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r, a, b, c) for r, a, b, c in merges],
+        "rk INT, lt STRING, rt STRING, pair_cnt LONG",
+    )
+
+
+def q_bpe_encode_stats(spark, sf_dir):
+    """BPE encode (functions/bpe.encode_bpe): per-document (n_words,
+    n_bpe_tokens) under the merges learned on this corpus. Map-only
+    Arrow encode with the rank table broadcast and a per-task
+    distinct-word memo — the Python cost is per (task, distinct word),
+    not per token. Oracle applies the same 24-replace chain to each
+    distinct word and joins the per-word cost back (rank order is
+    dependency order, so chain-apply == lowest-rank-first encode)."""
+    from mmkg_rag_spark.functions.bpe import encode_bpe
+
+    d, merges = _train_corpus_bpe(spark, sf_dir)
+    return encode_bpe(d, merges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6034,6 +6259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "semdedup": q_semdedup,
         "dataset_split": q_dataset_split,
+        "pmi_collocations": q_pmi_collocations,
+        "heavy_hitters": q_heavy_hitters,
+        "bpe_merge_table": q_bpe_merge_table,
+        "bpe_encode_stats": q_bpe_encode_stats,
     }
 
 
@@ -6162,4 +6391,8 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "semdedup": _sql_semdedup(),
         "dataset_split": SQL_DATASET_SPLIT,
+        "pmi_collocations": SQL_PMI_COLLOCATIONS,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "bpe_merge_table": _sql_bpe_merges(),
+        "bpe_encode_stats": _sql_bpe_encode(),
     }

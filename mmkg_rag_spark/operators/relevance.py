@@ -339,3 +339,83 @@ def term_lift(
             "rk",
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the classic collocation detector (Church & Hanks 1990) phrase-mining
+    step a web-corpus vocabulary pipeline runs before tokenizer training
+    ("new york", "machine learning" fuse into units).
+
+    PMI(x,y) = ln( P(xy) / (P(x)·P(y)) ). Because ln is monotone, the
+    RANKING is fully determined by the lift ratio
+
+        lift = (c_xy · N_u · N_u) / (N_b · c_x · c_y)
+
+    which this operator computes in IEEE double with a FIXED operand
+    association — ((c_xy·N_u)·N_u) / (((N_b·c_x)·c_y)) — written
+    identically in the DuckDB oracle, so both engines produce
+    bit-identical doubles from exact integer counts (no engine-ordered
+    float SUM anywhere; the only float op is this one expression per
+    surviving pair). No ln() is emitted at all: the monotone transform
+    is dropped rather than rounded.
+
+    Plan: in-row bigram build (shifted-slice zip, same shape as
+    ngram_counts — no (doc, position) window shuffle) → one bigram-keyed
+    groupBy → unigram counts joined on each side (term-keyed shuffle
+    joins; vocab can be arbitrarily large, no broadcast assumed) →
+    corpus totals attached as broadcast 1-row scalars → min-count filter
+    → bounded TakeOrdered top-k with (left, right) tiebreak so the cut
+    is deterministic under lift ties.
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    glen = F.greatest(F.size(arr) - F.lit(1), F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(arr, 1, glen).alias("lt"), F.slice(arr, 2, glen).alias("rt")
+    )
+    bg = docs.select(F.explode(zipped).alias("z")).select(
+        F.col("z.lt").alias("lt"), F.col("z.rt").alias("rt")
+    )
+    pair_cnt = bg.groupBy("lt", "rt").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = pair_cnt.agg(F.sum("pair_cnt").alias("n_bi"))
+    lift = (
+        (F.col("pair_cnt").cast("double") * F.col("n_uni").cast("double"))
+        * F.col("n_uni").cast("double")
+    ) / (
+        (F.col("n_bi").cast("double") * F.col("left_cnt").cast("double"))
+        * F.col("right_cnt").cast("double")
+    )
+    return (
+        pair_cnt.join(
+            uni.select(F.col("term").alias("lt"), F.col("c").alias("left_cnt")),
+            "lt",
+        )
+        .join(
+            uni.select(F.col("term").alias("rt"), F.col("c").alias("right_cnt")),
+            "rt",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .filter(F.col("pair_cnt") >= min_count)
+        .select(
+            "lt",
+            "rt",
+            "pair_cnt",
+            "left_cnt",
+            "right_cnt",
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "lt", "rt")
+        .limit(k)
+    )

@@ -1,0 +1,200 @@
+"""Session-9/10 additions: PMI collocations, Misra-Gries heavy hitters,
+and BPE tokenizer training/encoding. Oracle parity at three SFs runs via
+tools/check_oracle.py; these are semantics-level invariants on synthetic
+micro-inputs (exact, hand-checkable).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(
+        master="local[4]", shuffle_partitions=8, app_name="pytest-s9ops"
+    )
+
+
+# ------------------------------------------- pmi_collocations
+
+
+def test_pmi_planted_collocation(spark):
+    """'san francisco' co-occurring twice is the only pair surviving
+    min_count=2, with lift hand-computed: (2*8*8)/(6*2*2) = 16/3."""
+    from mmkg_rag_spark.operators.relevance import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "san francisco is big"), (2, "i love san francisco")],
+        ["doc_id", "text"],
+    )
+    rows = pmi_collocations(docs, min_count=2, k=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.lt, r.rt, r.pair_cnt, r.left_cnt, r.right_cnt) == (
+        "san", "francisco", 2, 2, 2,
+    )
+    assert r.lift == pytest.approx(round(128.0 / 24.0, 6), abs=0)
+
+
+def test_pmi_bigrams_stay_within_documents(spark):
+    """Bigrams never span document boundaries: two one-word docs
+    produce zero pairs."""
+    from mmkg_rag_spark.operators.relevance import pmi_collocations
+
+    docs = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    assert pmi_collocations(docs, min_count=1, k=10).count() == 0
+
+
+def test_pmi_tiebreak_deterministic(spark):
+    """Equal-lift pairs are cut by (lt, rt) — the top-k boundary cannot
+    depend on partitioning."""
+    from mmkg_rag_spark.operators.relevance import pmi_collocations
+
+    # Four disjoint pairs, each appearing twice with identical statistics.
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b", "a b", "c d", "c d", "e f", "e f", "g h", "g h"]
+        )],
+        ["doc_id", "text"],
+    )
+    rows = pmi_collocations(docs, min_count=2, k=2).collect()
+    assert [(r.lt, r.rt) for r in rows] == [("a", "b"), ("c", "d")]
+
+
+# ------------------------------------------- heavy hitters
+
+
+def _hh_docs(spark, n_docs=20):
+    # Per doc: 'x' six times plus four singletons -> x share = 0.6.
+    return spark.createDataFrame(
+        [(i, "x x x x x x a b c d") for i in range(n_docs)],
+        ["doc_id", "text"],
+    )
+
+
+def test_heavy_hitters_exact_with_evicting_sketch(spark):
+    """k=2 counters over a 5-term vocabulary forces MG evictions, yet the
+    final answer is the exact phi-frequent set (share > 1/3): just 'x'."""
+    from mmkg_rag_spark.functions.heavyhitters import heavy_hitters
+
+    rows = heavy_hitters(_hh_docs(spark), k=2).collect()
+    assert [(r.term, r.cnt, r.n_tokens, r.share_ppm) for r in rows] == [
+        ("x", 120, 200, 600000)
+    ]
+
+
+def test_mg_candidates_superset_property(spark):
+    """The MG pass may over-nominate but never misses a term whose global
+    share exceeds 1/(k+1) — even with k=1 (majority-vote degenerate)."""
+    from mmkg_rag_spark.functions.heavyhitters import (
+        misra_gries_candidates,
+    )
+
+    toks = (
+        _hh_docs(spark)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .repartition(7)
+    )
+    cands = {r.term for r in misra_gries_candidates(toks, k=1).collect()}
+    assert "x" in cands
+
+
+def test_heavy_hitters_partition_invariant(spark):
+    """Result identical under a different input partitioning (the sketch
+    nomination varies; the exact recount doesn't)."""
+    from mmkg_rag_spark.functions.heavyhitters import heavy_hitters
+
+    a = heavy_hitters(_hh_docs(spark), k=2).collect()
+    b = heavy_hitters(_hh_docs(spark).repartition(13), k=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------- BPE
+
+
+BPE_CORPUS = "low low low lower lower newest newest newest newest widest"
+
+
+def test_bpe_first_merge_is_classic(spark):
+    """On the textbook corpus (low x3, lower x2, newest x4, widest x1) the
+    first merge is (w, e) with pair count 6 = 2 (lower) + 4 (newest)."""
+    from mmkg_rag_spark.functions import bpe
+
+    docs = spark.createDataFrame([(1, BPE_CORPUS)], ["doc_id", "text"])
+    wc = bpe.word_counts(docs)
+    merges, stats = bpe.train_bpe(wc, n_merges=3, min_pair_count=1)
+    assert merges[0] == (1, "w", "e", 6)
+    assert stats["words_dropped"] == 0 and stats["tokens_dropped"] == 0
+
+
+def test_bpe_train_partition_invariant(spark):
+    """Merges are a pure function of the word-frequency table, so input
+    partitioning cannot change them."""
+    from mmkg_rag_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [(i, BPE_CORPUS) for i in range(6)], ["doc_id", "text"]
+    )
+    m1, _ = bpe.train_bpe(bpe.word_counts(docs), n_merges=8, min_pair_count=1)
+    m2, _ = bpe.train_bpe(
+        bpe.word_counts(docs.repartition(5)), n_merges=8, min_pair_count=1
+    )
+    assert m1 == m2
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    """Distributed encode equals a driver-side recount with encode_word:
+    the memoized mapInPandas path introduces no drift."""
+    from mmkg_rag_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [(1, BPE_CORPUS), (2, "newest low"), (3, "")], ["doc_id", "text"]
+    )
+    merges, _ = bpe.train_bpe(bpe.word_counts(docs), n_merges=5, min_pair_count=1)
+    ranks = {(a, b): r for r, a, b, _ in merges}
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.encode_bpe(docs, merges).collect()
+    }
+    for doc_id, text in [(1, BPE_CORPUS), (2, "newest low"), (3, "")]:
+        words = [w for w in text.split(" ") if w]
+        want = (
+            len(words),
+            sum(len(bpe.encode_word(w, ranks)) for w in words),
+        )
+        assert got[doc_id] == want, doc_id
+
+
+def test_bpe_vocab_cap_disclosed(spark):
+    """Capping the word table drops the rare tail and DISCLOSES exactly
+    how many words/tokens the cap removed (no-silent-caps rule)."""
+    from mmkg_rag_spark.functions import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc")], ["doc_id", "text"]
+    )
+    _, stats = bpe.train_bpe(
+        bpe.word_counts(docs), n_merges=2, min_pair_count=1, max_vocab_words=2
+    )
+    assert stats["words_kept"] == 2
+    assert stats["words_dropped"] == 1
+    assert stats["tokens_dropped"] == 1  # the single 'cc'
+
+
+def test_bpe_merge_rank_order_equals_lowest_rank_first():
+    """encode_word (lowest-rank-first) agrees with sequential rank-order
+    application — the equivalence the SQL oracle's replace chain relies
+    on — including on adjacent/overlapping occurrences."""
+    from mmkg_rag_spark.functions.bpe import END, _apply_merge, encode_word
+
+    merges = [(1, "a", "b", 0), (2, "ab", "ab", 0), (3, "abab", END, 0)]
+    ranks = {(a, b): r for r, a, b, _ in merges}
+    for word in ["abab", "ababab", "aabb", "ba", "abba"]:
+        syms = tuple(word) + (END,)
+        for _, a, b, _c in merges:
+            syms = _apply_merge(syms, (a, b))
+        assert list(syms) == encode_word(word, ranks), word
