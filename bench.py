@@ -162,6 +162,11 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "semdedup",
     "dataset_split",
+    # session-9: vocabulary-pipeline classes
+    "pmi_collocations",
+    "heavy_hitters",
+    "bpe_merge_table",
+    "bpe_encode_stats",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -562,3 +562,45 @@ def test_pack_sequences_prefix_sum_shape(spark):
     assert plan.count("Generate") == 1
     assert plan.count("BroadcastHashJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_pmi_collocations_reuses_corpus_subtrees(spark):
+    """Session-9 collocation class: the top-k cut is a TakeOrdered (never a
+    global sort), there is no cartesian pair join, and at runtime AQE
+    reuses the unigram exchange/broadcast for the rt-side join and the
+    corpus-total scalar — the corpus is not re-scanned per consumer."""
+    import __spark_entry__ as se
+
+    df = se.queries()["pmi_collocations"](spark, "/root/testdata/sf0.001")
+    pre = _plan(df)
+    assert "TakeOrderedAndProject" in pre
+    assert "CartesianProduct" not in pre
+    df.collect()
+    final = _plan(df)
+    assert final.count("ReusedExchange") >= 2
+
+
+def test_heavy_hitters_two_exchanges_sketch_broadcast(spark):
+    """Session-9 heavy-hitters class: exactly TWO hash exchanges (the MG
+    candidate distinct + the confirmed recount) — the full vocabulary is
+    never shuffled — with the candidate set and the 1-row total attached
+    by broadcast."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["heavy_hitters"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("BroadcastExchange") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bench_covers_every_registered_query():
+    """Registry invariant: every queries() entry is benched (the md5-mode
+    dedup twins are carried by their production xxhash64 bench variants),
+    and every benched name resolves — a typo in BENCH_QUERIES fails here,
+    not mid-bench."""
+    import bench
+    import __spark_entry__ as se
+
+    q, b = set(se.queries()), set(bench.BENCH_QUERIES)
+    assert b - q == {"minhash_near_dup", "simhash_near_dup"}
+    assert q - b == {"minhash_near_dup_md5", "simhash_near_dup_md5"}
