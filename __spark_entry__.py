@@ -6123,6 +6123,80 @@ def q_bpe_encode_stats(spark, sf_dir):
     return encode_bpe(d, merges)
 
 
+def q_doc_term_cms(spark, sf_dir):
+    """Count-Min Sketch term frequencies (functions/cms): per-source
+    register matrices (one groupBy bounded at depth*width rows per
+    source) MERGED by register-wise addition into a corpus sketch, then
+    per-term point estimates (min over the 4 md5-derived rows) probed
+    against the broadcast register table. Output pairs each estimate
+    with the exact count — overcount >= 0 is the CMS one-sided
+    guarantee, visible per term. All-integer md5-derived hashing, so
+    DuckDB reproduces registers AND estimates bit-for-bit (the
+    events_distinct_hll_md5 precedent)."""
+    from mmkg_rag_spark.functions import cms
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    per_source = cms.cms_registers(toks, "term", group_cols=["source"])
+    merged = cms.cms_merge(per_source)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_exact"))
+    est = cms.cms_estimate(merged, exact.select("term"), "term")
+    return (
+        exact.join(est, "term")
+        .select(
+            "term",
+            "cnt_exact",
+            "cnt_est",
+            (F.col("cnt_est") - F.col("cnt_exact")).alias("overcount"),
+        )
+        .orderBy("term")
+    )
+
+
+_SQL_CMS_BUCKET = (
+    "CAST(CAST(('0x' || substr(md5(term || '|cms|' || CAST(j AS VARCHAR)), 1, 4))"
+    " AS BIGINT) % 256 AS INT)"
+)
+
+SQL_DOC_TERM_CMS = f"""
+WITH tok AS (
+  SELECT source, term
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+cells AS (
+  SELECT source, j, {_SQL_CMS_BUCKET} AS bucket
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+),
+regs AS (
+  SELECT source, j AS row_j, bucket, CAST(count(*) AS BIGINT) AS reg_cnt
+  FROM cells GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT row_j, bucket, CAST(SUM(reg_cnt) AS BIGINT) AS reg_cnt
+  FROM regs GROUP BY 1, 2
+),
+exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt_exact FROM tok GROUP BY 1
+),
+probes AS (
+  SELECT term, j, {_SQL_CMS_BUCKET} AS bucket
+  FROM exact CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+),
+est AS (
+  SELECT p.term, CAST(min(m.reg_cnt) AS BIGINT) AS cnt_est
+  FROM probes p JOIN merged m ON m.row_j = p.j AND m.bucket = p.bucket
+  GROUP BY 1
+)
+SELECT e.term, e.cnt_exact, s.cnt_est,
+       s.cnt_est - e.cnt_exact AS overcount
+FROM exact e JOIN est s USING (term)
+ORDER BY term
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6263,6 +6337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "bpe_merge_table": q_bpe_merge_table,
         "bpe_encode_stats": q_bpe_encode_stats,
+        "doc_term_cms": q_doc_term_cms,
     }
 
 
@@ -6395,4 +6470,5 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "bpe_merge_table": _sql_bpe_merges(),
         "bpe_encode_stats": _sql_bpe_encode(),
+        "doc_term_cms": SQL_DOC_TERM_CMS,
     }

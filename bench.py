@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "bpe_merge_table",
     "bpe_encode_stats",
+    "doc_term_cms",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -198,3 +198,58 @@ def test_bpe_merge_rank_order_equals_lowest_rank_first():
         for _, a, b, _c in merges:
             syms = _apply_merge(syms, (a, b))
         assert list(syms) == encode_word(word, ranks), word
+
+
+# ------------------------------------------- Count-Min Sketch
+
+
+def _cms_toks(spark):
+    # 12 distinct terms, skewed counts; term t{i} appears i+1 times.
+    rows = [(f"g{i % 2}", f"t{i}") for i in range(12) for _ in range(i + 1)]
+    return spark.createDataFrame(rows, ["g", "term"])
+
+
+def test_cms_one_sided_under_forced_collisions(spark):
+    """width=4 over 12 distinct terms forces register collisions: every
+    estimate must still be >= the exact count (the CMS one-sided
+    guarantee), and at least one term must actually overcount — proving
+    the test exercises the collision path, not a lossless sketch."""
+    from mmkg_rag_spark.functions import cms
+
+    toks = _cms_toks(spark)
+    regs = cms.cms_registers(toks, "term", depth=2, width=4)
+    exact = {r.term: r.cnt for r in toks.groupBy("term").count().withColumnRenamed("count", "cnt").collect()}
+    est = {
+        r.term: r.cnt_est
+        for r in cms.cms_estimate(
+            regs, toks.select("term").distinct(), "term", depth=2, width=4
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    assert any(est[t] > exact[t] for t in exact)
+
+
+def test_cms_registers_mergeable(spark):
+    """sketch(A union B) == sketch(A) + sketch(B) register-wise: merging
+    the per-group register tables equals sketching the whole input."""
+    from mmkg_rag_spark.functions import cms
+
+    toks = _cms_toks(spark)
+    merged = cms.cms_merge(
+        cms.cms_registers(toks, "term", depth=3, width=8, group_cols=["g"])
+    )
+    whole = cms.cms_registers(toks, "term", depth=3, width=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_partition_invariant(spark):
+    """Registers and estimates are pure functions of the multiset of
+    keys — input partitioning cannot change them."""
+    from mmkg_rag_spark.functions import cms
+
+    a = cms.cms_registers(_cms_toks(spark), "term").collect()
+    b = cms.cms_registers(_cms_toks(spark).repartition(17), "term").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
