@@ -274,6 +274,39 @@ def dedup_documents_stream(
     return deduped
 
 
+def cms_registers_stream(
+    spark: SparkSession,
+    input_dir: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """Streaming register fold for the Count-Min Sketch
+    (functions/cms.py — the batch twin is the driver query
+    ``q_doc_term_cms``).
+
+    Like the quantile sketch, CMS mergeability makes the fold a NATIVE
+    streaming aggregation: readStream(documents) → explode terms →
+    explode the depth (row, bucket) cells in-row → groupBy(row_j,
+    bucket) count. The streaming state is exactly the register matrix —
+    bounded at ``depth * width`` rows FOREVER, regardless of stream
+    length or vocabulary size (the property that makes CMS the
+    frequency structure for unbounded feeds, where exact term-keyed
+    counting state grows with the vocabulary). After any number of
+    micro-batches the complete-mode output equals the batch registers
+    register-for-register (pinned by tests/test_streaming.py), and
+    point estimates read off it with the same ``cms.cms_estimate`` the
+    batch query uses. Returns the streaming registers DataFrame;
+    callers attach a sink.
+    """
+    from .functions import cms
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    toks = stream.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return cms.cms_registers(toks, "term", depth=depth, width=width)
+
+
 NEARDUP_STATE_SCHEMA = "ids array<long>, sigs array<string>"
 NEARDUP_OUTPUT_SCHEMA = (
     "doc_id long, dup_of long, est_jaccard double, band int"

@@ -562,3 +562,52 @@ def test_quantile_sketch_registers_match_batch(spark, tmp_path_factory):
         if r.event_type != "__all__"
     }
     assert streamed_q == batch_q
+
+
+def test_cms_registers_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming CMS register fold across multiple micro-batches == batch
+    registers register-for-register, and point estimates read off the
+    streamed registers equal the batch query's estimates."""
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.functions import cms
+    from mmkg_rag_spark.streaming import cms_registers_stream
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("cms_in"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    regs = cms_registers_stream(spark, in_dir)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("cms_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.sql("select row_j, bucket, reg_cnt from cms_regs")
+    got = {(r.row_j, r.bucket): r.reg_cnt for r in streamed.collect()}
+
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    want = {
+        (r.row_j, r.bucket): r.reg_cnt
+        for r in cms.cms_registers(toks, "term").collect()
+    }
+    assert got == want and len(got) > 0
+
+    keys = toks.select("term").distinct()
+    est_stream = {
+        r.term: r.cnt_est
+        for r in cms.cms_estimate(streamed, keys, "term").collect()
+    }
+    est_batch = {
+        r.term: r.cnt_est
+        for r in cms.cms_estimate(
+            cms.cms_registers(toks, "term"), keys, "term"
+        ).collect()
+    }
+    assert est_stream == est_batch
