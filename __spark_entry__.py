@@ -6197,6 +6197,119 @@ ORDER BY term
 """
 
 
+def q_events_audience_overlap(spark, sf_dir):
+    """Pairwise audience overlap between event types via K-Minimum-Values
+    signatures (functions/kmv): per-type distinct-user estimates, and
+    per unordered type pair the union and INTERSECTION estimates — the
+    set operation HLL registers can't answer. One distinct shuffle on
+    (type, 48-bit md5 hash), a WindowGroupLimit top-k, then everything
+    downstream is bounded at k*n_types rows with broadcast joins.
+    All-integer estimates (exact below k, (k-1)*2^48 DIV kth above), so
+    the DuckDB twin matches bit-for-bit across the exact and estimated
+    regimes (sf0.001 exercises exact, sf0.01+ the estimator)."""
+    from mmkg_rag_spark.functions import kmv
+
+    e = _t(spark, sf_dir, "events")
+    sigs = kmv.kmv_signatures(e, "user_id", ["event_type"], k=32)
+    per_type = kmv.kmv_estimates(sigs, ["event_type"], k=32)
+    ov = kmv.kmv_pair_overlap(sigs, "event_type", k=32)
+    return (
+        ov.join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("g_a"),
+                    F.col("n_distinct_est").alias("est_a"),
+                )
+            ),
+            "g_a",
+        )
+        .join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("g_b"),
+                    F.col("n_distinct_est").alias("est_b"),
+                )
+            ),
+            "g_b",
+        )
+        .select(
+            F.col("g_a").alias("type_a"),
+            F.col("g_b").alias("type_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_inter",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_KMV_K = 32
+_KMV_SCALE = (_KMV_K - 1) * (1 << 48)
+
+SQL_EVENTS_AUDIENCE_OVERLAP = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS g,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|kmv'), 1, 12))
+              AS BIGINT) AS h
+  FROM events
+),
+sigs AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+),
+per_type AS (
+  SELECT g,
+         CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS BIGINT)
+              ELSE CAST({_KMV_SCALE} AS BIGINT) // max(h) END AS est
+  FROM sigs GROUP BY g
+),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b
+  FROM (SELECT DISTINCT g FROM sigs) a, (SELECT DISTINCT g FROM sigs) b
+  WHERE a.g < b.g
+),
+merged AS (
+  SELECT g_a, g_b, h, CAST(count(*) AS BIGINT) AS present_in
+  FROM (
+    SELECT p.g_a, p.g_b, s.h FROM pairs p JOIN sigs s ON s.g = p.g_a
+    UNION ALL
+    SELECT p.g_a, p.g_b, s.h FROM pairs p JOIN sigs s ON s.g = p.g_b
+  ) GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT g_a, g_b, h, present_in FROM (
+    SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
+    FROM merged
+  ) WHERE rn <= {_KMV_K}
+),
+ov AS (
+  SELECT g_a, g_b,
+         CAST(count(*) AS BIGINT) AS n_sig,
+         max(h) AS kth,
+         CAST(SUM(CASE WHEN present_in = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM top GROUP BY 1, 2
+),
+est AS (
+  SELECT g_a, g_b, n_sig, n_match,
+         CASE WHEN n_sig < {_KMV_K} THEN n_sig
+              ELSE CAST({_KMV_SCALE} AS BIGINT) // kth END AS est_union
+  FROM ov
+)
+SELECT e.g_a AS type_a, e.g_b AS type_b,
+       pa.est AS est_a, pb.est AS est_b,
+       e.est_union,
+       (e.n_match * e.est_union) // e.n_sig AS est_inter
+FROM est e
+JOIN per_type pa ON pa.g = e.g_a
+JOIN per_type pb ON pb.g = e.g_b
+ORDER BY type_a, type_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -6338,6 +6451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_table": q_bpe_merge_table,
         "bpe_encode_stats": q_bpe_encode_stats,
         "doc_term_cms": q_doc_term_cms,
+        "events_audience_overlap": q_events_audience_overlap,
     }
 
 
@@ -6471,4 +6585,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_table": _sql_bpe_merges(),
         "bpe_encode_stats": _sql_bpe_encode(),
         "doc_term_cms": SQL_DOC_TERM_CMS,
+        "events_audience_overlap": SQL_EVENTS_AUDIENCE_OVERLAP,
     }

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "bpe_merge_table",
     "bpe_encode_stats",
     "doc_term_cms",
+    "events_audience_overlap",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

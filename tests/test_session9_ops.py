@@ -253,3 +253,70 @@ def test_cms_partition_invariant(spark):
     a = cms.cms_registers(_cms_toks(spark), "term").collect()
     b = cms.cms_registers(_cms_toks(spark).repartition(17), "term").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------- KMV distinct sketch
+
+
+def test_kmv_exact_below_k(spark):
+    """Sets that never fill the signature are counted exactly — estimate
+    == true distinct, intersection == true intersection."""
+    from mmkg_rag_spark.functions import kmv
+
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(5, 15)]
+    df = spark.createDataFrame(rows, ["g", "uid"])
+    sigs = kmv.kmv_signatures(df, "uid", ["g"], k=32)
+    est = {r.g: r.n_distinct_est for r in kmv.kmv_estimates(sigs, ["g"], k=32).collect()}
+    assert est == {"a": 10, "b": 10}
+    ov = kmv.kmv_pair_overlap(sigs, "g", k=32).collect()
+    assert len(ov) == 1
+    assert (ov[0].est_union, ov[0].est_inter) == (15, 5)
+
+
+def test_kmv_estimate_within_band_above_k(spark):
+    """1000 distinct keys with k=32: the (k-1)/kth estimator lands within
+    the ~3-sigma KMV band (sigma ~ 1/sqrt(k-2) ~ 18%)."""
+    from mmkg_rag_spark.functions import kmv
+
+    df = spark.createDataFrame([("a", i) for i in range(1000)], ["g", "uid"])
+    sigs = kmv.kmv_signatures(df, "uid", ["g"], k=32)
+    est = kmv.kmv_estimates(sigs, ["g"], k=32).collect()[0].n_distinct_est
+    assert 450 <= est <= 1550, est
+
+
+def test_kmv_signatures_mergeable(spark):
+    """sig(A union B) == k smallest of sig(A) union sig(B): merging
+    signatures equals sketching the union — the property that lets
+    signatures fold across partitions/days without touching raw keys."""
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.functions import kmv
+
+    a = spark.createDataFrame([("g", i) for i in range(200)], ["g", "uid"])
+    b = spark.createDataFrame([("g", i) for i in range(150, 400)], ["g", "uid"])
+    direct = kmv.kmv_signatures(a.unionAll(b), "uid", ["g"], k=16)
+    sig_union = (
+        kmv.kmv_signatures(a, "uid", ["g"], k=16)
+        .unionAll(kmv.kmv_signatures(b, "uid", ["g"], k=16))
+        .distinct()
+        .orderBy("h")
+        .limit(16)
+    )
+    assert sorted(r.h for r in direct.collect()) == sorted(
+        r.h for r in sig_union.collect()
+    )
+
+
+def test_kmv_intersection_tracks_true_overlap(spark):
+    """Two 600-key sets overlapping in 300: the intersection estimate is
+    in the right ballpark and bounded by the union estimate."""
+    from mmkg_rag_spark.functions import kmv
+
+    rows = [("a", i) for i in range(600)] + [("b", i) for i in range(300, 900)]
+    df = spark.createDataFrame(rows, ["g", "uid"])
+    sigs = kmv.kmv_signatures(df, "uid", ["g"], k=32)
+    ov = kmv.kmv_pair_overlap(sigs, "g", k=32).collect()[0]
+    # true union 900, true intersection 300
+    assert 400 <= ov.est_union <= 1500, ov
+    assert 0 < ov.est_inter <= ov.est_union
+    assert 75 <= ov.est_inter <= 700, ov
