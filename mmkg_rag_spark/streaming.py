@@ -307,6 +307,78 @@ def cms_registers_stream(
     return cms.cms_registers(toks, "term", depth=depth, width=width)
 
 
+MG_STATE_SCHEMA = "terms array<string>, counts array<long>, n_seen long"
+MG_OUTPUT_SCHEMA = "bucket int, n_seen long, term string, mg_count long"
+
+
+def frequent_terms_stream(
+    spark: SparkSession,
+    input_dir: str,
+    k: int = 31,
+    buckets: int = 8,
+):
+    """Streaming Misra-Gries: bounded-state frequent-term candidates on an
+    unbounded feed (the continuous twin of
+    functions/heavyhitters.heavy_hitters' nomination pass).
+
+    readStream(documents) → explode terms → hash-partition terms into
+    ``buckets`` groups → ``applyInPandasWithState`` per bucket: state is
+    one mergeable-MG summary of ``k`` counters (functions/heavyhitters.
+    _merge_mg — the same fold the batch pass runs per task). Because a
+    term's tokens all land in ONE bucket, a term with global share
+    > 1/(k+1) exceeds its bucket threshold a fortiori, so the union of
+    bucket summaries is a SUPERSET of the stream's phi-heavy hitters at
+    every point in time — with total state hard-bounded at
+    ``buckets * k`` counters forever (pinned by tests/test_streaming.py).
+    Exactness needs a recount over history, which a stream cannot replay;
+    the contract is candidates-only, exactly like the batch nomination
+    stage before its semi-join recount.
+
+    Each trigger emits every bucket's full current summary tagged with
+    the bucket's running token count ``n_seen``; the rows with the
+    maximal n_seen per bucket are the final summary.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .functions.heavyhitters import _merge_mg
+
+    def fold(key, pdfs, state: GroupState):
+        bucket = int(key[0])
+        if state.exists:
+            terms, counts, n_seen = state.get
+            summary = dict(zip(terms, (int(c) for c in counts)))
+            n_seen = int(n_seen)
+        else:
+            summary, n_seen = {}, 0
+        for pdf in pdfs:
+            vc = pdf["term"].value_counts()
+            n_seen += int(vc.sum())
+            summary = _merge_mg(summary, vc, k)
+        state.update(
+            (list(summary), [summary[t] for t in summary], n_seen)
+        )
+        yield pd.DataFrame(
+            [(bucket, n_seen, t, c) for t, c in sorted(summary.items())],
+            columns=["bucket", "n_seen", "term", "mg_count"],
+        )
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    toks = stream.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    bucketed = toks.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        fold,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 NEARDUP_STATE_SCHEMA = "ids array<long>, sigs array<string>"
 NEARDUP_OUTPUT_SCHEMA = (
     "doc_id long, dup_of long, est_jaccard double, band int"

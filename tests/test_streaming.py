@@ -611,3 +611,44 @@ def test_cms_registers_stream_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert est_stream == est_batch
+
+
+def test_frequent_terms_stream_superset_and_bounded(spark, tmp_path_factory):
+    """Streaming MG candidates across micro-batches: the final per-bucket
+    summaries (max n_seen per bucket) are a SUPERSET of the batch heavy
+    hitters, with state hard-bounded at k counters per bucket."""
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.functions.heavyhitters import heavy_hitters
+    from mmkg_rag_spark.streaming import frequent_terms_stream
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("mg_in"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    k = 31
+    out = frequent_terms_stream(spark, in_dir, k=k, buckets=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        """
+        SELECT bucket, term, mg_count FROM mg_stream m
+        WHERE n_seen = (SELECT max(n_seen) FROM mg_stream WHERE bucket = m.bucket)
+        """
+    ).collect()
+    final_terms = {r.term for r in rows}
+    per_bucket: dict[int, int] = {}
+    for r in rows:
+        per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + 1
+    assert all(n <= k for n in per_bucket.values())
+
+    heavy = {r.term for r in heavy_hitters(docs, k=k).collect()}
+    assert heavy, "batch heavy hitters unexpectedly empty"
+    assert heavy <= final_terms
