@@ -6210,7 +6210,15 @@ def q_events_audience_overlap(spark, sf_dir):
     from mmkg_rag_spark.functions import kmv
 
     e = _t(spark, sf_dir, "events")
-    sigs = kmv.kmv_signatures(e, "user_id", ["event_type"], k=32)
+    # Lazy lineage cut on the k*n_types-row signature table: per_type and
+    # the pair overlap consume sigs ~8 times, and without the cut each
+    # consumer re-plans the fact-table distinct (9 scans of events in the
+    # final plan). After it, the fact is scanned once per run and every
+    # consumer reads the materialized signature rows (graph.py precedent;
+    # lazy, so the builder stays job-free).
+    sigs = kmv.kmv_signatures(e, "user_id", ["event_type"], k=32).localCheckpoint(
+        eager=False
+    )
     per_type = kmv.kmv_estimates(sigs, ["event_type"], k=32)
     ov = kmv.kmv_pair_overlap(sigs, "event_type", k=32)
     return (

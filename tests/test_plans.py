@@ -604,3 +604,32 @@ def test_bench_covers_every_registered_query():
     q, b = set(se.queries()), set(bench.BENCH_QUERIES)
     assert b - q == {"minhash_near_dup", "simhash_near_dup"}
     assert q - b == {"minhash_near_dup_md5", "simhash_near_dup_md5"}
+
+
+def test_cms_probe_broadcast_no_cartesian(spark):
+    """Session-10 CMS class: the point-estimate probe joins the bounded
+    register table by BROADCAST, never a cartesian/shuffle join; four
+    hash exchanges total (per-source registers, merge, exact counts,
+    estimate min)."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["doc_term_cms"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 4
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_kmv_single_fact_pass(spark):
+    """Session-10 KMV class: the lazy signature checkpoint collapses the
+    ~8 signature consumers onto ONE materialized fact pass — the final
+    plan contains NO parquet scans (all inputs are the checkpointed
+    k*n_types-row table) and no sort-merge join."""
+    import __spark_entry__ as se
+
+    df = se.queries()["events_audience_overlap"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()
+    final = _plan(df)
+    assert final.count("FileScan parquet") == 0
+    assert "SortMergeJoin" not in final
