@@ -336,6 +336,11 @@ def main() -> None:
         "ngram_dropped_shingles": cap_dropped_shingles(
             se._NGRAM_CAP_INFO.get(sf_dir, {})
         ),
+        # no-silent-caps: the BPE word-table cap disclosure from this run's
+        # train (words/tokens the max_vocab_words cut dropped; 0 at test SFs).
+        "bpe_train_stats": __import__(
+            "mmkg_rag_spark.functions.bpe", fromlist=["bpe"]
+        ).LAST_TRAIN_STATS,
     }
     print(json.dumps(out))
 

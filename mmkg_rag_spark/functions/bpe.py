@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 
 END = "</w>"
 
+# no-silent-caps: the most recent train_bpe's cap disclosure
+# (words_kept/words_dropped/tokens_dropped/stopped), surfaced by bench.py
+# next to the timing numbers so the vocab cap is a stated budget.
+LAST_TRAIN_STATS: dict | None = None
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) corpus word-frequency table — the single full-corpus
@@ -108,6 +113,8 @@ def train_bpe(
         merges.append((rank, a, b, cnt))
         words = {_apply_merge(s, (a, b)): c for s, c in words.items()}
     stats.setdefault("stopped", "n_merges")
+    global LAST_TRAIN_STATS
+    LAST_TRAIN_STATS = dict(stats)
     return merges, stats
 
 
