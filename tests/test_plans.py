@@ -604,6 +604,9 @@ def test_bench_covers_every_registered_query():
     q, b = set(se.queries()), set(bench.BENCH_QUERIES)
     assert b - q == {"minhash_near_dup", "simhash_near_dup"}
     assert q - b == {"minhash_near_dup_md5", "simhash_near_dup_md5"}
+    # every registered query has an oracle twin (SQL or pinned golden):
+    # a new queries() entry without one fails here, not at the driver.
+    assert q - set(se.oracle_sql()) == set()
 
 
 def test_cms_probe_broadcast_no_cartesian(spark):
