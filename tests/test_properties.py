@@ -188,3 +188,76 @@ def test_prefix_filter_lemma_complete(sets, t):
                 assert prefix(a) & prefix(b), (a, b, t)
                 assert len(b) >= t * len(a) - eps
                 assert len(a) >= t * len(b) - eps
+
+
+# --------------------------------------------------------- Misra-Gries
+
+TOKENS = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1,
+    max_size=300,
+)
+
+
+@given(TOKENS, st.integers(min_value=1, max_value=5), st.integers(min_value=1, max_value=8))
+@settings(max_examples=200, deadline=None)
+def test_merge_mg_superset_guarantee(tokens, k, n_chunks):
+    """After folding an arbitrary stream through the mergeable-MG combine
+    in arbitrary chunkings, every item with count > n/(k+1) survives in
+    the summary, and the summary never exceeds k counters."""
+    import pandas as pd
+
+    from mmkg_rag_spark.functions.heavyhitters import _merge_mg
+
+    summary: dict[str, int] = {}
+    size = max(1, len(tokens) // n_chunks)
+    for i in range(0, len(tokens), size):
+        chunk = pd.Series(tokens[i : i + size]).value_counts()
+        summary = _merge_mg(summary, chunk, k)
+    assert len(summary) <= k
+    n = len(tokens)
+    from collections import Counter
+
+    for term, cnt in Counter(tokens).items():
+        if cnt * (k + 1) > n:
+            assert term in summary, (term, cnt, n, k, summary)
+
+
+# --------------------------------------------------------- BPE
+
+WORD = st.text(alphabet="ab", min_size=0, max_size=12)
+
+
+@given(st.lists(WORD, min_size=1, max_size=20), st.integers(min_value=1, max_value=10))
+@settings(max_examples=150, deadline=None)
+def test_bpe_encode_equals_rank_order_application(words, n_merges):
+    """encode_word (lowest-rank-first) == applying the learned merges in
+    rank order, for merges trained on the same corpus — the equivalence
+    the SQL oracle's replace chain relies on, over adversarial
+    two-letter words full of overlapping pair occurrences."""
+    from mmkg_rag_spark.functions.bpe import (
+        END,
+        _apply_merge,
+        _pair_counts,
+        encode_word,
+    )
+
+    # train on the word multiset (pure-python replica of train_bpe's loop)
+    from collections import Counter
+
+    wc = Counter(w for w in words if w)
+    table = {tuple(w) + (END,): c for w, c in wc.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = _pair_counts(table)
+        if not pc:
+            break
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b))
+        table = {_apply_merge(s, (a, b)): c for s, c in table.items()}
+    ranks = {(a, b): r for r, a, b in merges}
+    for w in wc:
+        syms = tuple(w) + (END,)
+        for _r, a, b in merges:
+            syms = _apply_merge(syms, (a, b))
+        assert list(syms) == encode_word(w, ranks), (w, merges)
