@@ -31,6 +31,7 @@ import time
 CHILD = r"""
 import json, sys, time
 repo, cores, pages_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+builds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 sys.path.insert(0, repo)
 from mmkg_rag_spark.session import get_spark
 from mmkg_rag_spark.pipeline import build_kg, degree_summary
@@ -39,7 +40,7 @@ from mmkg_rag_spark.sources.pages import image_manifest
 spark = get_spark(master="local[%d]" % cores, app_name="scale-%d" % cores)
 manifest = spark.createDataFrame([(p,) for p in image_manifest()], "path string")
 times = []
-for _ in range(3):
+for _ in range(builds):
     pages = spark.read.parquet(pages_path)
     t0 = time.time()
     res = build_kg(spark, pages, manifest)
@@ -60,6 +61,8 @@ def main() -> None:
     ap.add_argument("--pages-path", default=None,
                     help="reuse an already-staged pages parquet")
     ap.add_argument("--out", default=None, help="append JSON result to this file")
+    ap.add_argument("--builds", type=int, default=3,
+                    help="builds per level; steady = min of post-warmup builds")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -93,7 +96,8 @@ def main() -> None:
         # UDF work onto extra cores, silently inflating the small "cluster"
         # and compressing the measured N→4N ratio. taskset = the sandbox
         # equivalent of an N-core cluster's resource boundary.
-        cmd = [sys.executable, "-c", CHILD, repo, str(cores), pages_path]
+        cmd = [sys.executable, "-c", CHILD, repo, str(cores), pages_path,
+               str(args.builds)]
         if os.path.exists("/usr/bin/taskset") and cores <= (os.cpu_count() or 1):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(
