@@ -169,6 +169,11 @@ BENCH_QUERIES = [
     "bpe_encode_stats",
     "doc_term_cms",
     "events_audience_overlap",
+    "url_canonical_dedup",
+    "domain_doc_stats",
+    "crawl_frontier_rate",
+    "decontaminate_bloom",
+    "harmonic_centrality",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

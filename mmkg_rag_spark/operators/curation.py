@@ -72,6 +72,45 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom prefilter — EXACT same output.
+
+    The plain path broadcasts the benchmark n-gram *strings*; at 10^12
+    docs a 10^8-gram eval corpus is gigabytes and stops broadcasting. The
+    Bloom image (``functions/bloom.py``) is ``m_bits/8`` bytes regardless
+    of gram count, so the corpus-side membership test stays a map-side
+    broadcast probe forever; only the candidate grams that pass it (true
+    hits + ~(fill)^k false positives) reach the exact verify join — which
+    therefore sees a sliver of the corpus and can shuffle-join when the
+    benchmark side outgrows broadcast. No false negatives (Bloom is
+    one-sided) and candidates are exactly verified, so the result equals
+    ``decontaminate`` bit-for-bit: same (doc_id, n_hits) rows.
+    """
+    from ..functions.bloom import bloom_build, bloom_contains
+
+    bench_grams = (
+        _doc_ngrams(benchmark, id_col, text_col, n).select("gram").distinct()
+    )
+    bloom = bloom_build(bench_grams, "gram", m_bits, k)
+    doc_grams = _doc_ngrams(ensure_min_partitions(docs), id_col, text_col, n)
+    candidates = bloom_contains(doc_grams, "gram", bloom, m_bits, k).filter(
+        F.col("bloom_hit")
+    )
+    return (
+        candidates.join(F.broadcast(bench_grams), "gram", "semi")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 _NUMERIC_TYPES = {
     "tinyint", "smallint", "int", "bigint", "float", "double",
     "decimal", "long", "integer", "short", "byte",

@@ -437,6 +437,100 @@ def bfs_distances(
     return settled
 
 
+def bfs_distances_per_seed(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    undirected: bool = True,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Per-seed BFS distances → (seed, node, dist) in ONE synchronized loop.
+
+    ``bfs_distances`` collapses multiple seeds into a min-distance map;
+    centrality measures (harmonic/closeness over sampled sources) need the
+    distance from EVERY seed separately. Running |seeds| independent BFS
+    jobs would cost |seeds| job waves; instead the settled table is keyed
+    by the COMPOSITE (seed, node) and all seeds advance level-
+    synchronously — per hop exactly one frontier⋈adjacency join + one
+    distinct + one anti-join, regardless of seed count. State is at most
+    |seeds|·|V| rows, which is why callers sample seeds (the standard
+    estimator for centralities at scale: exact per sampled source, sum
+    over the sample). Distances are exact integers, so the DuckDB oracle
+    unrolls the same rounds with a seed column and hash-matches.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = e.distinct().localCheckpoint()
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(s, s, 0) for s in seeds], "seed string, node string, dist int"
+    ).localCheckpoint()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        reached = (
+            adj.join(
+                frontier.withColumnRenamed("node", "src").drop("dist"), "src"
+            )
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(settled, ["seed", "node"], "anti").withColumn(
+            "dist", F.lit(hop)
+        )
+        settled = settled.unionByName(frontier)
+        if hop % checkpoint_every == 0 and hop < max_hops:
+            settled = settled.localCheckpoint()
+            frontier = frontier.localCheckpoint()
+    return settled
+
+
+def harmonic_centrality_x(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    undirected: bool = True,
+) -> DataFrame:
+    """Sampled harmonic centrality, LCM-scaled to exact integers.
+
+    ``harmonic_x(v) = Σ_{s∈seeds, s≠v, d(s,v)≤max_hops} LCM(1..max_hops)/d(s,v)``
+
+    Harmonic centrality (the closeness variant that is well-defined on
+    disconnected graphs) over a deterministic seed sample — the standard
+    sampling estimator at graph scale. Summing float ``1/d`` terms is
+    addition-order-dependent (the engine/oracle hash trap this repo's
+    float-parity policy documents), so the sum is scaled by
+    ``LCM(1..max_hops)``: every term is then an exact integer and the
+    result is bit-identical across partitionings and engines. One
+    per-seed BFS (see ``bfs_distances_per_seed``) + one map-side-
+    combinable groupBy.
+    """
+    import math
+
+    lcm = math.lcm(*range(1, max_hops + 1))
+    d = bfs_distances_per_seed(
+        edges, seeds, max_hops, src, dst, undirected=undirected
+    )
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(
+                F.floor(F.lit(lcm) / F.col("dist")).cast("long")
+            ).alias(f"harmonic_x{lcm}"),
+            F.count(F.lit(1)).cast("long").alias("n_seeds_reached"),
+        )
+    )
+
+
 def sssp_distances(
     edges: DataFrame,
     seeds: list[str],

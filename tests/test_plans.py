@@ -636,3 +636,45 @@ def test_kmv_single_fact_pass(spark):
     final = _plan(df)
     assert final.count("FileScan parquet") == 0
     assert "SortMergeJoin" not in final
+
+
+def test_url_family_no_python_udf_single_agg_exchange(spark):
+    """Session-11 URL classes: canonicalization must be pure native
+    expressions fused into the scan (no Arrow/Python eval node anywhere),
+    and the canonical-key aggregate is the only wide stage family — no
+    join appears at all."""
+    import __spark_entry__ as se
+
+    for name in ("url_canonical_dedup", "domain_doc_stats"):
+        plan = _plan(se.queries()[name](spark, "/root/testdata/sf0.001"))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "Join" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+
+def test_crawl_frontier_window_is_domain_partitioned(spark):
+    """The per-domain fetch queue must be a PARTITIONED window (domain
+    keys), never a global-order window."""
+    import __spark_entry__ as se
+
+    plan = _plan(
+        se.queries()["crawl_frontier_rate"](spark, "/root/testdata/sf0.001")
+    )
+    assert "row_number" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    """Session-11 Bloom class: the k word-table probes and the exact
+    verify must all be BroadcastHashJoin — the corpus side never
+    shuffles for membership; the single hash exchange is the final
+    per-doc hit count."""
+    import __spark_entry__ as se
+
+    plan = _plan(
+        se.queries()["decontaminate_bloom"](spark, "/root/testdata/sf0.001")
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 word probes + verify
