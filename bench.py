@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "crawl_frontier_rate",
     "decontaminate_bloom",
     "harmonic_centrality",
+    "supplier_path_counts",
+    "customer_geo_pairs",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

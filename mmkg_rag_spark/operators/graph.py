@@ -490,6 +490,58 @@ def bfs_distances_per_seed(
     return settled
 
 
+def shortest_path_counts(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    undirected: bool = True,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Shortest-path multiplicities σ_s(v) from sampled seeds → (seed,
+    node, dist, sigma).
+
+    Brandes' σ recurrence — the building block of betweenness/stress
+    centrality: a node first reached at level h has
+    ``σ(v) = Σ_{u ∈ pred(v), dist(u)=h-1} σ(u)`` shortest paths. σ is a
+    pure BIGINT (no float accumulation), so the DuckDB oracle unrolls the
+    identical rounds and hash-matches — which is exactly why this operator
+    exposes σ rather than full betweenness: Brandes' dependency
+    accumulation divides σ values (order-dependent floats), σ itself is
+    exact. Same level-synchronous composite-key loop as
+    ``bfs_distances_per_seed``: per hop one frontier⋈adjacency join, one
+    map-side-combinable σ-sum, one anti-join; state ≤ |seeds|·|V|.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = e.distinct().localCheckpoint()
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(s, s, 0, 1) for s in seeds],
+        "seed string, node string, dist int, sigma long",
+    ).localCheckpoint()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        cand = (
+            adj.join(frontier.withColumnRenamed("node", "src").drop("dist"), "src")
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        frontier = cand.join(settled, ["seed", "node"], "anti").withColumn(
+            "dist", F.lit(hop)
+        )
+        settled = settled.unionByName(frontier)
+        if hop % checkpoint_every == 0 and hop < max_hops:
+            settled = settled.localCheckpoint()
+            frontier = frontier.localCheckpoint()
+    return settled
+
+
 def harmonic_centrality_x(
     edges: DataFrame,
     seeds: list[str],

@@ -678,3 +678,15 @@ def test_bloom_probe_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4  # 3 word probes + verify
+
+
+def test_geo_pairs_no_cartesian_cell_keyed_join(spark):
+    """Session-11 spatial class: the radius self-join must be an equi-join
+    on the grid-cell key — never a cartesian/broadcast-nested-loop — with
+    the exact distance predicate fused above it."""
+    import __spark_entry__ as se
+
+    plan = _plan(se.queries()["customer_geo_pairs"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -223,3 +223,72 @@ def test_harmonic_centrality_matches_reference(spark):
                 acc[0] += 12 // d
                 acc[1] += 1
     assert got == {n: tuple(v) for n, v in want.items()}
+
+
+# --------------------------------------------- spatial grid / path counts
+
+
+def test_grid_radius_pairs_matches_bruteforce(spark):
+    import random
+
+    from mmkg_rag_spark.operators.spatial import grid_radius_pairs
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(3000), rng.randrange(3000)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    r = 200
+    got = {
+        (p.id_a, p.id_b, p.dist2)
+        for p in grid_radius_pairs(df, "id", "x", "y", radius=r).collect()
+    }
+    want = {
+        (a, b, (xa - xb) ** 2 + (ya - yb) ** 2)
+        for (a, xa, ya) in pts
+        for (b, xb, yb) in pts
+        if a < b and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
+    }
+    assert got == want and want  # exact AND non-trivial
+
+
+def ref_sigma(edges, seed, max_hops):
+    """Level-synchronous shortest-path counting in plain Python."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist, sigma = {seed: 0}, {seed: 1}
+    frontier = [seed]
+    for h in range(1, max_hops + 1):
+        counts: dict[str, int] = {}
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    counts[m] = counts.get(m, 0) + sigma[n]
+        for m, c in counts.items():
+            dist[m], sigma[m] = h, c
+        frontier = list(counts)
+    return dist, sigma
+
+
+DIAMOND = [
+    ("s", "a"), ("s", "b"), ("a", "t"), ("b", "t"),  # two paths s→t
+    ("t", "u"), ("s", "c"), ("c", "d"), ("d", "u"),
+]
+
+
+def test_shortest_path_counts_matches_reference(spark):
+    from mmkg_rag_spark.operators.graph import shortest_path_counts
+
+    df = spark.createDataFrame(DIAMOND, "src string, dst string")
+    seeds = ["s", "u"]
+    got = {
+        (r.seed, r.node): (r.dist, r.sigma)
+        for r in shortest_path_counts(df, seeds, 4).collect()
+    }
+    want = {}
+    for s in seeds:
+        dist, sigma = ref_sigma(DIAMOND, s, 4)
+        for n in dist:
+            want[(s, n)] = (dist[n], sigma[n])
+    assert got == want
+    assert got[("s", "t")][1] == 2  # the diamond: two shortest s→t paths
