@@ -437,6 +437,13 @@ def bfs_distances(
     return settled
 
 
+
+def _node_type(seeds: list) -> str:
+    """BIGINT node ids when the caller supplies integer seeds: long keys
+    shuffle/hash at roughly half the byte volume of 'S123'-style strings —
+    the cheap representational win for the composite-key BFS family."""
+    return "long" if all(isinstance(s, int) for s in seeds) else "string"
+
 def bfs_distances_per_seed(
     edges: DataFrame,
     seeds: list[str],
@@ -468,8 +475,9 @@ def bfs_distances_per_seed(
         )
     adj = e.distinct().localCheckpoint()
     spark = edges.sparkSession
+    nt = _node_type(seeds)
     settled = spark.createDataFrame(
-        [(s, s, 0) for s in seeds], "seed string, node string, dist int"
+        [(s, s, 0) for s in seeds], f"seed {nt}, node {nt}, dist int"
     ).localCheckpoint()
     frontier = settled
     for hop in range(1, max_hops + 1):
@@ -521,9 +529,10 @@ def shortest_path_counts(
         )
     adj = e.distinct().localCheckpoint()
     spark = edges.sparkSession
+    nt = _node_type(seeds)
     settled = spark.createDataFrame(
         [(s, s, 0, 1) for s in seeds],
-        "seed string, node string, dist int, sigma long",
+        f"seed {nt}, node {nt}, dist int, sigma long",
     ).localCheckpoint()
     frontier = settled
     for hop in range(1, max_hops + 1):
