@@ -292,3 +292,55 @@ def test_shortest_path_counts_matches_reference(spark):
             want[(s, n)] = (dist[n], sigma[n])
     assert got == want
     assert got[("s", "t")][1] == 2  # the diamond: two shortest s→t paths
+
+
+# ------------------------------------------------------ property tests
+
+
+def test_canonicalize_idempotent_and_matches_ref_on_product_space(spark):
+    """Canonical output is a fixed point: re-canonicalizing any canonical
+    URL is the identity. Checked over the full combinatorial product of
+    part variants (1,440 URLs), alongside reference parity."""
+    import itertools
+
+    from mmkg_rag_spark.functions.urls import canonicalize_url
+
+    schemes = ["http", "HTTPS", "https"]
+    hosts = ["www.Ex.COM", "cdn.d7.co.uk", "ex.com", "WWW.a.b.io"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/p/1", "/p/1/", "/a/b//"]
+    queries = ["", "?a=1&b=2", "?utm_s=1&b=2&a=1"]
+    frags = ["", "#x"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{f}"
+        for s, h, po, pa, q, f in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    canon = df.select(
+        "url", canonicalize_url(F.col("url")).alias("c1")
+    ).withColumn("c2", canonicalize_url(F.col("c1")))
+    rows = canon.collect()
+    for r in rows:
+        assert r.c1 == ref_canonicalize(r.url), r.url
+        assert r.c2 == r.c1, r.url  # fixed point
+
+
+def test_bloom_merge_equals_build_of_union(spark):
+    """Merge contract: bit_or of two Bloom images == the image of the
+    union — day→month rollups never revisit raw keys."""
+    from mmkg_rag_spark.functions.bloom import bloom_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "k string")
+    m, kh = 1 << 13, 3
+    merged = (
+        bloom_build(a, "k", m, kh)
+        .unionByName(bloom_build(b, "k", m, kh))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = bloom_build(a.unionByName(b), "k", m, kh)
+    as_map = lambda df: {r.word_idx: r.bits for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(direct)
