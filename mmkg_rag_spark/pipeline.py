@@ -62,6 +62,39 @@ from .operators.mmodal import (
 )
 
 
+def dedup_pages_latest(pages: DataFrame, canonical_url: bool = True) -> DataFrame:
+    """Latest-version-per-page compaction — step 0 of building over a
+    recrawled page store.
+
+    A Common-Crawl-style table carries every fetch of every page; the KG
+    build wants one row per page, the newest. With ``canonical_url=True``
+    the page identity is the CANONICAL url (``functions/urls``:
+    scheme/host case, ``www.``, default ports, trailing slash, ``utm_*``
+    params, param order, fragments all collapse), so re-spellings of the
+    same page dedup together — otherwise raw ``url`` string equality.
+
+    One map-side-combinable ``max_by`` aggregate (operators/cdc.
+    latest_snapshot): versions collapse BEFORE the shuffle, the single
+    wide stage is keyed by page identity (uniform after canonicalization
+    — hosts don't skew the key, full urls do the hashing). Ties on
+    ``warc_ts`` break deterministically on the raw url string. Output
+    keeps the standard pages schema plus ``canonical_url``.
+    """
+    from .functions.urls import canonicalize_url
+    from .operators.cdc import latest_snapshot
+
+    key = (
+        canonicalize_url(F.col("url")) if canonical_url else F.col("url")
+    )
+    out = latest_snapshot(
+        pages.withColumn("canonical_url", key),
+        key_cols=["canonical_url"],
+        order_cols=["warc_ts", "url"],
+        payload_cols=["html", "text", "lang"],
+    )
+    return out.select("url", "warc_ts", "html", "text", "lang", "canonical_url")
+
+
 @dataclass
 class KGResult:
     nodes: DataFrame

@@ -73,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warehouse", default="./warehouse")
     ap.add_argument("--chunk-size", type=int, default=8000)
     ap.add_argument("--overlap", type=int, default=400)
+    ap.add_argument("--canonical-dedup", action="store_true",
+                    help="pre-stage: keep only the latest fetch per "
+                         "CANONICAL url (pipeline.dedup_pages_latest) — "
+                         "recrawled/re-spelled pages collapse before "
+                         "extraction")
     ap.add_argument("--force", action="store_true", help="recompute all stages")
     ap.add_argument("--compact", action="store_true",
                     help="after the build, compact the graph tables "
@@ -149,6 +154,18 @@ def main(argv: list[str] | None = None) -> int:
             catalog, "pages", pages_fp, "-",
             lambda: gen_pages_df(spark, args.n_docs, args.seed), args.force,
         )
+
+    # optional step 0 of a recrawled store: latest fetch per canonical url
+    if args.canonical_dedup:
+        from mmkg_rag_spark.pipeline import dedup_pages_latest
+
+        dedup_fp = fingerprint("pages_dedup", pages_fp)
+        pages = _stage(
+            catalog, "pages_dedup", dedup_fp, pages_fp,
+            lambda: dedup_pages_latest(pages).drop("canonical_url"),
+            args.force,
+        )
+        pages_fp = dedup_fp
 
     # WARC pages already carry extracted text (WET rows have no html at
     # all); synthetic/sf pages re-derive it from html to exercise the

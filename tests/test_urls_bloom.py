@@ -344,3 +344,40 @@ def test_bloom_merge_equals_build_of_union(spark):
     direct = bloom_build(a.unionByName(b), "k", m, kh)
     as_map = lambda df: {r.word_idx: r.bits for r in df.collect()}  # noqa: E731
     assert as_map(merged) == as_map(direct)
+
+
+# ------------------------------------------------- pages latest-per-canonical
+
+
+def test_dedup_pages_latest_collapses_canonical_respellings(spark):
+    """Recrawl compaction: three raw spellings of ONE canonical page at
+    different warc_ts collapse to the newest fetch; a distinct page
+    survives untouched; ts ties break on the raw url string."""
+    import datetime as dt
+
+    from mmkg_rag_spark.pipeline import dedup_pages_latest
+
+    t = lambda h: dt.datetime(2026, 1, 1, h)  # noqa: E731
+    rows = [
+        ("http://www.ex.com/p?b=2&a=1", t(1), None, "old", "en"),
+        ("HTTP://EX.COM:80/p/?a=1&b=2#x", t(3), None, "newest", "en"),
+        ("http://ex.com/p?a=1&b=2", t(2), None, "mid", "en"),
+        ("http://other.org/q", t(1), None, "other", "en"),
+        # warc_ts tie with the newest: raw-url max wins deterministically
+        ("http://ex.com/p/?utm_s=1&a=1&b=2", t(3), None, "tie", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r.canonical_url: r for r in dedup_pages_latest(pages).collect()}
+    assert set(out) == {"http://ex.com/p?a=1&b=2", "http://other.org/q"}
+    winner = out["http://ex.com/p?a=1&b=2"]
+    assert winner.warc_ts.hour == 3
+    # tie at t(3): max raw url of the two t(3) spellings
+    assert winner.url == max(
+        "HTTP://EX.COM:80/p/?a=1&b=2#x", "http://ex.com/p/?utm_s=1&a=1&b=2"
+    )
+    assert winner.text == "tie"
+    # raw-url mode: no collapsing across spellings
+    raw = dedup_pages_latest(pages, canonical_url=False)
+    assert raw.count() == 5
