@@ -417,7 +417,7 @@ def bfs_distances(
     small = verts.distinct().count() <= broadcast_nodes
     spark = edges.sparkSession
     settled = spark.createDataFrame(
-        [(s, 0) for s in seeds], "node string, dist int"
+        [(s, 0) for s in seeds], f"node {_node_type(seeds)}, dist int"
     ).localCheckpoint()
     frontier = settled
     for hop in range(1, max_hops + 1):
@@ -642,7 +642,7 @@ def sssp_distances(
     adj = e.groupBy("src", "dst").agg(F.min("w").alias("w")).localCheckpoint()
     spark = edges.sparkSession
     dist = spark.createDataFrame(
-        [(s, 0) for s in seeds], "node string, dist long"
+        [(s, 0) for s in seeds], f"node {_node_type(seeds)}, dist long"
     ).localCheckpoint()
     frontier = dist
     for r in range(1, rounds + 1):
