@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "harmonic_centrality",
     "supplier_path_counts",
     "customer_geo_pairs",
+    "supplier_random_walks",
+    "doc_keyphrases",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

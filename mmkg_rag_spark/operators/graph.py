@@ -799,3 +799,109 @@ def common_neighbor_pairs(
     ).orderBy(
         F.desc("common"), F.desc("jaccard"), "u", "v"
     ).limit(k)
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: list,
+    n_walks: int,
+    n_steps: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    undirected: bool = True,
+    salt: int = 42,
+    broadcast_walks: int = 1_000_000,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk sampling →
+    (seed, walk, step, node).
+
+    The graph-sampling primitive behind node-embedding training (DeepWalk
+    / node2vec with p = q = 1) and neighborhood-sketching: ``n_walks``
+    walks of ``n_steps`` steps start at every seed, and each step moves to
+    a uniformly *pseudo*-randomly chosen neighbor. The reference has no
+    sampling operator (its retrieval expands FULL k-hop neighborhoods,
+    search.py:151-215); at 10^9 nodes full expansion is the thing walks
+    replace — bounded |seeds|·n_walks·n_steps output instead of the
+    neighborhood's exponential growth.
+
+    Determinism: the "random" choice is a pure hash draw — neighbor index
+    = H(seed, walk, salt, step, current) mod degree, H = first 8 hex chars
+    of md5 — so the walk table is bit-identical across partitionings,
+    cluster sizes, and engines (the md5 draw is the same cross-engine
+    uniform primitive the sampling operators use), and a DuckDB oracle
+    unrolls the same steps as chained CTEs and hash-matches. Re-running a
+    walk never changes it: resumable by construction.
+
+    Scale shape: the adjacency is materialized ONCE with per-source
+    neighbor positions (one row_number window over (src, dst) — the same
+    shuffle any adjacency build pays) and degrees; each step is then two
+    equi-joins of the walk state against those static tables. State is
+    exactly |seeds|·n_walks rows at every step — while that is under
+    ``broadcast_walks`` the state side is broadcast and the graph never
+    moves; past it (walks from EVERY node, the embedding-training regime)
+    the joins fall back to hash joins co-partitioned on the adjacency's
+    key, which is the per-step shuffle a real cluster wants. Walk-id
+    skew is impossible by construction (the state key is unique).
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = e.distinct()
+    wpos = Window.partitionBy("src").orderBy("dst")
+    nbrs = adj.select(
+        "src", "dst", (F.row_number().over(wpos) - 1).alias("pos")
+    ).localCheckpoint()
+    deg = nbrs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    spark = edges.sparkSession
+    nt = _node_type(seeds)
+    state = spark.createDataFrame(
+        [(s, w, s, 0) for s in seeds for w in range(n_walks)],
+        f"seed {nt}, walk int, node {nt}, step int",
+    ).localCheckpoint()
+    small = len(seeds) * n_walks <= broadcast_walks
+    out = state
+    for t in range(1, n_steps + 1):
+        draw = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("seed").cast("string"),
+                        F.col("walk").cast("string"),
+                        F.lit(str(salt)),
+                        F.lit(str(t)),
+                        F.col("src").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        cur = state.select("seed", "walk", F.col("node").alias("src"))
+        picked = (
+            deg.join(F.broadcast(cur) if small else cur, "src")
+            .withColumn("pos", draw % F.col("deg"))
+        )
+        state = (
+            nbrs.join(
+                F.broadcast(picked.select("seed", "walk", "src", "pos"))
+                if small
+                else picked.select("seed", "walk", "src", "pos"),
+                ["src", "pos"],
+            )
+            .select("seed", "walk", F.col("dst").alias("node"))
+            .withColumn("step", F.lit(t))
+        )
+        out = out.unionByName(state)
+        if t % checkpoint_every == 0 and t < n_steps:
+            state = state.localCheckpoint()
+            out = out.localCheckpoint()
+    return out.select("seed", "walk", "step", "node")

@@ -419,3 +419,107 @@ def pmi_collocations(
         .orderBy(F.desc("lift"), "lt", "rt")
         .limit(k)
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    *,
+    n_breakers: int = 8,
+    max_words: int = 4,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE-style corpus keyphrase extraction → top-``k``
+    (phrase, n_words, n_occ, score).
+
+    The candidate-term-mining step of KG construction: multi-word phrases
+    that co-occur as contiguous runs are exactly the mention-candidate
+    surface forms the extraction stage (operators/extract) scores — RAKE
+    (Rose et al. 2010) mines them with nothing but delimiter statistics,
+    no model. Since the synthetic corpus has no punctuation, the breaker
+    set is DATA-DRIVEN: the ``n_breakers`` most frequent corpus tokens
+    (ties broken lexicographically) play the stopword/delimiter role —
+    the standard adaptation when no stopword list exists for the domain.
+
+    Candidate phrases are maximal runs of non-breaker tokens (classic
+    gaps-and-islands: token position minus its rank among the document's
+    kept tokens), capped at ``max_words`` (longer runs are discarded
+    everywhere — output AND statistics — a declared semantic mirrored in
+    the oracle, not a silent cap). Scoring is the integer RAKE variant:
+    word degree deg(w) = Σ over occurrences of w in candidate phrases of
+    that phrase's word count (each occurrence "sees" its co-members,
+    itself included), and phrase score = Σ deg(w) over the phrase's
+    DISTINCT member words. The classic deg/freq ratio sums
+    order-dependent doubles (a cross-engine hash trap); the degree-sum
+    variant ranks near-identically on short phrases and is exact BIGINT
+    arithmetic — bit-identical on any partitioning or engine.
+
+    Scale shape: one posexplode (map-only, whole-stage codegen), one
+    vocabulary-keyed aggregate for the breaker stats (map-side
+    combinable; the breaker table is n_breakers rows, broadcast
+    everywhere), ONE doc-keyed window for the island ids (the only
+    doc-wide shuffle), one (doc, run) aggregate to assemble phrases, then
+    vocabulary-sized degree joins. The final top-k is a bounded
+    TakeOrderedAndProject. No self-joins, nothing quadratic; the phrase
+    table is strictly smaller than the token stream.
+    """
+    toks = (
+        docs.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    breakers = (
+        freq.orderBy(F.desc("freq"), "tok").limit(n_breakers).select("tok")
+    )
+    kept = toks.join(F.broadcast(breakers), "tok", "anti")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = kept.withColumn("run", F.col("pos") - F.row_number().over(w))
+    phrases = (
+        runs.groupBy(id_col, "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_words)
+    )
+    wdeg = (
+        phrases.select(
+            F.explode(F.split("phrase", " ")).alias("tok"), "n_words"
+        )
+        .groupBy("tok")
+        .agg(F.sum("n_words").alias("degree"))
+    )
+    pstats = phrases.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    scored = (
+        pstats.select(
+            "phrase",
+            "n_words",
+            "n_occ",
+            F.explode(F.array_distinct(F.split("phrase", " "))).alias("tok"),
+        )
+        .join(wdeg, "tok")
+        .groupBy("phrase", "n_words", "n_occ")
+        .agg(F.sum("degree").alias("score"))
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("score").cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(k)
+    )
