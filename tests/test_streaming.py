@@ -652,3 +652,56 @@ def test_frequent_terms_stream_superset_and_bounded(spark, tmp_path_factory):
     heavy = {r.term for r in heavy_hitters(docs, k=k).collect()}
     assert heavy, "batch heavy hitters unexpectedly empty"
     assert heavy <= final_terms
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    """click_error_join_stream across micro-batches == the batch bucketed
+    range join (q_events_range_join), including pairs whose click arrives
+    in a different micro-batch than its error (carried by join state).
+    The watermark is generous so no fixture row is evicted before its
+    partner arrives; state boundedness is Spark's documented contract for
+    the (two-sided watermark, time-range condition) pair."""
+    import sys
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from mmkg_rag_spark.streaming import click_error_join_stream
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as se
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("ssj_in"))
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    bounds = events.selectExpr(
+        "percentile(unix_timestamp(ts), 0.5) p1"
+    ).collect()[0]
+    slices = [
+        events.filter(F.unix_timestamp("ts") <= bounds.p1),
+        events.filter(F.unix_timestamp("ts") > bounds.p1),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    q = (
+        click_error_join_stream(spark, in_dir, watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("ssj_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.user_id: r.n
+        for r in spark.sql(
+            "select user_id, count(*) n from ssj_pairs group by 1"
+        ).collect()
+    }
+    batch = {
+        r.user_id: r.n_pairs
+        for r in se.q_events_range_join(spark, sf).collect()
+    }
+    assert got == batch and len(got) > 0
