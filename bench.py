@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "customer_geo_pairs",
     "supplier_random_walks",
     "doc_keyphrases",
+    "customer_rfm_segments",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

