@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..kernels.chunker import split_markdown
 from ..kernels.refpipeline import extract_chunk
 from ..kernels.records import Chunk
+from ..kernels.textops import extract_images_with_context
 from ..sources.pages import html_to_text
 
 CHUNK_SCHEMA = "url string, chunk_id int, text string"
@@ -204,3 +205,78 @@ def normalize_image_refs(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame({"url": urls, "text": texts, "renames": plans})
 
     return pages.select("url", "text").mapInPandas(gen, schema=NORMALIZED_SCHEMA)
+
+
+def extract_page_artifacts(
+    pages: DataFrame,
+    chunk_size: int = 8000,
+    overlap: int = 400,
+    *,
+    use_html: bool = True,
+    html_col: str = "html",
+) -> DataFrame:
+    """Fused S2+S3+E1+M1: html→text, chunking, mention extraction and the
+    image-instance scan in ONE ``mapInPandas`` pass (mock-extractor path —
+    the hermetic default ``build_kg`` runs; a remote-LLM extractor keeps
+    the staged composition, whose per-stage batching it needs).
+
+    Why fuse: the staged composition moves the full page text across the
+    JVM↔Python Arrow boundary three times (html→text UDF out, chunk rows
+    out of the chunker, chunk rows back INTO the extractor) plus a
+    pages-wide ``.cache()`` so the image branch can rescan it. At the
+    DRAM-bandwidth-bound high-core level those crossings are pure memory
+    traffic — each is a serialize+copy of ~corpus bytes. Fused, the page
+    payload crosses ONCE (into the pass) and only mention/instance rows —
+    orders of magnitude smaller — ever return. Same kernels, same rows:
+    equality with the staged composition is pinned by
+    tests/test_spark_pipeline.py::test_fused_artifacts_equal_staged.
+
+    Output: the union MENTION_SCHEMA with a third kind — 'I' rows carry
+    image instances as (name=path, description=context) with chunk_id 0.
+    ``split_mentions`` reads E/R; ``split_image_instances`` recovers the
+    (url, path, context) table M2 filters.
+    """
+    src_col = html_col if use_html else "text"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, payload in zip(pdf["url"], pdf[src_col]):
+                text = html_to_text(payload) if use_html else payload
+                for path, ctx in extract_images_with_context(text):
+                    rows.append(
+                        ("I", url, 0, path, None, ctx, None, None, None)
+                    )
+                for i, ck in enumerate(
+                    split_markdown(text, chunk_size, overlap)
+                ):
+                    ents, rels = extract_chunk(Chunk(id=i + 1, text=ck))
+                    for e in ents:
+                        rows.append((
+                            "E", url, i + 1, e.name, e.label, e.description,
+                            None, e.aliases or [], e.references or [],
+                        ))
+                    for r in rels:
+                        rows.append((
+                            "R", url, i + 1, r.source, r.label,
+                            r.description, r.target, None,
+                            r.references or [],
+                        ))
+            yield pd.DataFrame(rows, columns=MENTION_COLS)
+
+    cols = [pages["url"], pages[src_col]]
+    return pages.select(*cols).mapInPandas(gen, schema=MENTION_SCHEMA)
+
+
+def split_image_instances(artifacts: DataFrame) -> DataFrame:
+    """kind 'I' artifact rows → the (url, path, context) instance table
+    (M1's output shape, ready for filter_valid_images)."""
+    return (
+        artifacts.filter(F.col("kind") == "I")
+        .select(
+            "url",
+            F.col("name").alias("path"),
+            F.col("description").alias("context"),
+        )
+        .dropDuplicates(["url", "path", "context"])
+    )

@@ -116,8 +116,20 @@ def build_kg(
     overlap: int = 400,
     link_strategy: str = "auto",
     use_html: bool = True,
+    fused: bool = True,
 ) -> KGResult:
-    """Run the full construction pipeline on a pages DataFrame."""
+    """Run the full construction pipeline on a pages DataFrame.
+
+    ``fused=True`` (default) runs S2+S3+E1+M1 as ONE map pass
+    (operators/extract.extract_page_artifacts): the page payload crosses
+    the JVM↔Python boundary once and only mention/instance rows return —
+    at the DRAM-bandwidth-bound high-core level the staged composition's
+    three full-text Arrow crossings plus the pages-wide text cache are
+    pure memory traffic. ``fused=False`` keeps the staged composition
+    (what a remote-LLM extractor's per-stage batching needs, and the
+    equality control: tests pin identical nodes/edges/images between the
+    two paths).
+    """
     # Re-split under-partitioned inputs: per-page UDF cost varies ~50×
     # (long docs), so at partitions ≈ cores one straggler sets the stage
     # wall; 4 waves/core lets the scheduler balance. But partition count is
@@ -138,19 +150,35 @@ def build_kg(
         target = min(cores * 4, max(cores, pages.count() // rows_floor))
         if current < target:
             pages = pages.repartition(target)
-    if use_html:
-        pages = with_text(pages)
-    # pages feeds two branches (chunking and M1 image scan) and mentions feed
-    # many downstream actions (LSH, CC iterations, merges, both edge unions):
-    # cache both or every action re-runs the extraction UDF chain. In the
-    # staged runner (run.py) the same role is played by snapshot parquet
-    # between stages — the correct shape at cluster scale, where caching a
-    # pages-wide projection would not fit and a re-scan is the norm.
-    pages = pages.select("url", "text").cache()
+    if fused:
+        from .operators.extract import (
+            extract_page_artifacts,
+            split_image_instances,
+        )
 
-    chunks = chunk_pages(pages, chunk_size, overlap)
-    mentions = extract_mentions(chunks).cache()
-    entity_mentions, relation_mentions = split_mentions(mentions)
+        # ONE pass: html→text→chunk→extract + image scan; only the small
+        # artifact rows return to the JVM, and THEY carry the cache (the
+        # artifact table feeds E/R canonicalization and the image branch).
+        artifacts = extract_page_artifacts(
+            pages, chunk_size, overlap, use_html=use_html
+        ).cache()
+        entity_mentions, relation_mentions = split_mentions(artifacts)
+        raw_instances = split_image_instances(artifacts)
+    else:
+        if use_html:
+            pages = with_text(pages)
+        # pages feeds two branches (chunking and M1 image scan) and mentions
+        # feed many downstream actions (LSH, CC iterations, merges, both edge
+        # unions): cache both or every action re-runs the extraction UDF
+        # chain. In the staged runner (run.py) the same role is played by
+        # snapshot parquet between stages — the correct shape at cluster
+        # scale, where caching a pages-wide projection would not fit and a
+        # re-scan is the norm.
+        pages = pages.select("url", "text").cache()
+        chunks = chunk_pages(pages, chunk_size, overlap)
+        mentions = extract_mentions(chunks).cache()
+        entity_mentions, relation_mentions = split_mentions(mentions)
+        raw_instances = extract_image_instances(pages)
 
     nodes, mapping = canonicalize_entities(entity_mentions)
     nodes = nodes.cache()
@@ -158,7 +186,7 @@ def build_kg(
 
     if manifest is None:
         manifest = spark.createDataFrame([], "path string")
-    instances = filter_valid_images(extract_image_instances(pages), manifest)
+    instances = filter_valid_images(raw_instances, manifest)
     described = describe_images(instances).cache()
     top = score_image_entities(described, nodes, strategy=link_strategy)
     # edges/image_edges each feed two consumers (their own output + the

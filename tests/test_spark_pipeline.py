@@ -134,3 +134,36 @@ def test_triple_parity_across_seeds(spark, seed, n):
     _, rels, _, _ = build_graph(docs, valid_paths=set(image_manifest()))
     want = {(r.source, r.label, r.target) for r in rels}
     assert got == want and len(want) > 0
+
+
+def test_fused_artifacts_equal_staged(spark):
+    """The fused single-pass extraction (extract_page_artifacts) produces
+    a graph IDENTICAL to the staged composition (with_text → chunk_pages →
+    extract_mentions + extract_image_instances): same nodes, same edges
+    (entity and image), same images table. The fusion is purely physical —
+    fewer JVM↔Python crossings — never semantic."""
+    from mmkg_rag_spark.pipeline import build_kg
+
+    manifest = spark.createDataFrame(
+        [(p,) for p in image_manifest()], "path string"
+    )
+    pages = gen_pages_df(spark, N_DOCS).drop("text")
+
+    def snap(res):
+        return {
+            "nodes": sorted(
+                (r.name, r.label, tuple(sorted(r.aliases or [])))
+                for r in res.nodes.collect()
+            ),
+            "edges": sorted(
+                (r.source, r.label, r.target)
+                for r in res.all_edges.collect()
+            ),
+            "images": sorted(
+                (r.path, r.caption) for r in res.images.collect()
+            ),
+        }
+
+    a = snap(build_kg(spark, pages, manifest, fused=True))
+    b = snap(build_kg(spark, pages, manifest, fused=False))
+    assert a == b and len(a["nodes"]) > 0 and len(a["edges"]) > 0
