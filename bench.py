@@ -179,6 +179,9 @@ BENCH_QUERIES = [
     "supplier_random_walks",
     "doc_keyphrases",
     "customer_rfm_segments",
+    "supplier_hits",
+    "supplier_scc",
+    "nation_order_trend",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -905,3 +905,240 @@ def random_walks(
             state = state.localCheckpoint()
             out = out.localCheckpoint()
     return out.select("seed", "walk", "step", "node")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 3,
+    broadcast_nodes: int = 1_000_000,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) → (node, hub, authority).
+
+    The DIRECTED complement of `pagerank` for bipartite-flavoured KG edges
+    (customer→supplier, page→entity, citer→cited): an authority is pointed
+    at by good hubs, a hub points at good authorities. The reference has no
+    centrality at all (its nearest analogue is degree-sorted GUI listings);
+    at crawl scale both roles seed retrieval from opposite ends of an edge.
+
+    Deliberately UNNORMALIZED with a fixed iteration count: the classical
+    per-step L2 normalization is a positive scalar, so it never changes the
+    ranking within an iteration — dropping it makes every value in the
+    recurrence an exact integer
+
+        hub_0(v)    = 1
+        auth_i(v)   = sum over edges u->v of hub_{i-1}(u)
+        hub_i(u)    = sum over edges u->v of auth_i(v)
+
+    computed in DECIMAL(38,0) (values grow like (d_in·d_out)^k — past
+    BIGINT at corpus scale, bounded by 10^38 for any graph this engine
+    meets at k=3), so the result is bit-identical across partitionings and
+    engines and a DuckDB oracle can unroll the same k rounds as chained
+    CTEs. Scale shape: per iteration exactly TWO edge-keyed shuffles (one
+    per direction), each a join of the vertex-sized score table against the
+    static adjacency (broadcast while ≤ ``broadcast_nodes``) feeding a
+    map-side-combinable sum; nodes on one side only (pure hubs / pure
+    authorities) keep score 0 on the other axis via the outer re-attach.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    small = nodes.count() <= broadcast_nodes
+    d38 = "decimal(38,0)"
+    hub = nodes.select("node", F.lit(1).cast(d38).alias("hub"))
+    auth = None
+    for i in range(1, iterations + 1):
+        h = F.broadcast(hub) if small else hub
+        auth = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").cast(d38).alias("authority"))
+        )
+        a = F.broadcast(auth) if small else auth
+        hub = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").cast(d38).alias("hub"))
+        )
+        if i % checkpoint_every == 0 and i < iterations:
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    zero = F.lit(0).cast(d38)
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", zero).alias("hub"),
+            F.coalesce("authority", zero).alias("authority"),
+        )
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_rounds: int = 50,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph → (node, scc_id),
+    scc_id = min node id in the component.
+
+    The directed closure primitive `functions/components.py` (weak CC — the
+    entity-merge step) cannot answer: mutual reachability. On a crawl-scale
+    link or citation graph the giant SCC vs IN/OUT decomposition (the
+    bow-tie) is the first structural question, and cycles of KG relations
+    (A acquires B acquires A across snapshots) surface as non-singleton
+    SCCs.
+
+    Algorithm: iterative trim + forward-coloring + backward match — the
+    coloring algorithm of Orzan (2004) as used by every Pregel-style SCC
+    implementation, min-label variant, fully deterministic:
+
+      1. TRIM: repeatedly peel nodes with no in-edges or no out-edges
+         within the active subgraph — each is its own SCC.
+      2. COLOR: propagate c(v) = min(v, min over u->v of c(u)) to a
+         fixpoint; each color class is closed under forward reachability
+         from its root r (with c(r) = r).
+      3. MATCH: within each color, nodes that reach their root BACKWARD
+         (propagated from the roots along reversed edges, never crossing a
+         color boundary) are exactly SCC(root). Assign and deactivate.
+
+    Every outer round removes at least every current root's full SCC, so
+    the loop terminates; rounds ~ O(log n) on web-shaped graphs (trimming
+    handles the long singleton chains that are coloring's worst case).
+    Fixpoint loops probe convergence with a frontier count — O(1) rows to
+    the driver per step, same policy as `functions/components`. Raises
+    RuntimeError if ``max_rounds`` is exhausted (diagnosable, never a
+    silently-partial answer).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    node_t = dict(nodes.dtypes)["node"]
+    assigned = spark.createDataFrame([], f"node {node_t}, scc_id {node_t}")
+
+    active_e = e
+    active_n = nodes
+    for _ in range(max_rounds):
+        # 1. TRIM sources/sinks (self-loop nodes are never trimmed: a
+        # self-loop gives the node both an in- and an out-edge).
+        while True:
+            has_out = active_e.select(F.col("src").alias("node")).distinct()
+            has_in = active_e.select(F.col("dst").alias("node")).distinct()
+            keep = has_out.intersect(has_in).localCheckpoint()
+            trimmed = active_n.join(keep, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            assigned = assigned.unionByName(
+                trimmed.select("node", F.col("node").alias("scc_id"))
+            ).localCheckpoint()
+            active_n = active_n.join(keep, "node", "semi").localCheckpoint()
+            active_e = (
+                active_e.join(
+                    keep.withColumnRenamed("node", "src"), "src", "semi"
+                )
+                .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+                .localCheckpoint()
+            )
+        if active_n.isEmpty():
+            break
+        # 2. COLOR: forward min-label fixpoint.
+        color = active_n.select("node", F.col("node").alias("c"))
+        step = 0
+        while True:
+            step += 1
+            pushed = (
+                active_e.join(
+                    color.withColumnRenamed("node", "src").withColumnRenamed(
+                        "c", "cs"
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("cs").alias("cand"))
+            )
+            merged = color.join(pushed, "node", "left").select(
+                "node",
+                F.least(F.col("c"), F.col("cand")).alias("new_c"),
+                F.col("c").alias("old_c"),
+            )
+            changed = merged.filter(F.col("new_c") < F.col("old_c")).count()
+            color = merged.select("node", F.col("new_c").alias("c"))
+            if step % checkpoint_every == 0:
+                color = color.localCheckpoint()
+            if changed == 0:
+                break
+        color = color.localCheckpoint()
+        # 3. MATCH: backward reachability from each color root, within color.
+        ce = (
+            active_e.join(color.withColumnRenamed("node", "src"), "src")
+            .withColumnRenamed("c", "c_src")
+            .join(
+                color.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "c", "c_dst"
+                ),
+                "dst",
+            )
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst", F.col("c_src").alias("c"))
+            .localCheckpoint()
+        )
+        matched = color.filter(F.col("node") == F.col("c")).select("node", "c")
+        frontier = matched
+        while True:
+            grown = (
+                ce.join(
+                    frontier.withColumnRenamed("node", "dst").drop("c"), "dst"
+                )
+                .select(F.col("src").alias("node"), "c")
+                .distinct()
+                .join(matched, "node", "left_anti")
+                .localCheckpoint()
+            )
+            if grown.isEmpty():
+                break
+            matched = matched.unionByName(grown).localCheckpoint()
+            frontier = grown
+        assigned = assigned.unionByName(
+            matched.select("node", F.col("c").alias("scc_id"))
+        ).localCheckpoint()
+        active_n = active_n.join(matched, "node", "left_anti").localCheckpoint()
+        if active_n.isEmpty():
+            break
+        active_e = (
+            active_e.join(
+                active_n.withColumnRenamed("node", "src"), "src", "semi"
+            )
+            .join(active_n.withColumnRenamed("node", "dst"), "dst", "semi")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"SCC did not converge within {max_rounds} rounds "
+            f"({active_n.count()} nodes still active)"
+        )
+    return assigned
