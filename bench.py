@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     "supplier_hits",
     "supplier_scc",
     "nation_order_trend",
+    "part_pareto_frontier",
+    "part_mis",
+    "temporal_reach_suppliers",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -1142,3 +1142,175 @@ def strongly_connected_components(
             f"({active_n.count()} nodes still active)"
         )
     return assigned
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int = 8,
+) -> DataFrame:
+    """Luby-style maximal independent set → (node, state), state ∈
+    {'in', 'out', 'undecided'}.
+
+    MIS is THE parallel conflict-resolution primitive: a set of mutually
+    non-adjacent nodes such that every other node has a neighbor in the
+    set. In this engine's domain it schedules parallel entity merges (two
+    merge candidates sharing an entity must not both proceed) and picks
+    non-overlapping representatives in dedup graphs.
+
+    Luby's algorithm with the repo's determinism contract: the random
+    priority is ``md5(node)`` — a uniform, engine-portable draw (same hex
+    in Spark and DuckDB), not rand(). Per round, an active node enters
+    the MIS iff its priority strictly precedes every active neighbor's
+    (hex ties are impossible: md5 is injective on the distinct node
+    strings for all practical purposes, and a collision would only make
+    both nodes wait a round); MIS nodes' neighbors leave as 'out'.
+    Each round is ONE neighbor-min groupBy against the shrinking active
+    adjacency plus two semi/anti joins — no window, no collect. Isolated
+    active nodes (all neighbors decided) have no surviving neighbor rows
+    and enter immediately.
+
+    FIXED round count, so the result is a pure function of (graph,
+    rounds) that a DuckDB oracle can unroll — Luby decides all nodes in
+    O(log n) rounds with overwhelming probability, and any remainder is
+    an explicit 'undecided' row, never a silently-partial answer
+    (disclosed-cap rule). Undirected: edges are symmetrized.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = (
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    pri = F.md5(F.col("node").cast("string"))
+
+    spark = edges.sparkSession
+    node_t = dict(nodes.dtypes)["node"]
+    decided = spark.createDataFrame([], f"node {node_t}, state string")
+    active_n = nodes
+    active_e = e
+    for _ in range(rounds):
+        nbr_min = (
+            active_e.withColumn("p_dst", F.md5(F.col("dst").cast("string")))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("p_dst").alias("nmin"))
+        )
+        winners = (
+            active_n.join(nbr_min, "node", "left")
+            .filter(F.col("nmin").isNull() | (pri < F.col("nmin")))
+            .select("node")
+            .localCheckpoint()
+        )
+        if winners.isEmpty():
+            break
+        killed = (
+            active_e.join(
+                winners.withColumnRenamed("node", "src"), "src", "semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        decided = decided.unionByName(
+            winners.select("node", F.lit("in").alias("state"))
+        ).unionByName(
+            killed.select("node", F.lit("out").alias("state"))
+        ).localCheckpoint()
+        active_n = active_n.join(decided, "node", "left_anti").localCheckpoint()
+        if active_n.isEmpty():
+            break
+        active_e = (
+            active_e.join(
+                active_n.withColumnRenamed("node", "src"), "src", "semi"
+            )
+            .join(active_n.withColumnRenamed("node", "dst"), "dst", "semi")
+            .localCheckpoint()
+        )
+    return decided.unionByName(
+        active_n.select("node", F.lit("undecided").alias("state"))
+    )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: list,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+    *,
+    start: int = 0,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Time-respecting reachability → (node, arrival): the earliest time
+    each node can be reached from the seeds along paths whose edge
+    timestamps never go backwards (edge (u, v, t) is traversable iff
+    t ≥ arrival(u); traversing it sets arrival(v) ≤ t).
+
+    Static reachability over-claims on temporal graphs — an edge that
+    fired BEFORE you arrived is not a path (information-flow, citation,
+    crawl-recrawl and transaction graphs are all temporal). This is the
+    min-arrival fixed-round recurrence (Wu et al., VLDB'14 single-pass
+    semantics, expressed synchronously):
+
+        arr_0(seed) = start
+        arr_i(v)    = min(arr_{i-1}(v),
+                          min over edges (u, v, t) with t ≥ arr_{i-1}(u)
+                              of t)
+
+    Same scale shape as `sssp_distances` (arrival is monotone
+    non-increasing, so the DELTA frontier — only nodes whose arrival
+    improved last round — relaxes per-round-identically to
+    relax-everything): one frontier⋈temporal-adjacency join with the
+    time predicate fused, one map-side-combinable min-groupBy, one outer
+    merge per round. Temporal edges are deduplicated as (src, dst, ts)
+    TRIPLES — parallel edges at different times are distinct and all
+    kept, since which one is usable depends on the arrival time. Exact
+    BIGINT epochs, so the DuckDB oracle unrolls the same rounds as
+    chained CTEs and hash-matches.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(ts).cast("long").alias("ts"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    arr = spark.createDataFrame(
+        [(s, start) for s in seeds],
+        f"node {_node_type(seeds)}, arrival long",
+    ).localCheckpoint()
+    frontier = arr
+    for r in range(1, rounds + 1):
+        relaxed = (
+            e.join(
+                frontier.withColumnRenamed("node", "src").withColumnRenamed(
+                    "arrival", "fa"
+                ),
+                "src",
+            )
+            .filter(F.col("ts") >= F.col("fa"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("ts").alias("cand"))
+        )
+        merged = arr.join(relaxed, "node", "full_outer").select(
+            "node",
+            F.least(F.col("arrival"), F.col("cand")).alias("new_a"),
+            F.col("arrival").alias("old_a"),
+        )
+        frontier = merged.filter(
+            F.col("old_a").isNull() | (F.col("new_a") < F.col("old_a"))
+        ).select("node", F.col("new_a").alias("arrival"))
+        arr = merged.select("node", F.col("new_a").alias("arrival"))
+        if r % checkpoint_every == 0 and r < rounds:
+            arr = arr.localCheckpoint()
+            frontier = frontier.localCheckpoint()
+    return arr

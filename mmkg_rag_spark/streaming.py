@@ -766,3 +766,71 @@ def click_error_join_stream(
             F.unix_timestamp("error_ts").cast("long").alias("error_epoch"),
         )
     )
+
+
+SAMPLE_STATE_SCHEMA = "rnds array<string>, ids array<long>, n_seen long"
+SAMPLE_OUTPUT_SCHEMA = "source string, n_seen long, doc_id long, rk int"
+
+
+def sample_per_group_stream(
+    spark: SparkSession,
+    input_dir: str,
+    k: int = 5,
+):
+    """Streaming deterministic k-per-group sample — the continuous twin of
+    `operators/curation.sample_per_group`, with EXACT batch parity.
+
+    The batch sampler keeps each group's k smallest ``md5(doc_id)`` rows.
+    min-k under a total order is an order-insensitive, mergeable fold, so
+    the streaming version is the same sample computed incrementally:
+    ``applyInPandasWithState`` per source holds the current k smallest
+    (md5, doc_id) pairs — O(k) state per group FOREVER, independent of
+    stream length — and each trigger emits the group's full current
+    sample with its stable enumeration ``rk`` plus the group's running
+    row count ``n_seen`` (rows with the maximal n_seen per source are the
+    final sample, same convention as frequent_terms_stream). After any
+    prefix of the
+    stream, the emission for a group is IDENTICAL to running the batch
+    sampler over that prefix (pinned by
+    tests/test_streaming.py::test_streaming_sample_matches_batch) — the
+    auditable, rerun-stable eval-set draw `rand()` reservoirs can't give,
+    because classic reservoir sampling depends on arrival order.
+
+    The md5 draw is computed JVM-side before the stateful operator; the
+    Python fold only merges sorted k-lists.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        source = key[0]
+        best: list[tuple[str, int]] = []
+        n_seen = 0
+        if state.exists:
+            rnds, ids, n_seen = state.get
+            best = list(zip(rnds, (int(i) for i in ids)))
+            n_seen = int(n_seen)
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for rnd, did in zip(pdf["rnd"], pdf["doc_id"]):
+                best.append((str(rnd), int(did)))
+        best = sorted(set(best))[:k]
+        state.update(([r for r, _ in best], [i for _, i in best], n_seen))
+        yield pd.DataFrame(
+            [(source, n_seen, did, rk + 1) for rk, (_, did) in enumerate(best)],
+            columns=["source", "n_seen", "doc_id", "rk"],
+        )
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    keyed = stream.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("rnd"),
+    )
+    return keyed.groupBy("source").applyInPandasWithState(
+        fold,
+        outputStructType=SAMPLE_OUTPUT_SCHEMA,
+        stateStructType=SAMPLE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

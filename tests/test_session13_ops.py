@@ -228,3 +228,185 @@ def test_group_ols_partitioning_invariance(spark):
         ["g"], "x", "y",
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def skyline_ref(pts: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    return {
+        (x, y)
+        for x, y in pts
+        if not any(
+            (a <= x and b <= y and (a < x or b < y)) for a, b in pts
+        )
+    }
+
+
+def test_skyline_matches_bruteforce(spark):
+    from mmkg_rag_spark.functions.pareto import skyline_2d
+
+    rng = random.Random(5)
+    pts = [(rng.randrange(50), rng.randrange(50)) for _ in range(400)]
+    # duplicate frontier points must all survive (strict dominance)
+    pts += pts[:7]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+    )
+    got = skyline_2d(df, "x", "y").collect()
+    want = skyline_ref(pts)
+    assert {(r.x, r.y) for r in got} == want
+    # row multiplicity preserved: every original row at a frontier point
+    n_expected = sum(1 for p in pts if p in want)
+    assert len(got) == n_expected
+
+
+def test_skyline_partitioning_invariance(spark):
+    from mmkg_rag_spark.functions.pareto import skyline_2d
+
+    rng = random.Random(9)
+    rows = [(i, rng.randrange(30), rng.randrange(30)) for i in range(300)]
+    a = skyline_2d(
+        spark.createDataFrame(rows, "id long, x long, y long").repartition(1),
+        "x", "y",
+    ).collect()
+    b = skyline_2d(
+        spark.createDataFrame(rows, "id long, x long, y long").repartition(23),
+        "x", "y", num_partitions=7,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def mis_ref(edges: list[tuple[int, int]], rounds: int) -> dict[int, str]:
+    """Plain-Python Luby with md5 priorities (mirrors the operator)."""
+    import hashlib
+
+    def pri(v: int) -> str:
+        return hashlib.md5(str(v).encode()).hexdigest()
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    state = {v: "undecided" for v in adj}
+    active = set(adj)
+    for _ in range(rounds):
+        if not active:
+            break
+        winners = {
+            v
+            for v in active
+            if all(
+                pri(v) < pri(u) for u in adj[v] if u in active
+            )
+        }
+        if not winners:
+            break
+        killed = {
+            u for v in winners for u in adj[v] if u in active
+        } - winners
+        for v in winners:
+            state[v] = "in"
+        for u in killed:
+            state[u] = "out"
+        active -= winners | killed
+    return state
+
+
+def test_mis_properties_and_reference(spark):
+    from mmkg_rag_spark.operators.graph import maximal_independent_set
+
+    rng = random.Random(13)
+    edges = list(
+        {
+            (rng.randrange(60), rng.randrange(60))
+            for _ in range(150)
+        }
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.state
+        for r in maximal_independent_set(df, rounds=12).collect()
+    }
+    assert got == mis_ref(edges, 12)
+    ins = {v for v, s in got.items() if s == "in"}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence: no edge inside the set
+    assert not any(b in ins for a in ins for b in adj[a])
+    # maximality (once fully decided): every 'out' node has an 'in' neighbor
+    assert all(s != "undecided" for s in got.values())
+    assert all(
+        any(u in ins for u in adj[v])
+        for v, s in got.items()
+        if s == "out"
+    )
+
+
+def test_mis_partitioning_invariance(spark):
+    from mmkg_rag_spark.operators.graph import maximal_independent_set
+
+    rng = random.Random(21)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(90)]
+    edges = [e for e in edges if e[0] != e[1]]
+    a = maximal_independent_set(
+        spark.createDataFrame(edges, "src long, dst long").repartition(1),
+        rounds=10,
+    ).collect()
+    b = maximal_independent_set(
+        spark.createDataFrame(edges, "src long, dst long").repartition(17),
+        rounds=10,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def treach_ref(
+    edges: list[tuple[int, int, int]], seeds: list[int], rounds: int
+) -> dict[int, int]:
+    arr = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(arr)
+        for u, v, t in edges:
+            if u in arr and t >= arr[u]:
+                if v not in new or t < new[v]:
+                    new[v] = t
+        arr = new
+    return arr
+
+
+def test_temporal_reachability_respects_time(spark):
+    from mmkg_rag_spark.operators.graph import temporal_reachability
+
+    # 0 -(t5)-> 1 -(t3)-> 2: the 1->2 edge fired BEFORE arrival at 1, so 2
+    # is NOT reachable; 1 -(t7)-> 3 is; a later parallel 1->2 edge (t9)
+    # makes 2 reachable at 9, not 3.
+    edges = [(0, 1, 5), (1, 2, 3), (1, 3, 7), (1, 2, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long, ts long")
+    got = {
+        r.node: r.arrival
+        for r in temporal_reachability(df, [0], 4).collect()
+    }
+    assert got == {0: 0, 1: 5, 3: 7, 2: 9}
+    assert got == treach_ref(edges, [0], 4)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_temporal_reachability_random_and_invariance(spark, seed):
+    from mmkg_rag_spark.operators.graph import temporal_reachability
+
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(25), rng.randrange(25), rng.randrange(1, 50))
+        for _ in range(120)
+    ]
+    want = treach_ref(sorted(set(edges)), [0, 1], 5)
+    for parts in (1, 13):
+        df = spark.createDataFrame(
+            edges, "src long, dst long, ts long"
+        ).repartition(parts)
+        got = {
+            r.node: r.arrival
+            for r in temporal_reachability(df, [0, 1], 5).collect()
+        }
+        assert got == want

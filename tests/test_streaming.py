@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mmkg_rag_spark.operators.dedup import canonicalize_entities, remap_and_merge_relations
@@ -705,3 +706,58 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
         for r in se.q_events_range_join(spark, sf).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_streaming_sample_matches_batch(spark, tmp_path_factory):
+    """sample_per_group_stream's final emission per source (max n_seen) ==
+    batch curation.sample_per_group over the whole input — min-k under the
+    md5 total order is an order-insensitive mergeable fold, so the stream
+    arrives at the identical sample regardless of micro-batch boundaries
+    (two slices here, split so every source spans both batches)."""
+    import time as _time
+
+    from mmkg_rag_spark.operators.curation import sample_per_group
+    from mmkg_rag_spark.streaming import sample_per_group_stream
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("sample_in"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    slices = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    q = (
+        sample_per_group_stream(spark, in_dir, k=4)
+        .writeStream.format("memory")
+        .queryName("gsample")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.table("gsample")
+    # window max instead of a self-semi-join: joining the memory table to an
+    # aggregate of itself trips conflicting-attribute resolution
+    got = {
+        (r.source, r.doc_id, r.rk)
+        for r in emitted.withColumn(
+            "max_seen",
+            F.max("n_seen").over(Window.partitionBy("source")),
+        )
+        .filter(F.col("n_seen") == F.col("max_seen"))
+        .select("source", "doc_id", "rk")
+        .collect()
+    }
+    want = {
+        (r.source, r.doc_id, r.rk)
+        for r in sample_per_group(docs, "source", 4, "doc_id").collect()
+    }
+    assert got == want and len(want) > 0
+    # bounded state: every emission carries at most k rows per source
+    per_emission = emitted.groupBy("source", "n_seen").count().collect()
+    assert all(r["count"] <= 4 for r in per_emission)
