@@ -349,6 +349,76 @@ def sample_mixture(
     )
 
 
+def exact_isqrt(col):
+    """Exact integer floor-sqrt of a non-negative BIGINT column.
+
+    ``floor(sqrt(n))`` from the IEEE correctly-rounded double sqrt, then
+    one integer correction step in each direction — so the result is the
+    true isqrt even if the libm rounding landed on the wrong side of an
+    integer boundary. Engine-portable by construction (the correction is
+    pure integer arithmetic; any engine's sqrt is within 1 ulp)."""
+    f0 = F.floor(F.sqrt(col.cast("double"))).cast("long")
+    f1 = F.when((f0 + 1) * (f0 + 1) <= col, f0 + 1).otherwise(f0)
+    return F.when(f1 * f1 > col, f1 - 1).otherwise(f1)
+
+
+def plan_temperature(
+    docs: DataFrame,
+    budget_docs: int,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled (α = 1/2) source-rebalancing sampling plan.
+
+    The multilingual/multi-source rebalancing draw (mC4 / XLM-R style):
+    sample so each stratum's share of the output ∝ n_s^α instead of n_s,
+    up-weighting tail sources and flattening head ones. α = 1/2 is THE
+    exactness-friendly temperature: n_s^(1/2) is an exact BIGINT via
+    :func:`exact_isqrt`, so the whole plan —
+
+        share_s = isqrt(n_s) / Σ_t isqrt(n_t)
+        rate_ppm_s = min(1e6, ⌊1e6 · budget · isqrt(n_s) / (S · n_s)⌋)
+
+    — is integer arithmetic, bit-reproducible across engines and cluster
+    sizes (a general-α plan needs float pow(), whose last-ulp behaviour
+    is libm-specific; run that variant with driver-computed literal rates
+    if ever needed). One tiny aggregate (|strata| rows) + a 1-row total
+    attached by broadcast crossJoin — never an eager collect."""
+    per = (
+        ensure_min_partitions(docs)
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("sqrt_n", exact_isqrt(F.col("n_docs")))
+    )
+    tot = per.select(F.sum("sqrt_n").alias("sqrt_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_docs",
+        "sqrt_n",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(f"1000000L * {budget_docs}L * sqrt_n div (sqrt_total * n_docs)"),
+        ).alias("rate_ppm"),
+    )
+
+
+def sample_temperature(
+    docs: DataFrame,
+    budget_docs: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Apply the α = 1/2 temperature plan: broadcast the |strata|-row plan,
+    filter with the deterministic hash draw in one map-side pass (same
+    shape as :func:`sample_mixture`)."""
+    plan = plan_temperature(docs, budget_docs, strata_col)
+    return (
+        docs.join(F.broadcast(plan), docs[strata_col] == plan["stratum"])
+        .where(uniform_ppm(id_col, seed) < F.col("rate_ppm"))
+        .drop("stratum", "n_docs", "sqrt_n")
+    )
+
+
 def scrub_pii(
     docs: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
 ) -> DataFrame:

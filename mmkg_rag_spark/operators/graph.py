@@ -1314,3 +1314,85 @@ def temporal_reachability(
             arr = arr.localCheckpoint()
             frontier = frontier.localCheckpoint()
     return arr
+
+
+def attribute_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of an ATTRIBUTE partition — exact rational.
+
+    Given an undirected simple graph (canonical pair list: src < dst,
+    distinct — the part_components contract) and a node→label table, Q
+    measures how much more intra-label edge mass exists than a degree-
+    preserving random rewiring would give:
+
+        Q = Σ_c [ e_c/m − (d_c/(2m))² ]
+          = (4m·Σ_c e_c − Σ_c d_c²) / (4m²)
+
+    with m = |E|, e_c = within-label edges, d_c = degree mass of label c.
+    The community-detection twins (LPA/CC) already exist as operators;
+    this is the QUALITY functional — over attribute partitions it is the
+    standard homophily/assortativity-by-category statistic (Newman 2003),
+    the KG-build question "do same-brand/-type/-domain entities actually
+    link to each other?".
+
+    Exactness: numerator and denominator are exact BIGINTs (m = Σd_c/2 is
+    derived inside the same aggregate — no separate count() action), the
+    only float is the final division. One row out:
+    (n_edges, n_communities, q_num, q_den, q). Shuffles: the two label
+    joins (dimension-sized right side), one per-label aggregate, one
+    global fold — no iteration, no window.
+    """
+    lab = labels.select(F.col(node).alias("_n"), F.col(label).alias("_l"))
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e2 = (
+        e.join(lab.withColumnRenamed("_n", "_s").withColumnRenamed("_l", "_la"), "_s")
+        .join(lab.withColumnRenamed("_n", "_d").withColumnRenamed("_l", "_lb"), "_d")
+    )
+    within = (
+        e2.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("_l"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        e.select(F.col("_s").alias("_n"))
+        .unionAll(e.select(F.col("_d").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .join(lab, "_n")
+        .groupBy("_l")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    per = deg.join(within, "_l", "left").select(
+        "_l",
+        F.col("d_c"),
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("e_c"),
+    )
+    agg = per.agg(
+        (F.sum("d_c") / 2).cast("long").alias("m"),
+        F.sum("e_c").cast("long").alias("e_within"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("dc_sq"),
+        F.count(F.lit(1)).alias("n_communities"),
+    )
+    return agg.select(
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        (4 * F.col("m") * F.col("e_within") - F.col("dc_sq"))
+        .cast("long")
+        .alias("q_num"),
+        (4 * F.col("m") * F.col("m")).cast("long").alias("q_den"),
+        F.round(
+            F.try_divide(
+                (4 * F.col("m") * F.col("e_within") - F.col("dc_sq")).cast(
+                    "double"
+                ),
+                (4 * F.col("m") * F.col("m")).cast("double"),
+            ),
+            6,
+        ).alias("q"),
+    )
