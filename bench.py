@@ -185,6 +185,10 @@ BENCH_QUERIES = [
     "part_pareto_frontier",
     "part_mis",
     "temporal_reach_suppliers",
+    "linkage_patterns",
+    "linkage_matches",
+    "temperature_sample",
+    "part_brand_modularity",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -1396,3 +1396,109 @@ def attribute_modularity(
             6,
         ).alias("q"),
     )
+
+
+def modularity_move(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+    *,
+    rounds: int = 1,
+) -> DataFrame:
+    """Synchronous modularity-greedy label moves (Louvain phase-1 rounds)
+    over an undirected simple graph (canonical src < dst pair list).
+
+    Each round, EVERY node simultaneously adopts the community that
+    maximizes its modularity gain among {its own, its neighbors'}.
+    Standard Louvain removes the node first, so with m = |E|, k_i the
+    node degree, k_{i,c} its edge count into community c, and Σtot_c the
+    community degree mass, the candidate ranking reduces (dropping terms
+    constant across candidates and the positive factor 1/(2m²)) to the
+    EXACT BIGINT score
+
+        score(c) = 2m·k_{i,c} − (Σtot_c − [c = cur]·k_i)·k_i
+
+    — no floats anywhere, so the argmax is engine-portable. Ties break
+    to the current community, then the smallest label (deterministic,
+    and keeps fixed points stable). LPA is this recurrence with the
+    frequency objective; this is the QUALITY-objective refinement step,
+    the standard improve-on-LPA/attribute-partition move. Synchronous
+    rounds are a pure function of (graph, labels, rounds) — the same
+    oracle-unrollable contract as lpa/mis — at the known cost that
+    oscillation can keep some pairs swapping; a FIXED round count plus
+    the stay-on-tie rule makes that an explicit, reproducible outcome,
+    never a convergence-dependent one.
+
+    Per round: one neighbor-label join, two label-sized aggregates, one
+    per-node argmax window (partitioned by node — parallel). The degree
+    table and 1-row edge-count broadcast are computed once. Returns
+    (node, label) for every node in the adjacency; isolated nodes (in
+    ``labels`` but no edges) are the caller's to keep — they never move.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = e.unionAll(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("_s").alias("_n")).agg(
+        F.count(F.lit(1)).cast("long").alias("_k")
+    ).localCheckpoint()
+    m_row = deg.agg((F.sum("_k") / 2).cast("long").alias("_m"))
+    lab = (
+        labels.select(F.col(node).alias("_n"), F.col(label).alias("_l"))
+        .join(deg.select("_n"), "_n", "semi")
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        tot = (
+            lab.join(deg, "_n")
+            .groupBy("_l")
+            .agg(F.sum("_k").cast("long").alias("_tot"))
+        )
+        nbr = (
+            sym.join(
+                lab.select(
+                    F.col("_n").alias("_d"), F.col("_l").alias("_c")
+                ),
+                "_d",
+            )
+            .groupBy(F.col("_s").alias("_n"), "_c")
+            .agg(F.count(F.lit(1)).cast("long").alias("_kic"))
+        )
+        cands = nbr.unionByName(
+            lab.select("_n", F.col("_l").alias("_c"), F.lit(0).cast("long").alias("_kic"))
+        ).groupBy("_n", "_c").agg(F.max("_kic").alias("_kic"))
+        scored = (
+            cands.join(lab, "_n")
+            .join(deg, "_n")
+            .join(tot.withColumnRenamed("_l", "_c"), "_c")
+            .crossJoin(F.broadcast(m_row))
+            .select(
+                "_n",
+                "_c",
+                (F.col("_c") == F.col("_l")).cast("int").alias("_cur"),
+                (
+                    2 * F.col("_m") * F.col("_kic")
+                    - (
+                        F.col("_tot")
+                        - F.when(F.col("_c") == F.col("_l"), F.col("_k"))
+                        .otherwise(F.lit(0))
+                    )
+                    * F.col("_k")
+                ).cast("long").alias("_score"),
+            )
+        )
+        w = Window.partitionBy("_n").orderBy(
+            F.col("_score").desc(), F.col("_cur").desc(), F.col("_c").asc()
+        )
+        lab = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_n", F.col("_c").alias("_l"))
+            .localCheckpoint()
+        )
+    return lab.select(F.col("_n").alias(node), F.col("_l").alias(label))

@@ -290,3 +290,116 @@ def test_modularity_cc_partition_identity(spark):
     d_c = {"x": 6, "y": 4, "z": 2}
     want = 1 - sum((d / (2 * m)) ** 2 for d in d_c.values())
     assert row.q_num / row.q_den == pytest.approx(want, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    from mmkg_rag_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(50), rng.choice("pq")) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, key long, f string")
+    w = 4
+    got = {
+        (r.id_a, r.id_b, r.gap, r.a_f, r.b_f)
+        for r in sorted_neighborhood_pairs(
+            df.repartition(7), "id", ["key"], w, field_cols=["f"]
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {
+        (order[i][0], order[j][0], j - i, order[i][2], order[j][2])
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w + 1, len(order)))
+    }
+    assert got == want
+    assert len(want) == w * len(rows) - w * (w + 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# modularity-greedy moves
+# ---------------------------------------------------------------------------
+
+
+def _py_modularity_move(edges, labels, rounds):
+    """Plain-Python synchronous Louvain phase-1 reference (same spec)."""
+    sym: dict[int, list[int]] = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    deg = {n: len(v) for n, v in sym.items()}
+    m = len(edges)
+    lab = {n: labels[n] for n in sym}
+    for _ in range(rounds):
+        new = {}
+        tot: dict[str, int] = {}
+        for n, k in deg.items():
+            tot[lab[n]] = tot.get(lab[n], 0) + k
+        for n in sym:
+            kic: dict[str, int] = {}
+            for nb in sym[n]:
+                kic[lab[nb]] = kic.get(lab[nb], 0) + 1
+            cands = set(kic) | {lab[n]}
+            best = None
+            for c in sorted(cands):
+                score = 2 * m * kic.get(c, 0) - (
+                    tot[c] - (deg[n] if c == lab[n] else 0)
+                ) * deg[n]
+                key = (score, 1 if c == lab[n] else 0)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            new[n] = best[1]
+        lab = new
+    return lab
+
+
+def test_modularity_move_corrects_planted_mislabel(spark):
+    from mmkg_rag_spark.operators.graph import modularity_move
+
+    # two 4-cliques + bridge; node 3 starts mislabeled as 'B'
+    edges = [
+        (a, b)
+        for grp in ([0, 1, 2, 3], [4, 5, 6, 7])
+        for i, a in enumerate(grp)
+        for b in grp[i + 1 :]
+    ] + [(3, 4)]
+    labels = {n: ("B" if n == 3 else ("A" if n < 4 else "B")) for n in range(8)}
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = spark.createDataFrame(list(labels.items()), "node long, label string")
+    moved = {r.node: r.label for r in modularity_move(e, lab, rounds=1).collect()}
+    assert moved[3] == "A"
+    assert moved == _py_modularity_move(edges, labels, 1)
+    # and the corrected partition has strictly higher modularity
+    lab_after = spark.createDataFrame(list(moved.items()), "node long, label string")
+    q_before = attribute_modularity(e, lab).collect()[0].q
+    q_after = attribute_modularity(e, lab_after).collect()[0].q
+    assert q_after > q_before
+
+
+def test_modularity_move_matches_reference_on_random_graph(spark):
+    from mmkg_rag_spark.operators.graph import modularity_move
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(90)
+            for a, b in [sorted(rng.sample(nodes, 2))]
+        }
+    )
+    labels = {n: f"c{rng.randrange(5)}" for n in nodes}
+    touched = {n for e2 in edges for n in e2}
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = spark.createDataFrame(list(labels.items()), "node long, label string")
+    for rounds in (1, 3):
+        got = {
+            r.node: r.label
+            for r in modularity_move(e, lab, rounds=rounds).collect()
+        }
+        want = _py_modularity_move(edges, {n: labels[n] for n in touched}, rounds)
+        assert got == want
