@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     "linkage_matches",
     "temperature_sample",
     "part_brand_modularity",
+    "customer_sorted_blocking",
+    "brand_modularity_move",
+    "linkage_clusters",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the
