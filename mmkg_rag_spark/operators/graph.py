@@ -30,6 +30,8 @@ no dangling nodes, since every edge gives both endpoints out-degree.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1168,9 +1170,21 @@ def maximal_independent_set(
     strings for all practical purposes, and a collision would only make
     both nodes wait a round); MIS nodes' neighbors leave as 'out'.
     Each round is ONE neighbor-min groupBy against the shrinking active
-    adjacency plus two semi/anti joins — no window, no collect. Isolated
-    active nodes (all neighbors decided) have no surviving neighbor rows
-    and enter immediately.
+    adjacency plus two semi/anti joins — no window, no node-sized
+    collect. Isolated active nodes (all neighbors decided) have no
+    surviving neighbor rows and enter immediately.
+
+    Round cost is TWO Spark jobs, not six: the round's decisions
+    ('in' ∪ 'out', provably disjoint — two adjacent winners would need
+    pri(u) < pri(v) < pri(u)) are checkpointed once, then a single
+    ≤2-row ``groupBy(state).count()`` collect answers BOTH break
+    conditions — zero winners, and zero remaining actives via a
+    driver-side running count (actives only ever leave, so
+    n_active −= |decisions| is exact). The shrinking frontier uses
+    non-eager lineage cuts (``localCheckpoint(eager=False)``)
+    materialized inside the next round's first job, and the decided set
+    is unioned from the per-round checkpointed pieces only at the end —
+    no per-round decided-union job.
 
     FIXED round count, so the result is a pure function of (graph,
     rounds) that a DuckDB oracle can unroll — Luby decides all nodes in
@@ -1192,10 +1206,13 @@ def maximal_independent_set(
 
     spark = edges.sparkSession
     node_t = dict(nodes.dtypes)["node"]
-    decided = spark.createDataFrame([], f"node {node_t}, state string")
+    decided_parts = [spark.createDataFrame([], f"node {node_t}, state string")]
     active_n = nodes
     active_e = e
+    n_active = nodes.count()
     for _ in range(rounds):
+        if n_active == 0:
+            break
         nbr_min = (
             active_e.withColumn("p_dst", F.md5(F.col("dst").cast("string")))
             .groupBy(F.col("src").alias("node"))
@@ -1205,10 +1222,7 @@ def maximal_independent_set(
             active_n.join(nbr_min, "node", "left")
             .filter(F.col("nmin").isNull() | (pri < F.col("nmin")))
             .select("node")
-            .localCheckpoint()
         )
-        if winners.isEmpty():
-            break
         killed = (
             active_e.join(
                 winners.withColumnRenamed("node", "src"), "src", "semi"
@@ -1216,21 +1230,33 @@ def maximal_independent_set(
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        decided = decided.unionByName(
+        progress = (
             winners.select("node", F.lit("in").alias("state"))
-        ).unionByName(
-            killed.select("node", F.lit("out").alias("state"))
-        ).localCheckpoint()
-        active_n = active_n.join(decided, "node", "left_anti").localCheckpoint()
-        if active_n.isEmpty():
+            .unionByName(killed.select("node", F.lit("out").alias("state")))
+            .localCheckpoint()
+        )
+        counts = {
+            r["state"]: r["count"]
+            for r in progress.groupBy("state").count().collect()
+        }
+        if counts.get("in", 0) == 0:
             break
+        decided_parts.append(progress)
+        n_active -= sum(counts.values())
+        if n_active == 0:
+            active_n = active_n.limit(0)
+            break
+        active_n = active_n.join(
+            progress.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=False)
         active_e = (
             active_e.join(
                 active_n.withColumnRenamed("node", "src"), "src", "semi"
             )
             .join(active_n.withColumnRenamed("node", "dst"), "dst", "semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+    decided = functools.reduce(lambda a, b: a.unionByName(b), decided_parts)
     return decided.unionByName(
         active_n.select("node", F.lit("undecided").alias("state"))
     )
