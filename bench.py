@@ -192,6 +192,10 @@ BENCH_QUERIES = [
     "customer_sorted_blocking",
     "brand_modularity_move",
     "linkage_clusters",
+    "gazetteer_mentions",
+    "mention_linking",
+    "part_assortativity",
+    "doc_surprisal",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

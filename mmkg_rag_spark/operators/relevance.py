@@ -273,6 +273,51 @@ def rare_ngram_score(
     )
 
 
+def doc_surprisal_bits(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, surprisal_bits) — per-document unigram
+    cross-entropy against the corpus's OWN unigram distribution, in
+    whole bits: Σ_tokens floor(log2(N div cnt(token))), where N is the
+    corpus token count. The CCNet/Gopher "perplexity vs in-domain LM"
+    quality signal, with the log made ENGINE-EXACT instead of IEEE:
+    floor(log2(x)) for integer x ≥ 1 is length(bin(x)) − 1 — a string
+    length both Spark and DuckDB compute identically on the identical
+    integer (integer ``div`` first, also identical for positives). The
+    whole score is BIGINT arithmetic end to end; no float ever enters,
+    so the oracle hash cannot flake on summation order.
+
+    Plan: the unigram count table is vocab-sized → built by one
+    map-side-combinable groupBy, its total attached by broadcast
+    cross-join (no driver collect), and the per-token surprisal column
+    derived there once; the token stream then broadcast-joins that
+    dictionary (vocab ≪ corpus at any scale — web-scale vocabs are
+    ~10^8 terms vs 10^14 tokens, still the broadcast side) and one
+    final doc-keyed groupBy emits the score. Two scans of the fact, one
+    doc-keyed shuffle.
+    """
+    toks = tokenize(docs, text_col, id_col).select(
+        F.col(id_col).alias("id"), "term"
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.sum(F.lit(1)).cast("long").alias("n_total"))
+    dic = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        (
+            F.length(F.bin(F.expr("n_total div cnt"))) - F.lit(1)
+        ).cast("long").alias("bits"),
+    )
+    return (
+        toks.join(F.broadcast(dic), "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "surprisal_bits")
+    )
+
+
 def term_lift(
     docs: DataFrame,
     group_col: str = "source",

@@ -1,0 +1,223 @@
+"""Session-15 operators: gazetteer mention detection, context-overlap
+entity linking, degree assortativity, integer surprisal scoring.
+
+Pins: the unigram+bigram gram stream vs a plain-Python sliding window
+(incl. 0/1-token docs and multiplicity); mention counts vs brute-force
+substring-free counting; linking winners vs an exhaustive Python argmax
+with the documented tie-break; assortativity vs the textbook Pearson
+formula on crafted star (r < 0) and near-regular graphs, plus the exact
+num/den rational against Fractions; surprisal_bits vs a plain-Python
+floor-log2 recurrence and its partitioning invariance.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from mmkg_rag_spark.operators.graph import degree_assortativity
+from mmkg_rag_spark.operators.mentions import (
+    doc_grams,
+    gazetteer_mentions,
+    link_mentions,
+)
+from mmkg_rag_spark.operators.relevance import doc_surprisal_bits
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(
+        master="local[4]", shuffle_partitions=8, app_name="pytest-s15ops"
+    )
+
+
+def _py_grams(text: str) -> list[str]:
+    ts = [t for t in text.split(" ") if t != ""]
+    return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+
+# ---------------------------------------------------------------------------
+# mentions
+# ---------------------------------------------------------------------------
+
+
+def test_doc_grams_match_python_sliding_window(spark):
+    rows = [
+        (0, "a b c a b"),
+        (1, "solo"),
+        (2, ""),
+        (3, "x  y"),  # double space → empty token dropped, bigram 'x y'
+        (4, "a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = Counter(
+        (r.doc_id, r.gram) for r in doc_grams(df).collect()
+    )
+    want = Counter(
+        (i, g) for i, t in rows for g in _py_grams(t)
+    )
+    assert got == want
+
+
+def test_gazetteer_mentions_bruteforce(spark):
+    rng = random.Random(15)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    surfaces = ["a", "b c", "d d"]
+    got = {
+        (r.doc_id, r.surface): r.n_mentions
+        for r in gazetteer_mentions(df, surfaces).collect()
+    }
+    want = {}
+    for i, t in rows:
+        for g, n in Counter(_py_grams(t)).items():
+            if g in surfaces:
+                want[(i, g)] = n
+    assert got == want
+    assert all(n >= 1 for n in got.values())
+
+
+def test_link_mentions_argmax_and_tiebreak(spark):
+    cand = [("w", "e2"), ("w", "e1"), ("s", "e3"), ("s", "e4")]
+    ctx = [("e1", "p"), ("e2", "q"), ("e3", "p"), ("e4", "q")]
+    rows = [
+        (0, "w p p q"),  # e1 scores 2, e2 scores 1 → e1
+        (1, "w q"),  # e2 wins 1-0
+        (2, "w"),  # 0-0 tie → lexicographically smaller e1
+        (3, "s s q q q"),  # e4 wins 3-0, n_mentions 2
+        (4, "x p q"),  # no mention → no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.surface, r.entity_id, r.score, r.n_mentions)
+        for r in link_mentions(df, cand, ctx).collect()
+    }
+    assert got == {
+        0: ("w", "e1", 2, 1),
+        1: ("w", "e2", 1, 1),
+        2: ("w", "e1", 0, 1),
+        3: ("s", "e4", 3, 2),
+    }
+
+
+def test_link_mentions_ambiguous_only_filter(spark):
+    # unambiguous surfaces are dropped when ambiguous_only=True (default)
+    cand = [("u", "e9"), ("w", "e1"), ("w", "e2")]
+    df = spark.createDataFrame(
+        [(0, "u w")], "doc_id long, text string"
+    )
+    got = {r.surface for r in link_mentions(df, cand, []).collect()}
+    assert got == {"w"}
+    got_all = {
+        r.surface
+        for r in link_mentions(df, cand, [], ambiguous_only=False).collect()
+    }
+    assert got_all == {"u", "w"}
+
+
+# ---------------------------------------------------------------------------
+# assortativity
+# ---------------------------------------------------------------------------
+
+
+def _py_assortativity(edges: list[tuple[int, int]]):
+    sym = edges + [(d, s) for s, d in edges]
+    deg = Counter(s for s, _ in sym)
+    xs = [deg[s] for s, _ in sym]
+    ys = [deg[d] for _, d in sym]
+    e = len(sym)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    return e * sxy - sx * sx, e * sxx - sx * sx
+
+
+def test_assortativity_star_is_negative(spark):
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    num, den = _py_assortativity(edges)
+    assert int(row.r_num) == num
+    assert int(row.r_den) == den
+    assert row.n_edges == 5
+    assert row.r == -1.0  # perfect star: maximally disassortative
+
+
+def test_assortativity_random_graph_matches_fraction(spark):
+    rng = random.Random(15)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(12), 2))) for _ in range(25)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    num, den = _py_assortativity(edges)
+    assert (int(row.r_num), int(row.r_den)) == (num, den)
+    want = Fraction(num, den)
+    assert math.isclose(row.r, float(want), abs_tol=5e-7)
+
+
+# ---------------------------------------------------------------------------
+# surprisal
+# ---------------------------------------------------------------------------
+
+
+def _py_surprisal(rows):
+    toks = [t for _, text in rows for t in text.split(" ") if t]
+    cnt = Counter(toks)
+    n = len(toks)
+    out = {}
+    for i, text in rows:
+        ts = [t for t in text.split(" ") if t]
+        if not ts:
+            continue
+        out[i] = (
+            len(ts),
+            sum((n // cnt[t]).bit_length() - 1 for t in ts),
+        )
+    return out
+
+
+def test_surprisal_bits_matches_python(spark):
+    rng = random.Random(99)
+    vocab = ["a"] * 5 + ["b"] * 2 + ["c", "d", "e"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.surprisal_bits)
+        for r in doc_surprisal_bits(df).collect()
+    }
+    assert got == _py_surprisal(rows)
+
+
+def test_surprisal_partitioning_invariance(spark):
+    rows = [(i, "a b c a " * (i % 3 + 1)) for i in range(30)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, doc_surprisal_bits(df1).collect()))
+    b = sorted(
+        map(tuple, doc_surprisal_bits(df1.repartition(7)).collect())
+    )
+    assert a == b
+
+
+def test_surprisal_rare_token_scores_higher(spark):
+    # one doc of a common token, one of a rare token, same length
+    rows = [(0, " ".join(["a"] * 9) + " b"), (1, " ".join(["a"] * 10))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.surprisal_bits for r in doc_surprisal_bits(df).collect()
+    }
+    assert got[0] > got[1]
