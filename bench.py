@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "mention_linking",
     "part_assortativity",
     "doc_surprisal",
+    "coorder_edge_support",
+    "ktruss_coorder",
+    "surface_cooccurrence",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -142,30 +142,15 @@ def pagerank(
     )
 
 
-def triangle_counts(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-) -> DataFrame:
-    """Per-node triangle counts + local clustering coefficient.
+def _canonical_triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared degree-oriented triangle enumeration.
 
-    Returns DataFrame(node, degree: bigint, triangles: bigint,
-    clustering: double) over the undirected simple graph (multi-edges and
-    self-loops dropped). ``clustering = 2*triangles / (degree*(degree-1))``.
-
-    Scale shape — the MapReduce-classic *degree orientation* (Suri &
-    Vassilvitskii, WWW'11): orient every undirected edge from its
-    lower-(degree, id) endpoint to the higher one, enumerate wedges as
-    pairs of out-edges per source, and close them against the oriented
-    edge list. Out-degree under this orientation is O(sqrt(m)) even for
-    hub nodes, so the wedge join — the only superlinear stage — is bounded
-    by sum C(outdeg, 2) ≤ O(m^1.5) with NO skew blowup on power-law
-    graphs: a Wikipedia-class hub of degree 10^6 contributes ~sqrt(m)
-    wedges, not 10^12. Everything is equi-joins and groupBys; each
-    triangle is emitted exactly once (its orientation-ordered corner).
-
-    Determinism: pure set semantics — counts are exact integers, so the
-    DuckDB oracle (same construction in SQL) hash-matches.
+    Returns (e, deg, tri): the canonical simple edge list (a < b,
+    distinct, checkpointed), per-node degrees over it, and every
+    triangle exactly once as (u, v1, v2) in orientation order. See
+    triangle_counts for the O(m^1.5) skew analysis.
     """
     e = (
         edges.select(
@@ -208,6 +193,35 @@ def triangle_counts(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
     tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    return e, deg, tri
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient.
+
+    Returns DataFrame(node, degree: bigint, triangles: bigint,
+    clustering: double) over the undirected simple graph (multi-edges and
+    self-loops dropped). ``clustering = 2*triangles / (degree*(degree-1))``.
+
+    Scale shape — the MapReduce-classic *degree orientation* (Suri &
+    Vassilvitskii, WWW'11): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges as
+    pairs of out-edges per source, and close them against the oriented
+    edge list. Out-degree under this orientation is O(sqrt(m)) even for
+    hub nodes, so the wedge join — the only superlinear stage — is bounded
+    by sum C(outdeg, 2) ≤ O(m^1.5) with NO skew blowup on power-law
+    graphs: a Wikipedia-class hub of degree 10^6 contributes ~sqrt(m)
+    wedges, not 10^12. Everything is equi-joins and groupBys; each
+    triangle is emitted exactly once (its orientation-ordered corner).
+
+    Determinism: pure set semantics — counts are exact integers, so the
+    DuckDB oracle (same construction in SQL) hash-matches.
+    """
+    e, deg, tri = _canonical_triangles(edges, src, dst)
     per_node = (
         tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
         .groupBy("node")
@@ -226,6 +240,83 @@ def triangle_counts(
         )
         .alias("clustering"),
     )
+
+
+def edge_support(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-EDGE triangle support → (a, b, support) with a < b.
+
+    The support of edge {u, v} is the number of triangles containing it
+    (= |N(u) ∩ N(v)|) — the k-truss building block and the classic
+    edge-strength signal: in a KG it separates structurally-embedded
+    relations (endpoints share many neighbors) from incidental ones.
+    Same degree-oriented O(m^1.5) enumeration as triangle_counts; each
+    triangle then credits its three canonical edges through one explode
+    + one map-side-combinable groupBy on the edge key. Edges in no
+    triangle ship with support 0 (left join back to the edge list), so
+    the output is exactly the simple edge set — exact integers, oracle
+    hash-matchable.
+    """
+    e, _, tri = _canonical_triangles(edges, src, dst)
+    pairs = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v1").alias("a"),
+                    F.greatest("u", "v1").alias("b"),
+                ),
+                F.struct(
+                    F.least("u", "v2").alias("a"),
+                    F.greatest("u", "v2").alias("b"),
+                ),
+                F.struct(
+                    F.least("v1", "v2").alias("a"),
+                    F.greatest("v1", "v2").alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    sup = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    return e.join(sup, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce("support", F.lit(0).cast("bigint")).alias("support"),
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int = 3,
+) -> DataFrame:
+    """k-truss peeling after ``rounds`` synchronous rounds →
+    (a, b, support) over the surviving edge set.
+
+    The k-truss (maximal subgraph where every edge sits in ≥ k−2
+    triangles of the subgraph) is the edge-side analogue of the k-core
+    and a far stronger dense-substructure extractor (Cohen 2008) — a
+    KG's "well-attested relation core". Each round recomputes edge
+    support over the surviving edges and drops those below k−2. FIXED
+    round count, same contract as kcore/lpa/mis: no convergence probes,
+    a pure function of (graph, k, rounds) that an unrolled SQL oracle
+    replays exactly; rounds after convergence are no-ops. Cost is one
+    triangle enumeration per peel plus one final recount on the
+    surviving subgraph (the reported support column) — the O(m^1.5)
+    bound shrinks with the surviving edge set, and there is no
+    per-round state beyond the checkpointed edge list.
+    """
+    e = edges
+    thr = k - 2
+    for i in range(rounds):
+        s = edge_support(e, src if i == 0 else "a", dst if i == 0 else "b")
+        e = s.filter(F.col("support") >= thr).select("a", "b").localCheckpoint()
+    return edge_support(e, "a", "b")
 
 
 def kcore(

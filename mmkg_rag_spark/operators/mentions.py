@@ -154,6 +154,52 @@ def gazetteer_mentions(
     )
 
 
+def surface_cooccurrence(
+    docs: DataFrame,
+    surfaces: list[str] | None = None,
+    **kw,
+) -> DataFrame:
+    """(surface_a, surface_b, n_docs, w_min) with surface_a < surface_b —
+    the co-mention EDGE BUILDER: which dictionary entities occur in the
+    same documents, how often (n_docs = co-mentioning documents, w_min =
+    Σ_docs min(count_a, count_b), the standard co-occurrence mass that
+    caps a doc's contribution at its rarer mention).
+
+    This is the step that turns mention detection into a graph — the
+    co-occurrence network GraphRAG-style pipelines build communities
+    over, and the direct generalization of the reference's
+    entities-sharing-a-chunk relation candidates
+    (/root/reference/src/mmkg_rag/index/text.py:81-118).
+
+    Scale shape: the self-join is keyed by doc_id and each side is the
+    per-doc MENTION table (≤ |gazetteer| rows per doc, typically a
+    handful), so the pair fan-out per doc is C(k, 2) of a small k —
+    bounded by the dictionary, not the corpus; the output key space is
+    (surface, surface), at most |gazetteer|² rows. One count shuffle +
+    one doc-keyed self-join + one pair-keyed groupBy.
+    """
+    m = gazetteer_mentions(docs, surfaces, **kw)
+    a = m.select(
+        "doc_id",
+        F.col("surface").alias("surface_a"),
+        F.col("n_mentions").alias("na"),
+    )
+    b = m.select(
+        "doc_id",
+        F.col("surface").alias("surface_b"),
+        F.col("n_mentions").alias("nb"),
+    )
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("surface_a") < F.col("surface_b"))
+        .groupBy("surface_a", "surface_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.least("na", "nb")).cast("long").alias("w_min"),
+        )
+    )
+
+
 def link_mentions(
     docs: DataFrame,
     candidates: list[tuple[str, str]] | None = None,

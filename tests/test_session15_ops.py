@@ -20,11 +20,16 @@ from fractions import Fraction
 import pytest
 from pyspark.sql import functions as F
 
-from mmkg_rag_spark.operators.graph import degree_assortativity
+from mmkg_rag_spark.operators.graph import (
+    degree_assortativity,
+    edge_support,
+    ktruss,
+)
 from mmkg_rag_spark.operators.mentions import (
     doc_grams,
     gazetteer_mentions,
     link_mentions,
+    surface_cooccurrence,
 )
 from mmkg_rag_spark.operators.relevance import doc_surprisal_bits
 
@@ -165,6 +170,77 @@ def test_assortativity_random_graph_matches_fraction(spark):
     assert (int(row.r_num), int(row.r_den)) == (num, den)
     want = Fraction(num, den)
     assert math.isclose(row.r, float(want), abs_tol=5e-7)
+
+
+def _py_edge_support(edges):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    return {
+        (min(s, d), max(s, d)): len(adj[s] & adj[d]) for s, d in edges
+    }
+
+
+def _py_ktruss(edges, k, rounds):
+    e = {(min(s, d), max(s, d)) for s, d in edges}
+    for _ in range(rounds):
+        sup = _py_edge_support(sorted(e))
+        e = {p for p in e if sup[p] >= k - 2}
+    return _py_edge_support(sorted(e))
+
+
+def test_edge_support_bruteforce(spark):
+    rng = random.Random(21)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(15), 2))) for _ in range(45)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): r.support for r in edge_support(df).collect()}
+    assert got == _py_edge_support(edges)
+
+
+def test_ktruss_matches_python_peeling(spark):
+    # K5 (edges survive any k ≤ 5 truss) + a pendant triangle + a tail
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    extra = [(4, 5), (4, 6), (5, 6), (6, 7)]
+    edges = k5 + extra
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k, rounds in [(4, 1), (4, 3), (5, 2)]:
+        got = {
+            (r.a, r.b): r.support
+            for r in ktruss(df, k, rounds=rounds).collect()
+        }
+        assert got == _py_ktruss(edges, k, rounds), (k, rounds)
+    # k=5, enough rounds: exactly the K5 survives with support 3
+    got = {(r.a, r.b): r.support for r in ktruss(df, 5, rounds=3).collect()}
+    assert got == {p: 3 for p in k5}
+
+
+def test_surface_cooccurrence_bruteforce(spark):
+    rows = [
+        (0, "a b a c"),
+        (1, "a a b b"),
+        (2, "c"),
+        (3, "b c b c c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.surface_a, r.surface_b): (r.n_docs, r.w_min)
+        for r in surface_cooccurrence(df, ["a", "b", "c"]).collect()
+    }
+    want = {}
+    for _, t in rows:
+        c = Counter(x for x in t.split(" ") if x in {"a", "b", "c"})
+        ks = sorted(c)
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                nd, wm = want.get((ks[i], ks[j]), (0, 0))
+                want[(ks[i], ks[j])] = (
+                    nd + 1,
+                    wm + min(c[ks[i]], c[ks[j]]),
+                )
+    assert got == want
 
 
 # ---------------------------------------------------------------------------
