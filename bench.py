@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "coorder_edge_support",
     "ktruss_coorder",
     "surface_cooccurrence",
+    "mention_spans",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -766,7 +766,8 @@ def sssp_distances(
 
 
 def degree_assortativity(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst", *,
+    rational: bool = False,
 ) -> DataFrame:
     """Degree assortativity coefficient of the undirected simple graph —
     Newman (2002): the Pearson correlation of the degrees at either end of
@@ -785,7 +786,11 @@ def degree_assortativity(
     denominator. Three shuffles total (edge distinct, degree groupBy,
     2-row-ish final agg), all on well-distributed keys.
 
-    Output: one row (n_nodes, n_edges, assortativity).
+    Output: one row (n_nodes, n_edges, assortativity); with
+    ``rational=True`` also the EXACT DECIMAL(38,0) numerator and
+    denominator (r_num, r_den) of r — the engine-portable rational
+    (HUGEINT in a DuckDB twin) for consumers that cannot tolerate even
+    the one rounded float.
     """
     e = edges.select(
         F.least(F.col(src), F.col(dst)).alias("u"),
@@ -808,23 +813,27 @@ def degree_assortativity(
         F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
     )
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    return (
-        m.crossJoin(F.broadcast(nodes))
-        .select(
-            F.col("n_nodes").cast("bigint").alias("n_nodes"),
-            (F.col("n") / 2).cast("bigint").alias("n_edges"),
-            # try_divide: a degree-regular graph has zero degree variance,
-            # so r is mathematically undefined — return NULL, not a crash
-            # (ANSI mode raises DIVIDE_BY_ZERO on plain /).
-            F.round(
-                F.try_divide(
-                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double"),
-                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
-                ),
-                6,
-            ).alias("assortativity"),
-        )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
     )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    cols = [
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+    ]
+    if rational:
+        cols += [num.alias("r_num"), den.alias("r_den")]
+    cols.append(
+        # try_divide: a degree-regular graph has zero degree variance,
+        # so r is mathematically undefined — return NULL, not a crash
+        # (ANSI mode raises DIVIDE_BY_ZERO on plain /).
+        F.round(
+            F.try_divide(num.cast("double"), den.cast("double")), 6
+        ).alias("assortativity")
+    )
+    return m.crossJoin(F.broadcast(nodes)).select(*cols)
 
 
 def common_neighbor_pairs(
@@ -1512,72 +1521,6 @@ def attribute_modularity(
             ),
             6,
         ).alias("q"),
-    )
-
-
-def degree_assortativity(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-) -> DataFrame:
-    """Degree assortativity coefficient r (Newman 2002) — exact rational.
-
-    Over the symmetrized edge list (each undirected edge as both
-    directed rows, E = 2m rows) with x = deg(src), y = deg(dst), r is
-    the Pearson correlation of degrees across edges:
-
-        r = (E·Σxy − Σx·Σy) / (E·Σx² − (Σx)²)
-
-    (the x and y marginals coincide by symmetry, so one denominator
-    serves both). r > 0 = hubs link to hubs (social-graph shape);
-    r < 0 = hubs link to leaves (web/KG star shape) — the statistic
-    that says whether "Wikipedia-class hub" skew is actually present in
-    a built graph, next to the modularity functional above.
-
-    Exactness: numerator and denominator ship as DECIMAL(38,0) — the
-    sums of degree products overflow BIGINT at 10^12-edge scale
-    (d ~ 10^6, E ~ 10^12 ⇒ Σxy ~ 10^24), and DECIMAL(38,0) arithmetic
-    is exact and identical in Spark and DuckDB. The only float is the
-    final division. Plan: one degree groupBy, two node-keyed joins of
-    the edge list against the node-sized degree table (co-partitioned
-    shuffle joins — the degree side is NOT broadcast because at target
-    scale it is vertex-sized), one global fold. No iteration, no
-    window, no collect.
-    """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    sym = e.unionAll(
-        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
-    )
-    deg = sym.groupBy(F.col("_s").alias("_n")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
-    dd = (
-        sym.join(deg.select(F.col("_n").alias("_s"), F.col("deg").alias("dx")), "_s")
-        .join(deg.select(F.col("_n").alias("_d"), F.col("deg").alias("dy")), "_d")
-        .select(
-            F.col("dx").cast("decimal(38,0)").alias("dx"),
-            F.col("dy").cast("decimal(38,0)").alias("dy"),
-        )
-    )
-    agg = dd.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("ne"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-        F.sum("dx").alias("sx"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-    )
-    num = (F.col("ne") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
-        "decimal(38,0)"
-    )
-    den = (F.col("ne") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "decimal(38,0)"
-    )
-    return agg.select(
-        (F.col("ne") / 2).cast("long").alias("n_edges"),
-        num.alias("r_num"),
-        den.alias("r_den"),
-        F.round(
-            F.try_divide(num.cast("double"), den.cast("double")), 6
-        ).alias("r"),
     )
 
 

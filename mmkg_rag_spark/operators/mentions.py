@@ -154,6 +154,58 @@ def gazetteer_mentions(
     )
 
 
+def mention_spans(
+    docs: DataFrame,
+    surfaces: list[str] | None = None,
+    **kw,
+) -> DataFrame:
+    """(doc_id, surface, n_mentions, first_idx, last_idx) — mention
+    counts WITH span anchors: 1-based token index of the first and last
+    occurrence (for a bigram surface, the index of its first token).
+
+    Real mention tables carry offsets (they feed context windows and
+    entity-image proximity scoring — the reference's ±200-char context
+    scan, src/mmkg_rag/index/mmodal.py:45-70, is exactly a span
+    consumer). Positions ride along free: the unigram stream keeps its
+    ``posexplode`` index, the bigram stream's gram i starts at token i,
+    and the aggregate adds a min/max to the same single shuffle that
+    computes the counts.
+    """
+    spark = docs.sparkSession
+    dict_df = spark.createDataFrame(
+        [(s,) for s in (surfaces if surfaces is not None else GAZETTEER)],
+        "surface string",
+    )
+    t = doc_token_array(docs, **kw)
+    n = F.size("ts")
+    bi_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("ts", 1, n - 1),
+            F.slice("ts", 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = t.select(
+        "doc_id", F.posexplode("ts").alias("p", "gram")
+    ).select("doc_id", "gram", (F.col("p") + 1).cast("long").alias("idx"))
+    bi = t.select(
+        "doc_id", F.posexplode(bi_arr).alias("p", "gram")
+    ).select("doc_id", "gram", (F.col("p") + 1).cast("long").alias("idx"))
+    grams = uni.unionByName(bi)
+    return (
+        grams.join(
+            F.broadcast(dict_df), grams["gram"] == dict_df["surface"], "inner"
+        )
+        .groupBy("doc_id", "surface")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("idx").alias("first_idx"),
+            F.max("idx").alias("last_idx"),
+        )
+    )
+
+
 def surface_cooccurrence(
     docs: DataFrame,
     surfaces: list[str] | None = None,

@@ -151,12 +151,13 @@ def _py_assortativity(edges: list[tuple[int, int]]):
 def test_assortativity_star_is_negative(spark):
     edges = [(0, i) for i in range(1, 6)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    row = degree_assortativity(df).collect()[0]
+    row = degree_assortativity(df, rational=True).collect()[0]
     num, den = _py_assortativity(edges)
     assert int(row.r_num) == num
     assert int(row.r_den) == den
     assert row.n_edges == 5
-    assert row.r == -1.0  # perfect star: maximally disassortative
+    assert row.n_nodes == 6
+    assert row.assortativity == -1.0  # perfect star: maximally disassortative
 
 
 def test_assortativity_random_graph_matches_fraction(spark):
@@ -165,11 +166,35 @@ def test_assortativity_random_graph_matches_fraction(spark):
         {tuple(sorted(rng.sample(range(12), 2))) for _ in range(25)}
     )
     df = spark.createDataFrame(edges, "src long, dst long")
-    row = degree_assortativity(df).collect()[0]
+    row = degree_assortativity(df, rational=True).collect()[0]
     num, den = _py_assortativity(edges)
     assert (int(row.r_num), int(row.r_den)) == (num, den)
     want = Fraction(num, den)
-    assert math.isclose(row.r, float(want), abs_tol=5e-7)
+    assert math.isclose(row.assortativity, float(want), abs_tol=5e-7)
+    # default (non-rational) shape is the pre-existing contract
+    legacy = degree_assortativity(df).columns
+    assert legacy == ["n_nodes", "n_edges", "assortativity"]
+
+
+def test_mention_spans_positions(spark):
+    from mmkg_rag_spark.operators.mentions import mention_spans
+
+    rows = [
+        (0, "a b c a b"),  # 'a b' at idx 1 and 4; 'c' at 3
+        (1, "c"),
+        (2, "b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.surface): (r.n_mentions, r.first_idx, r.last_idx)
+        for r in mention_spans(df, ["a b", "c"]).collect()
+    }
+    assert got == {
+        (0, "a b"): (2, 1, 4),
+        (0, "c"): (1, 3, 3),
+        (1, "c"): (1, 1, 1),
+        (2, "a b"): (1, 2, 2),
+    }
 
 
 def _py_edge_support(edges):
