@@ -143,7 +143,8 @@ def pagerank(
 
 
 def _canonical_triangles(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst", *,
+    canonical: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared degree-oriented triangle enumeration.
 
@@ -151,16 +152,25 @@ def _canonical_triangles(
     distinct, checkpointed), per-node degrees over it, and every
     triangle exactly once as (u, v1, v2) in orientation order. See
     triangle_counts for the O(m^1.5) skew analysis.
+
+    ``canonical=True`` asserts the input is ALREADY a canonical simple
+    edge list (src < dst, distinct — e.g. the survivor set of a
+    previous peel) and skips the least/greatest + distinct shuffle.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if canonical:
+        e = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).localCheckpoint()
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
         )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -246,6 +256,8 @@ def edge_support(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    *,
+    canonical: bool = False,
 ) -> DataFrame:
     """Per-EDGE triangle support → (a, b, support) with a < b.
 
@@ -258,9 +270,11 @@ def edge_support(
     + one map-side-combinable groupBy on the edge key. Edges in no
     triangle ship with support 0 (left join back to the edge list), so
     the output is exactly the simple edge set — exact integers, oracle
-    hash-matchable.
+    hash-matchable. ``canonical=True``: the input is already a
+    canonical simple edge list — skip the dedup shuffle (peeling loops
+    feed their own survivor sets back).
     """
-    e, _, tri = _canonical_triangles(edges, src, dst)
+    e, _, tri = _canonical_triangles(edges, src, dst, canonical=canonical)
     pairs = tri.select(
         F.explode(
             F.array(
@@ -294,9 +308,12 @@ def ktruss(
     dst: str = "dst",
     *,
     rounds: int = 3,
+    canonical: bool = False,
 ) -> DataFrame:
     """k-truss peeling after ``rounds`` synchronous rounds →
-    (a, b, support) over the surviving edge set.
+    (a, b, support) over the surviving edge set. ``canonical=True``:
+    the INPUT edge list is already canonical (src < dst, distinct) —
+    skip round 0's dedup shuffle.
 
     The k-truss (maximal subgraph where every edge sits in ≥ k−2
     triangles of the subgraph) is the edge-side analogue of the k-core
@@ -314,9 +331,14 @@ def ktruss(
     e = edges
     thr = k - 2
     for i in range(rounds):
-        s = edge_support(e, src if i == 0 else "a", dst if i == 0 else "b")
+        s = edge_support(
+            e,
+            src if i == 0 else "a",
+            dst if i == 0 else "b",
+            canonical=canonical if i == 0 else True,
+        )
         e = s.filter(F.col("support") >= thr).select("a", "b").localCheckpoint()
-    return edge_support(e, "a", "b")
+    return edge_support(e, "a", "b", canonical=True)
 
 
 def kcore(
