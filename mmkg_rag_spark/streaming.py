@@ -307,6 +307,33 @@ def cms_registers_stream(
     return cms.cms_registers(toks, "term", depth=depth, width=width)
 
 
+def mentions_stream(
+    spark: SparkSession,
+    input_dir: str,
+    surfaces: list | None = None,
+):
+    """Streaming gazetteer mention detection
+    (operators/mentions.gazetteer_mentions over readStream).
+
+    The mention detector is a stateless in-row projection (unigram +
+    bigram streams) plus a stream-static BROADCAST join against the
+    surface dictionary, so it streams for free; the only state Spark
+    keeps is the (doc_id, surface) count aggregation — one row per
+    detected mention pair, bounded by mentions seen, not tokens. On a
+    continuous crawl this is the "entity firehose" feed: per-document
+    mention counts materialize incrementally and the complete-mode
+    output equals the batch operator row-for-row after any number of
+    micro-batches (pinned by tests/test_streaming.py). Docs have no
+    event time, so no watermark: for an unbounded feed, key the
+    aggregation by an arrival-time window to let state age out.
+    Returns the streaming DataFrame; callers attach a sink.
+    """
+    from .operators.mentions import gazetteer_mentions
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    return gazetteer_mentions(stream, surfaces)
+
+
 MG_STATE_SCHEMA = "terms array<string>, counts array<long>, n_seen long"
 MG_OUTPUT_SCHEMA = "bucket int, n_seen long, term string, mg_count long"
 

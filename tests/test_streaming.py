@@ -761,3 +761,34 @@ def test_streaming_sample_matches_batch(spark, tmp_path_factory):
     # bounded state: every emission carries at most k rows per source
     per_emission = emitted.groupBy("source", "n_seen").count().collect()
     assert all(r["count"] <= 4 for r in per_emission)
+
+
+def test_mentions_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming gazetteer mention detection across micro-batches ==
+    the batch operator row-for-row in complete mode."""
+    from mmkg_rag_spark.operators.mentions import gazetteer_mentions
+    from mmkg_rag_spark.streaming import mentions_stream
+
+    sf = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path_factory.mktemp("mentions_in"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    out = mentions_stream(spark, in_dir)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mentions_s")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_id, r.surface): r.n_mentions
+        for r in spark.sql("select * from mentions_s").collect()
+    }
+    want = {
+        (r.doc_id, r.surface): r.n_mentions
+        for r in gazetteer_mentions(docs).collect()
+    }
+    assert got == want and len(want) > 100
