@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "ktruss_coorder",
     "surface_cooccurrence",
     "mention_spans",
+    "rrf_fusion",
+    "supplier_butterflies",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -1546,6 +1546,63 @@ def attribute_modularity(
     )
 
 
+def butterfly_counts(
+    edges: DataFrame,
+    left: str = "src",
+    right: str = "dst",
+) -> DataFrame:
+    """Bipartite butterfly (2×2 biclique) census → one row
+    (n_left, n_right, n_edges, n_wedges, n_butterflies).
+
+    The butterfly is the bipartite analogue of the triangle (Wang et
+    al., VLDB'14; Sanei-Mehri et al., KDD'18): two left vertices both
+    connected to the same two right vertices. Butterfly density is THE
+    cohesion signal for bipartite KG layers (supplier×part,
+    entity×document, author×page): random bipartite graphs have almost
+    none, co-behavior structure has many.
+
+    Count without materializing 4-tuples: join the (distinct) edge list
+    with itself on the RIGHT key to enumerate left-pair wedges, count
+    wedges per left pair c(u1, u2), then Σ C(c, 2) — every butterfly is
+    exactly one pair of wedges on the same left pair. n_wedges (the
+    "caterpillar" count Σ_r C(d_r, 2)) falls out of the same wedge
+    stream for free. All exact BIGINTs.
+
+    Skew: the per-right-vertex pair fan-out is C(d_r, 2) — bounded by
+    the natural right-side degree (suppliers per part here). For
+    web-scale bipartite graphs with unbounded hubs, apply the same
+    vertex-priority orientation as triangle_counts (enumerate wedges
+    only from each right vertex's lower-priority side) or cap d_r with
+    a disclosed sample; this operator takes the exact path and
+    DISCLOSES the max fan-out in the plan contract rather than
+    silently sampling.
+    """
+    e = edges.select(
+        F.col(left).alias("l"), F.col(right).alias("r")
+    ).distinct().localCheckpoint()
+    e2 = e.withColumnRenamed("l", "l2")
+    wedges = (
+        e.join(e2, "r")
+        .where(F.col("l") < F.col("l2"))
+        .groupBy("l", "l2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = wedges.agg(
+        F.sum("c").cast("long").alias("n_wedges"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias(
+            "n_butterflies"
+        ),
+    )
+    sides = e.agg(
+        F.countDistinct("l").alias("n_left"),
+        F.countDistinct("r").alias("n_right"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    return sides.crossJoin(F.broadcast(stats)).select(
+        "n_left", "n_right", "n_edges", "n_wedges", "n_butterflies"
+    )
+
+
 def modularity_move(
     edges: DataFrame,
     labels: DataFrame,

@@ -318,6 +318,90 @@ def doc_surprisal_bits(
     )
 
 
+def rrf_fusion(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k_rrf: int = 60,
+    topk: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two lexical
+    rankings — the hybrid-search combiner every production RAG stack
+    runs when it has more than one retriever. Output: top-``topk``
+    (doc_id, rank_tf, rank_idf, rrf_milli).
+
+    RRF is ranking-agnostic: score(d) = Σ_r 1/(k + rank_r(d)). Here the
+    two fused rankings are EXACT-INTEGER lexical scores over the same
+    candidate set (docs containing ≥ 1 query term): raw query-term
+    frequency, and surprisal-weighted frequency Σ tf·bits(term) with
+    the same engine-exact floor-log2 weights as doc_surprisal_bits (an
+    IDF-style reweighting). Integer scores make the rank permutations
+    — and therefore the fused score — bit-reproducible cross-engine;
+    swapping in BM25/ANN rankings is the same plan with different
+    score columns. The fused score itself is the integer
+    ``rrf_milli = Σ 1_000_000 // (k + rank)`` (documented integer RRF;
+    monotone-identical to the real-valued one for any fixed k).
+
+    Scale shape: candidate scores are one broadcast term join + one
+    doc-keyed groupBy; each ranking is ONE parallel range shuffle via
+    functions/ranks.global_row_numbers (never Exchange
+    SinglePartition); the final top-k is a TakeOrdered. Ranks are a
+    permutation — the one join key that cannot skew.
+    """
+    from ..functions.ranks import global_row_numbers
+
+    spark = docs.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    toks = tokenize(docs, text_col, id_col).select(
+        F.col(id_col).alias("id"), "term"
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.sum(F.lit(1)).cast("long").alias("n_total"))
+    bits = (
+        counts.join(F.broadcast(tdf), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            (
+                F.length(F.bin(F.expr("n_total div cnt"))) - F.lit(1)
+            ).cast("long").alias("bits"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(bits), "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("s_tf"),
+            F.sum("bits").cast("long").alias("s_idf"),
+        )
+    )
+    r1 = global_row_numbers(
+        scored.withColumn("_neg", -F.col("s_tf")),
+        ["_neg", "id"],
+        rank_col="rank_tf",
+    ).select("id", "s_idf", "rank_tf")
+    r2 = global_row_numbers(
+        r1.withColumn("_neg", -F.col("s_idf")),
+        ["_neg", "id"],
+        rank_col="rank_idf",
+    ).select("id", "rank_tf", "rank_idf")
+    return (
+        r2.select(
+            F.col("id").alias(id_col),
+            "rank_tf",
+            "rank_idf",
+            (
+                F.expr(f"1000000 div ({k_rrf} + rank_tf)")
+                + F.expr(f"1000000 div ({k_rrf} + rank_idf)")
+            ).cast("long").alias("rrf_milli"),
+        )
+        .orderBy(F.desc("rrf_milli"), id_col)
+        .limit(topk)
+    )
+
+
 def term_lift(
     docs: DataFrame,
     group_col: str = "source",

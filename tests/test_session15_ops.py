@@ -268,6 +268,94 @@ def test_surface_cooccurrence_bruteforce(spark):
     assert got == want
 
 
+def test_butterfly_counts_bruteforce(spark):
+    from itertools import combinations
+
+    from mmkg_rag_spark.operators.graph import butterfly_counts
+
+    rng = random.Random(31)
+    edges = sorted({(rng.randrange(6), rng.randrange(8)) for _ in range(30)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = butterfly_counts(df).collect()[0]
+    # brute force: count 2x2 bicliques
+    adj = {}
+    for l, r in edges:
+        adj.setdefault(l, set()).add(r)
+    bf = sum(
+        1
+        for l1, l2 in combinations(sorted(adj), 2)
+        for _ in combinations(sorted(adj[l1] & adj[l2]), 2)
+    )
+    wedges = sum(
+        len(adj[l1] & adj[l2]) for l1, l2 in combinations(sorted(adj), 2)
+    )
+    assert row.n_butterflies == bf
+    assert row.n_wedges == wedges
+    assert row.n_edges == len(edges)
+
+
+def test_butterfly_complete_bipartite(spark):
+    from mmkg_rag_spark.operators.graph import butterfly_counts
+
+    # K_{3,4}: C(3,2)*C(4,2) = 18 butterflies
+    edges = [(l, 10 + r) for l in range(3) for r in range(4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = butterfly_counts(df).collect()[0]
+    assert (row.n_left, row.n_right, row.n_edges) == (3, 4, 12)
+    assert row.n_butterflies == 18
+
+
+def test_rrf_fusion_matches_python(spark):
+    from mmkg_rag_spark.operators.relevance import rrf_fusion
+
+    rng = random.Random(77)
+    vocab = ["q1", "q2", "x", "y", "z", "z", "z"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 20))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["q1", "q2"]
+    got = [
+        (r.doc_id, r.rank_tf, r.rank_idf, r.rrf_milli)
+        for r in rrf_fusion(df, terms, topk=10).collect()
+    ]
+    # python reference
+    all_toks = [t for _, txt in rows for t in txt.split(" ") if t]
+    n = len(all_toks)
+    cnt = Counter(all_toks)
+    bits = {t: (n // cnt[t]).bit_length() - 1 for t in terms if cnt[t]}
+    cand = {}
+    for i, txt in rows:
+        c = Counter(t for t in txt.split(" ") if t in bits)
+        if c:
+            cand[i] = (
+                sum(c.values()),
+                sum(v * bits[t] for t, v in c.items()),
+            )
+    r_tf = {
+        d: k + 1
+        for k, d in enumerate(
+            sorted(cand, key=lambda d: (-cand[d][0], d))
+        )
+    }
+    r_idf = {
+        d: k + 1
+        for k, d in enumerate(
+            sorted(cand, key=lambda d: (-cand[d][1], d))
+        )
+    }
+    fused = {
+        d: 1_000_000 // (60 + r_tf[d]) + 1_000_000 // (60 + r_idf[d])
+        for d in cand
+    }
+    want = [
+        (d, r_tf[d], r_idf[d], fused[d])
+        for d in sorted(fused, key=lambda d: (-fused[d], d))[:10]
+    ]
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # surprisal
 # ---------------------------------------------------------------------------
