@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "mention_spans",
     "rrf_fusion",
     "supplier_butterflies",
+    "wl_roles_suppliers",
+    "greedy_source_cover",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -613,3 +613,102 @@ def leakage_safe_split(
         .otherwise("test")
     )
     return rep.select("doc_id", "keep_id", split.alias("split"))
+
+
+def greedy_source_cover(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Greedy maximum-coverage corpus selection: pick ``k`` sources that
+    together cover the most distinct vocabulary terms — the classic
+    (1 − 1/e)-approximate submodular selection (Nemhauser '78) behind
+    data-mixture curation: which crawls/domains to ingest first so the
+    training corpus sees the widest vocabulary per added source. The
+    reference pipeline ingests everything it is given; source selection
+    is the decision layer a 10^12-document crawl store needs on top.
+
+    Semantics (a pure function of the corpus): universe = distinct
+    (source, term) pairs over whitespace tokens; each of the k rounds
+    picks the not-yet-picked source with the most still-uncovered
+    terms, ties to the lexically smallest source name; its terms join
+    the covered set. Rounds where every remaining source has gain 0
+    still pick (gain-0 rows are real greedy output and keep |result| =
+    min(k, #sources) engine-portable).
+
+    Scale shape (100 TB): the pair universe is built ONCE (one
+    tokenize + distinct — shuffle on the uniform (source, term) key)
+    and checkpointed; each round is one anti-join of that universe
+    against the covered-term set plus a #sources-row aggregate, i.e.
+    one corpus-width pass per round with NO per-round tokenize. The
+    covered set lives distributed (never collected); the only driver
+    traffic is the 1-row argmax per round — the same bounded-probe
+    contract as maximal_independent_set. Greedy selection is
+    inherently sequential (each pick conditions the next gain), so the
+    k probes are intrinsic to the algorithm, not a scale flaw; k is a
+    small constant (≤ tens) by construction.
+
+    Eager by contract: selection RUNS at build time (k bounded probes);
+    the returned DataFrame is the materialized pick table
+    (pick_rank, source, gain_terms, covered_terms).
+    """
+    toks = docs.select(
+        F.col(group_col).alias("_src"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("_term"),
+    )
+    st = toks.distinct().localCheckpoint()
+
+    spark = docs.sparkSession
+    covered = spark.createDataFrame([], "_term string").localCheckpoint()
+    picked: list[tuple[int, str, int, int]] = []
+    total = 0
+    for rank in range(1, k + 1):
+        gains = (
+            st.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(p[1],) for p in picked] or [("",)], "_src string"
+                    )
+                ),
+                "_src",
+                "left_anti",
+            )
+            .join(covered, "_term", "left_anti")
+            .groupBy("_src")
+            .agg(F.count(F.lit(1)).cast("long").alias("_gain"))
+        )
+        # gain-0 sources drop out of the anti-joined aggregate; re-add
+        # remaining candidates so a 0-gain pick is still possible
+        cands = (
+            st.select("_src")
+            .distinct()
+            .join(
+                spark.createDataFrame(
+                    [(p[1],) for p in picked] or [("",)], "_src string"
+                ),
+                "_src",
+                "left_anti",
+            )
+            .join(gains, "_src", "left")
+            .select("_src", F.coalesce("_gain", F.lit(0).cast("long")).alias("_gain"))
+        )
+        best = cands.orderBy(F.desc("_gain"), F.asc("_src")).take(1)
+        if not best:
+            break
+        src_name, gain = best[0]["_src"], int(best[0]["_gain"])
+        total += gain
+        picked.append((rank, src_name, gain, total))
+        covered = (
+            covered.unionAll(
+                st.where(F.col("_src") == src_name).select("_term")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        picked, "pick_rank long, source string, gain_terms long, covered_terms long"
+    )

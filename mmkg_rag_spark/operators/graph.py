@@ -1707,3 +1707,88 @@ def modularity_move(
             .localCheckpoint()
         )
     return lab.select(F.col("_n").alias(node), F.col("_l").alias(label))
+
+
+def wl_refinement(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    rounds: int = 3,
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman color refinement (fixed rounds)
+    over the undirected simple graph — the structural-role fingerprint
+    behind graph-isomorphism tests, WL graph kernels (Shervashidze
+    JMLR'11) and structural role discovery. Two nodes share a round-R
+    color iff their R-hop neighborhood trees agree, so the color
+    histogram is a canonical structural signature of the graph and the
+    per-node colors split a KG's entities into automorphism-respecting
+    role classes (leaf suppliers vs hub parts vs bridge customers)
+    without any feature engineering. The reference has no counterpart
+    (its graph is consumed only by retrieval, src/mmkg_rag/retrieval/
+    search.py:151-215); this is the analysis layer a production KG adds.
+
+    Color recurrence, engine-exact: c_0 = CAST(degree AS STRING);
+    c_{i+1}(v) = md5(c_i(v) || '|' || join_{','}(sort(multiset of
+    "c_i(u):count" over neighbor colors u∈N(v)))). Everything is
+    integer counts, binary-lexicographic string sorts, and md5 — no
+    floats, so a DuckDB twin replaying the same recurrence (list_sort +
+    array_to_string + md5) hash-matches bit-for-bit.
+
+    Scale shape (100 TB): the neighbor-color gather is ONE equi-join of
+    the symmetric edge list with the node-sized color table plus ONE
+    map-side-combinable (node, color) count per round — the signature
+    array per node is bounded by the count of DISTINCT neighbor colors
+    (≤ degree, typically ≪ degree once colors refine), never by raw
+    degree, and the (node,color) pre-aggregation means a Wikipedia-class
+    hub ships one row per distinct neighbor color, not one per edge.
+    For graphs whose hubs still see millions of distinct colors, the
+    documented degradation path is a commutative 64-bit hash
+    accumulator (sum of xxhash64(color:count) mod 2^64) replacing the
+    sorted join — weaker than true WL but collision-bounded; not needed
+    at any tested scale. Colors are checkpointed per round (bounded
+    lineage), rounds fixed (pure function of graph + rounds).
+
+    Returns (node, color) for every non-isolated node.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    colors = (
+        sym.groupBy(F.col("a").alias("_n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+        .select("_n", F.col("_deg").cast("string").alias("_c"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        nbr = (
+            sym.join(
+                colors.select(F.col("_n").alias("b"), F.col("_c").alias("_nc")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("_n"), "_nc")
+            .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        )
+        sig = (
+            nbr.select(
+                "_n", F.concat_ws(":", "_nc", F.col("_cnt").cast("string")).alias("_p")
+            )
+            .groupBy("_n")
+            .agg(
+                F.concat_ws(",", F.array_sort(F.collect_list("_p"))).alias("_sig")
+            )
+        )
+        colors = (
+            sig.join(colors, "_n")
+            .select("_n", F.md5(F.concat_ws("|", "_c", "_sig")).alias("_c"))
+            .localCheckpoint()
+        )
+    return colors.select(F.col("_n").alias("node"), F.col("_c").alias("color"))

@@ -1,0 +1,171 @@
+"""Session-16 operators: 1-WL color refinement and greedy max-coverage
+source selection.
+
+Pins: wl_refinement's exact color strings vs a plain-Python md5 replica
+of the identical recurrence (path-vs-star role separation, a regular
+graph staying monochrome, a random graph); refinement-partition
+properties (round-R colors refine round-(R-1) classes); greedy cover vs
+an exhaustive Python greedy with the documented tie-break, including
+the gain-0-still-picks and fewer-sources-than-k edges.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from mmkg_rag_spark.operators.curation import greedy_source_cover
+from mmkg_rag_spark.operators.graph import wl_refinement
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mmkg_rag_spark.session import get_spark
+
+    yield get_spark(
+        master="local[4]", shuffle_partitions=8, app_name="pytest-s16ops"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python replica of the exact WL recurrence
+# ---------------------------------------------------------------------------
+
+
+def _py_wl(edges: list[tuple[str, str]], rounds: int) -> dict[str, str]:
+    adj: dict[str, list[str]] = defaultdict(list)
+    seen = set()
+    for s, d in edges:
+        a, b = min(s, d), max(s, d)
+        if a == b or (a, b) in seen:
+            continue
+        seen.add((a, b))
+        adj[a].append(b)
+        adj[b].append(a)
+    colors = {n: str(len(ns)) for n, ns in adj.items()}
+    for _ in range(rounds):
+        nxt = {}
+        for n, ns in adj.items():
+            cnt: dict[str, int] = defaultdict(int)
+            for u in ns:
+                cnt[colors[u]] += 1
+            sig = ",".join(sorted(f"{c}:{k}" for c, k in cnt.items()))
+            nxt[n] = hashlib.md5(
+                f"{colors[n]}|{sig}".encode()
+            ).hexdigest()
+        colors = nxt
+    return colors
+
+
+def _spark_wl(spark, edges, rounds):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = wl_refinement(df, rounds=rounds).collect()
+    return {r["node"]: r["color"] for r in out}
+
+
+def test_wl_matches_python_replica_exactly(spark):
+    rng = random.Random(16)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    for rounds in (1, 3):
+        assert _spark_wl(spark, edges, rounds) == _py_wl(edges, rounds)
+
+
+def test_wl_separates_path_center_from_star_center(spark):
+    # P5 center vs S4 hub: equal degree 2 vs 4 differ at round 0 already,
+    # so craft equal-degree case: path a-b-c-d-e (c has deg 2) vs
+    # cycle-ish; instead pin the classic refinement: in P5 the two
+    # deg-2 neighbors of the center get a different round-2 color than
+    # the center, while in C5 (2-regular) every node stays monochrome.
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    cycle = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a")]
+    pc = _spark_wl(spark, path, 2)
+    cc = _spark_wl(spark, cycle, 2)
+    assert len(set(cc.values())) == 1  # regular graph: never refines
+    assert pc["c"] != pc["b"]  # center vs off-center roles split
+    assert pc["b"] == pc["d"] and pc["a"] == pc["e"]  # symmetry kept
+
+
+def test_wl_rounds_refine_previous_partition(spark):
+    rng = random.Random(99)
+    nodes = [f"v{i}" for i in range(30)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    c1 = _spark_wl(spark, edges, 1)
+    c2 = _spark_wl(spark, edges, 2)
+    # same round-2 color => same round-1 color (refinement property)
+    by_c2: dict[str, set[str]] = defaultdict(set)
+    for n, c in c2.items():
+        by_c2[c].add(c1[n])
+    assert all(len(v) == 1 for v in by_c2.values())
+
+
+# ---------------------------------------------------------------------------
+# greedy max-coverage source selection
+# ---------------------------------------------------------------------------
+
+
+def _py_greedy(rows: list[tuple[int, str, str]], k: int):
+    terms: dict[str, set[str]] = defaultdict(set)
+    for _, text, srcname in rows:
+        terms[srcname] |= {t for t in text.split(" ") if t}
+    covered: set[str] = set()
+    picked = []
+    total = 0
+    remaining = sorted(terms)
+    for rank in range(1, k + 1):
+        if not remaining:
+            break
+        best = max(remaining, key=lambda s: (len(terms[s] - covered), ))
+        # tie-break: max gain, then lexically smallest
+        gains = {s: len(terms[s] - covered) for s in remaining}
+        mx = max(gains.values())
+        best = min(s for s in remaining if gains[s] == mx)
+        total += mx
+        picked.append((rank, best, mx, total))
+        covered |= terms[best]
+        remaining.remove(best)
+    return picked
+
+
+def _run_cover(spark, rows, k):
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = greedy_source_cover(df, k=k).orderBy("pick_rank").collect()
+    return [
+        (r["pick_rank"], r["source"], r["gain_terms"], r["covered_terms"])
+        for r in out
+    ]
+
+
+def test_greedy_cover_matches_python(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(20)), f"s{i % 7}")
+        for i in range(50)
+    ]
+    assert _run_cover(spark, rows, 4) == _py_greedy(rows, 4)
+
+
+def test_greedy_cover_zero_gain_still_picks(spark):
+    # s2's vocabulary is a subset of s1's: after picking s1, both s2 and
+    # s3 have gain 0 -> lexically smallest (s2) picked at rank 2.
+    rows = [
+        (1, "a b c d e", "s1"),
+        (2, "a b", "s2"),
+        (3, "c d", "s3"),
+    ]
+    out = _run_cover(spark, rows, 3)
+    assert out == [(1, "s1", 5, 5), (2, "s2", 0, 5), (3, "s3", 0, 5)]
+
+
+def test_greedy_cover_fewer_sources_than_k(spark):
+    rows = [(1, "x y", "only")]
+    assert _run_cover(spark, rows, 5) == [(1, "only", 2, 2)]
