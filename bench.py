@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "supplier_butterflies",
     "wl_roles_suppliers",
     "greedy_source_cover",
+    "wl_blockmodel_suppliers",
+    "events_cusum_drift",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -1792,3 +1792,53 @@ def wl_refinement(
             .localCheckpoint()
         )
     return colors.select(F.col("_n").alias("node"), F.col("_c").alias("color"))
+
+
+def quotient_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Community contraction (quotient graph): collapse every node to
+    its community label and count the distinct underlying edges between
+    each unordered label pair — the hierarchy step GraphRAG-style
+    pipelines run after community detection (communities become
+    super-nodes; the quotient's edges say which communities to
+    summarize together next level up). Self-pairs (comm_a = comm_b) are
+    the intra-community edge mass — the modularity numerator.
+
+    Scale shape (100 TB): the input edge set is deduped once (one
+    shuffle on the canonical pair), then TWO equi-joins against the
+    node-sized label table (broadcast when the vertex table fits,
+    otherwise shuffled on the endpoint key with AQE skew-split handling
+    Wikipedia-class hubs), and ONE map-side-combinable (comm_a, comm_b)
+    count whose key space is |communities|² at worst — communities are
+    the aggregate, so the output is orders smaller than the input.
+    Exact integers end-to-end; label assignment is the caller's
+    (deterministic LPA makes the whole composition a pure function of
+    the graph).
+
+    Returns (comm_a, comm_b, n_edges) with comm_a <= comm_b.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    la = labels.select(F.col(node).alias("a"), F.col(label).alias("_la"))
+    lb = labels.select(F.col(node).alias("b"), F.col(label).alias("_lb"))
+    j = e.join(la, "a").join(lb, "b")
+    return (
+        j.select(
+            F.least("_la", "_lb").alias("comm_a"),
+            F.greatest("_la", "_lb").alias("comm_b"),
+        )
+        .groupBy("comm_a", "comm_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )

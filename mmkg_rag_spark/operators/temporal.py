@@ -419,3 +419,65 @@ def interval_islands(
         F.max(F.col("_ie") - F.col("_is")).cast("bigint").alias("longest_island_s"),
         F.sum("_n").cast("bigint").alias("n_intervals"),
     )
+
+
+def cusum_drift(
+    daily: DataFrame,
+    key_col: str = "key",
+    time_col: str = "day",
+    value_col: str = "n",
+) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) over a per-key time
+    series — the changepoint monitor a production ingest pipeline runs
+    on its per-source daily volumes to catch crawler breakage or topic
+    drift. Deviations are measured against each key's own all-time
+    mean; a sustained run above (below) the mean accumulates in
+    ``cusum_up`` (``cusum_down``) until it resets at zero.
+
+    Exactness: the mean x̄ = tot/n_days is rational, so deviations are
+    scaled by n_days — dev_d = n_days·x_d − tot is BIGINT and sums to 0
+    across each key's series. The reflected-at-zero recurrence
+    s_d = max(0, s_{d−1} + dev_d) is NOT a window sum, but its Lindley
+    closed form is: s_d = P_d − min(0, min_{j≤d} P_j) with P the prefix
+    sum — and the mirrored max(0, s'_{d−1} − dev_d) is
+    max(0, max_{j≤d} P_j) − P_d. So the whole detector is ONE prefix
+    sum plus running min/max windows — three window functions over the
+    per-(key, day) aggregate, zero iteration, exact BIGINT end-to-end.
+
+    Scale shape (100 TB): the raw facts see one map-side-combinable
+    (key, day) count; every window is partitioned by key over the tiny
+    daily aggregate (days-per-key rows, thousands at most) — no
+    SinglePartition exchange, no driver state. The per-key totals ride
+    an unbounded window over the same partitioning (no extra shuffle).
+
+    Returns (key, day, n, dev_scaled, cusum_up, cusum_down) — consumers
+    alarm on cusum thresholds in units of n_days·counts.
+    """
+    wk = Window.partitionBy(key_col)
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = daily.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("day"),
+        F.col(value_col).cast("long").alias("n"),
+    )
+    d = d.withColumn("_tot", F.sum("n").over(wk)).withColumn(
+        "_nd", F.count(F.lit(1)).over(wk)
+    )
+    d = d.withColumn("dev_scaled", F.col("_nd") * F.col("n") - F.col("_tot"))
+    d = (
+        d.withColumn("_p", F.sum("dev_scaled").over(wp))
+        .withColumn("_pmin", F.least(F.lit(0).cast("long"), F.min("_p").over(wp)))
+        .withColumn("_pmax", F.greatest(F.lit(0).cast("long"), F.max("_p").over(wp)))
+    )
+    return d.select(
+        "key",
+        "day",
+        "n",
+        "dev_scaled",
+        (F.col("_p") - F.col("_pmin")).alias("cusum_up"),
+        (F.col("_pmax") - F.col("_p")).alias("cusum_down"),
+    )

@@ -169,3 +169,98 @@ def test_greedy_cover_zero_gain_still_picks(spark):
 def test_greedy_cover_fewer_sources_than_k(spark):
     rows = [(1, "x y", "only")]
     assert _run_cover(spark, rows, 5) == [(1, "only", 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# quotient_graph (blockmodel contraction)
+# ---------------------------------------------------------------------------
+
+
+def test_quotient_graph_matches_python(spark):
+    from mmkg_rag_spark.operators.graph import quotient_graph
+
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    labels = {n: f"L{hash(n) % 3}" for n in nodes}
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    expect: dict[tuple[str, str], int] = defaultdict(int)
+    for a, b in canon:
+        la, lb = labels[a], labels[b]
+        expect[(min(la, lb), max(la, lb))] += 1
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    lab = spark.createDataFrame(
+        list(labels.items()), "node string, label string"
+    )
+    out = quotient_graph(e, lab).collect()
+    got = {(r["comm_a"], r["comm_b"]): r["n_edges"] for r in out}
+    assert got == dict(expect)
+
+
+def test_quotient_graph_dedupes_multi_edges(spark):
+    from mmkg_rag_spark.operators.graph import quotient_graph
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")],
+        "src string, dst string",
+    )
+    lab = spark.createDataFrame(
+        [("a", "X"), ("b", "Y")], "node string, label string"
+    )
+    out = quotient_graph(e, lab).collect()
+    assert [(r["comm_a"], r["comm_b"], r["n_edges"]) for r in out] == [
+        ("X", "Y", 1)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# cusum_drift
+# ---------------------------------------------------------------------------
+
+
+def _py_cusum(series: dict[str, list[int]]):
+    rows = []
+    for key, xs in series.items():
+        n_days, tot = len(xs), sum(xs)
+        up = down = 0
+        for d, x in enumerate(xs):
+            dev = n_days * x - tot
+            up = max(0, up + dev)
+            down = max(0, down - dev)
+            rows.append((key, d, x, dev, up, down))
+    return rows
+
+
+def test_cusum_matches_reflected_recurrence(spark):
+    from datetime import date, timedelta
+
+    from mmkg_rag_spark.operators.temporal import cusum_drift
+
+    rng = random.Random(11)
+    series = {
+        "a": [rng.randrange(0, 50) for _ in range(40)],
+        "b": [10] * 12,  # constant: dev 0 everywhere
+        "c": [1, 1, 1, 30, 30, 30],  # step change: cusum_up ramps
+    }
+    d0 = date(2024, 1, 1)
+    rows = [
+        (k, d0 + timedelta(days=i), v)
+        for k, xs in series.items()
+        for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "key string, day date, n long")
+    out = cusum_drift(df).orderBy("key", "day").collect()
+    got = [
+        (r["key"], r["n"], r["dev_scaled"], r["cusum_up"], r["cusum_down"])
+        for r in out
+    ]
+    expect = [
+        (k, x, dev, up, down)
+        for k, _, x, dev, up, down in sorted(_py_cusum(series))
+    ]
+    assert got == expect
+    # constant series never accumulates
+    assert all(r[3] == 0 and r[4] == 0 for r in got if r[0] == "b")
