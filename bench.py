@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "greedy_source_cover",
     "wl_blockmodel_suppliers",
     "events_cusum_drift",
+    "embedding_knn_classify",
+    "vocab_growth",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -658,3 +658,63 @@ def ivf_topk_cosine(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", "rank", "score")
     )
+
+
+def knn_classify(
+    train: DataFrame,
+    test: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification over an embedding
+    column — the semi-supervised labeler a curation pipeline runs to
+    spread a small set of human quality/topic labels across the corpus
+    (label spreading; also the standard probe for embedding quality).
+
+    Each test vector takes the majority label of its k nearest train
+    vectors by cosine; ties break to (more votes, better best-rank,
+    smaller label) — best-rank before label so a 2-2 split goes to the
+    nearer class, and every step is deterministic because ranks come
+    from brute_topk_cosine's round-then-rank contract (scores rounded
+    to 6 dp BEFORE ranking, so float summation order can never flip a
+    vote across engines or partitionings).
+
+    Scale shape: the scoring join inherits brute_topk_cosine — the
+    bounded-broadcast exact path (queries broadcast, corpus never
+    moves). For corpus-scale test sides the same vote/argmax stack
+    composes unchanged over lsh_topk's banded candidates (the ANN
+    scale path); the vote aggregate and winner window are both keyed
+    by query_id — uniform, skew-free.
+
+    Returns (vec_id, pred_label, n_votes, best_rank).
+    """
+    q = test.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    nn = brute_topk_cosine(train, q, k=k, id_col=id_col, vec_col=vec_col)
+    lab = train.select(
+        F.col(id_col).alias("nn_id"), F.col(label_col).alias("_lab")
+    )
+    votes = (
+        nn.join(lab, "nn_id")
+        .groupBy("query_id", "_lab")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            F.min("rank").cast("long").alias("best_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("best_rank"), F.asc("_lab")
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("_lab").alias("pred_label"),
+            "n_votes",
+            "best_rank",
+        )
+    )

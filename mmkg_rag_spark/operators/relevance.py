@@ -652,3 +652,99 @@ def rake_keyphrases(
         .orderBy(F.desc("score"), "phrase")
         .limit(k)
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve per source: cumulative distinct
+    vocabulary vs cumulative tokens at log-spaced document checkpoints
+    (ranks 1, 2, 4, … and the last doc, in deterministic doc_id order).
+    The saturation diagnostic of corpus curation — a source whose curve
+    flattens early is re-crawling the same material; the greedy cover's
+    (curation.greedy_source_cover) marginal-gain signal over time.
+
+    Scale shape (100 TB): per-source doc ranks come from
+    functions/ranks.global_row_numbers — the two-phase PARALLEL range
+    shuffle, never Window.orderBy's SinglePartition funnel — localized
+    per source by subtracting the source's min global rank (a
+    |sources|-row broadcast). First-occurrence ranks are one
+    (source, term) min-aggregate. The cumulative counts are computed by
+    joining against the checkpoint table instead of running a
+    corpus-length window: the fan-out is bounded by |checkpoints| =
+    O(log n_docs) per row, every join side beyond the facts is
+    broadcast-sized, and both final aggregates are map-side
+    combinable. Exact BIGINT throughout.
+
+    Returns (source, ckpt, tokens_cum, vocab_cum) ordered.
+    """
+    from ..functions.ranks import global_row_numbers
+
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = docs.select(
+        F.col(group_col).alias("_src"),
+        F.col(id_col).alias("_doc"),
+        arr.alias("_ts"),
+    )
+    per_doc = base.select(
+        "_src", "_doc", F.size("_ts").cast("long").alias("_ntoks")
+    )
+    ranked = global_row_numbers(
+        per_doc, ["_src", "_doc"], rank_col="_grank"
+    ).localCheckpoint()
+    smin = ranked.groupBy("_src").agg(
+        F.min("_grank").alias("_r0"),
+        F.count(F.lit(1)).cast("long").alias("_ndocs"),
+    )
+    d = ranked.join(F.broadcast(smin), "_src").select(
+        "_src",
+        "_doc",
+        "_ntoks",
+        (F.col("_grank") - F.col("_r0") + 1).cast("long").alias("_drank"),
+    )
+    cps = (
+        smin.select(
+            "_src",
+            F.explode(
+                F.array_union(
+                    F.expr(
+                        "filter(transform(sequence(0, 48),"
+                        " i -> shiftleft(cast(1 as bigint), i)),"
+                        " p -> p <= _ndocs)"
+                    ),
+                    F.array(F.col("_ndocs")),
+                )
+            ).alias("ckpt"),
+        )
+    )
+    fu = (
+        base.select("_src", "_doc", F.explode("_ts").alias("_term"))
+        .join(d.select("_src", "_doc", "_drank"), ["_src", "_doc"])
+        .groupBy("_src", "_term")
+        .agg(F.min("_drank").alias("_frank"))
+    )
+    vocab = (
+        fu.join(F.broadcast(cps), "_src")
+        .where(F.col("_frank") <= F.col("ckpt"))
+        .groupBy("_src", "ckpt")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_cum"))
+    )
+    toks_cum = (
+        d.join(F.broadcast(cps), "_src")
+        .where(F.col("_drank") <= F.col("ckpt"))
+        .groupBy("_src", "ckpt")
+        .agg(F.sum("_ntoks").cast("long").alias("tokens_cum"))
+    )
+    return (
+        toks_cum.join(vocab, ["_src", "ckpt"], "left")
+        .select(
+            F.col("_src").alias("source"),
+            "ckpt",
+            "tokens_cum",
+            F.coalesce("vocab_cum", F.lit(0).cast("long")).alias("vocab_cum"),
+        )
+        .orderBy("source", "ckpt")
+    )

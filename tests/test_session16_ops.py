@@ -264,3 +264,105 @@ def test_cusum_matches_reflected_recurrence(spark):
     assert got == expect
     # constant series never accumulates
     assert all(r[3] == 0 and r[4] == 0 for r in got if r[0] == "b")
+
+
+# ---------------------------------------------------------------------------
+# knn_classify
+# ---------------------------------------------------------------------------
+
+
+def test_knn_classify_matches_python(spark):
+    import math
+
+    from mmkg_rag_spark.operators.ann import knn_classify
+
+    rng = random.Random(5)
+    dim = 8
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(40)
+    }
+    labels = {i: i % 3 for i in range(40)}
+    train_ids = [i for i in vecs if i % 2 == 1]
+    test_ids = [i for i in vecs if i % 2 == 0]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    expect = {}
+    for t in test_ids:
+        scored = sorted(
+            ((cos(vecs[t], vecs[j]), j) for j in train_ids),
+            key=lambda p: (-p[0], p[1]),
+        )[:5]
+        votes: dict[int, list[int]] = defaultdict(list)
+        for rank, (_, j) in enumerate(scored, 1):
+            votes[labels[j]].append(rank)
+        win = min(
+            votes.items(), key=lambda kv: (-len(kv[1]), min(kv[1]), kv[0])
+        )
+        expect[t] = (win[0], len(win[1]), min(win[1]))
+
+    rows = [(i, vecs[i], labels[i]) for i in vecs]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = knn_classify(
+        df.filter("vec_id % 2 = 1"), df.filter("vec_id % 2 = 0"), k=5
+    ).collect()
+    got = {
+        r["vec_id"]: (r["pred_label"], r["n_votes"], r["best_rank"])
+        for r in out
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_matches_python(spark):
+    from mmkg_rag_spark.operators.relevance import vocab_growth
+
+    rng = random.Random(21)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(6)), f"s{i % 3}")
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = vocab_growth(df).collect()
+    got = {
+        (r["source"], r["ckpt"]): (r["tokens_cum"], r["vocab_cum"])
+        for r in out
+    }
+
+    by_src: dict[str, list[tuple[int, str]]] = defaultdict(list)
+    for i, text, s in rows:
+        by_src[s].append((i, text))
+    expect = {}
+    for s, docs in by_src.items():
+        docs.sort()
+        n = len(docs)
+        cps = {1 << i for i in range(20) if (1 << i) <= n} | {n}
+        seen: set[str] = set()
+        tok_cum = 0
+        for rank, (_, text) in enumerate(docs, 1):
+            ts = [t for t in text.split(" ") if t]
+            tok_cum += len(ts)
+            seen |= set(ts)
+            if rank in cps:
+                expect[(s, rank)] = (tok_cum, len(seen))
+    assert got == expect
+
+
+def test_vocab_growth_checkpoints_are_log_spaced(spark):
+    from mmkg_rag_spark.operators.relevance import vocab_growth
+
+    rows = [(i, "a b", "s") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cks = [r["ckpt"] for r in vocab_growth(df).collect()]
+    assert cks == [1, 2, 4, 8, 10]
