@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "events_cusum_drift",
     "embedding_knn_classify",
     "vocab_growth",
+    "session_motifs",
+    "mutual_topk_coorder",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

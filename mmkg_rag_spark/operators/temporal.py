@@ -481,3 +481,74 @@ def cusum_drift(
         (F.col("_p") - F.col("_pmin")).alias("cusum_up"),
         (F.col("_pmax") - F.col("_p")).alias("cusum_down"),
     )
+
+
+def session_motifs(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Whole-session path mining: fingerprint each inactivity-gap session
+    by its ordered event-type sequence and count motif frequencies —
+    the clickstream-motif complement of the pairwise transition matrix
+    (which sees only bigrams): 'signup>click>purchase' as one unit, the
+    input to funnel discovery and bot detection (bots repeat one exact
+    motif at unnatural frequency).
+
+    Session definition shares events_sessionize's contract: a session
+    breaks after ``gap_sec`` of inactivity; within a session events are
+    totally ordered by (ts, event_id) — the epoch math is the TZ-proof
+    wall-clock derivation, so parity holds under any session timezone.
+
+    Scale shape (100 TB): ONE user-keyed shuffle does the session
+    window; the per-session path aggregate groups by (user, session) —
+    a superset of the window's partitioning key, so it rides the same
+    exchange without a second shuffle; the motif count is the only
+    other exchange, keyed by the motif string (uniform — md5-like
+    dispersion of distinct paths). The in-row sort is bounded by
+    session length; a no-gap bot stream makes one giant session — the
+    documented cap path is a max-events-per-session split marker, not
+    needed at tested scales.
+
+    Returns (motif, n_sessions, n_users).
+    """
+    w_user = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+
+    def _epoch(c):
+        return (
+            F.unix_date(F.col(c).cast("date")) * F.lit(86400)
+            + F.hour(c) * 3600
+            + F.minute(c) * 60
+            + F.second(c)
+        ).cast("long")
+
+    epoch = _epoch(ts_col)
+    marked = events.withColumn(
+        "_new",
+        F.when(epoch - F.lag(epoch).over(w_user) > gap_sec, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "_sess",
+        F.sum("_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = marked.groupBy(user_col, "_sess").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(ts_col, id_col, type_col))
+                ),
+                lambda s: s[type_col],
+            ),
+        ).alias("motif")
+    )
+    return per_sess.groupBy("motif").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct(user_col).cast("long").alias("n_users"),
+    )

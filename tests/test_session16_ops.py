@@ -366,3 +366,102 @@ def test_vocab_growth_checkpoints_are_log_spaced(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     cks = [r["ckpt"] for r in vocab_growth(df).collect()]
     assert cks == [1, 2, 4, 8, 10]
+
+
+# ---------------------------------------------------------------------------
+# session_motifs
+# ---------------------------------------------------------------------------
+
+
+def test_session_motifs_matches_python(spark):
+    from datetime import datetime, timedelta
+
+    from mmkg_rag_spark.operators.temporal import session_motifs
+
+    rng = random.Random(42)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = t0
+        for _ in range(rng.randrange(3, 12)):
+            t = t + timedelta(seconds=rng.choice([60, 300, 2400]))
+            rows.append((eid, t, u, rng.choice(["a", "b", "c"])))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = session_motifs(df).collect()
+    got = {r["motif"]: (r["n_sessions"], r["n_users"]) for r in out}
+
+    by_user: dict[int, list[tuple]] = defaultdict(list)
+    for e, t, u, ty in rows:
+        by_user[u].append((t, e, ty))
+    paths: dict[str, list[int]] = defaultdict(list)
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0][2]]
+        for (pt, _, _), (t, _, ty) in zip(evs, evs[1:]):
+            if (t - pt).total_seconds() > 1800:
+                paths[">".join(cur)].append(u)
+                cur = []
+            cur.append(ty)
+        paths[">".join(cur)].append(u)
+    expect = {m: (len(us), len(set(us))) for m, us in paths.items()}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# mutual_topk_edges
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_topk_matches_python(spark):
+    from mmkg_rag_spark.operators.graph import mutual_topk_edges
+
+    rng = random.Random(13)
+    nodes = list(range(15))
+    weights = {}
+    for _ in range(40):
+        a, b = rng.sample(nodes, 2)
+        weights[(min(a, b), max(a, b))] = rng.randrange(1, 20)
+
+    k = 3
+    nbrs: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for (a, b), w in weights.items():
+        nbrs[a].append((w, b))
+        nbrs[b].append((w, a))
+    topk = {
+        n: {
+            b: rk
+            for rk, (_, b) in enumerate(
+                sorted(ls, key=lambda p: (-p[0], p[1]))[:k], 1
+            )
+        }
+        for n, ls in nbrs.items()
+    }
+    expect = {
+        (a, b): (w, topk[a][b], topk[b][a])
+        for (a, b), w in weights.items()
+        if b in topk[a] and a in topk[b]
+    }
+
+    e = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in weights.items()],
+        "src long, dst long, w long",
+    )
+    out = mutual_topk_edges(e, k=k).collect()
+    got = {(r["a"], r["b"]): (r["w"], r["rank_ab"], r["rank_ba"]) for r in out}
+    assert got == expect
+
+
+def test_mutual_topk_drops_one_sided_hub_edges(spark):
+    from mmkg_rag_spark.operators.graph import mutual_topk_edges
+
+    # hub 0 connects to everyone with w=1; nodes 1-6 pair up strongly.
+    edges = [(0, i, 1) for i in range(1, 7)]
+    edges += [(1, 2, 9), (3, 4, 9), (5, 6, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = mutual_topk_edges(e, k=1).collect()
+    got = {(r["a"], r["b"]) for r in out}
+    assert got == {(1, 2), (3, 4), (5, 6)}
