@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "vocab_growth",
     "session_motifs",
     "mutual_topk_coorder",
+    "kg_negative_samples",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

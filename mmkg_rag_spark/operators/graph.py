@@ -1898,3 +1898,89 @@ def mutual_topk_edges(
             F.col("_rk_rev").cast("long").alias("rank_ba"),
         )
     )
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    n_neg: int = 2,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (the
+    corrupted-triple generator of TransE and successors, Bordes
+    NeurIPS'13): for every positive edge (s, t) emit ``n_neg``
+    candidate corruptions (s, t′) with t′ drawn from the tail-entity
+    set, then FILTER out candidates that are themselves positives —
+    the 'filtered' protocol that keeps false negatives out of the
+    training signal. Candidates that collide with a positive are
+    dropped, not re-drawn (declared semantics; the per-positive output
+    count varies accordingly, exactly as in standard KGE samplers).
+
+    Determinism at any scale: the draw for (s, t, i) is
+    conv(md5(s|t|i|seed)[1:15], 16, 10) mod |tails| — a pure function
+    of the triple and seed (the same partition-invariant md5-draw
+    contract as curation.uniform_ppm; Spark conv(hex,16,10) ≡ DuckDB
+    CAST('0x'||hex AS BIGINT)), never rand()'s partition-dependent
+    stream. Tail indices come from functions/ranks.global_row_numbers
+    — the two-phase PARALLEL range shuffle, so the entity indexing
+    never funnels through one task even at 10^9 vertices.
+
+    Scale shape: candidates are |E|·n_neg rows built map-side from an
+    in-row sequence explode; the index join is an equi-join against
+    the vertex-sized tail table; the filter is ONE anti-join back on
+    the (s, t′) pair — uniform keys, no skew (the md5 draw spreads
+    tails uniformly regardless of head hubs). |tails| attaches as a
+    1-row broadcast (lazy — no build-time job).
+
+    Returns (s, t_pos, i, t_neg) for surviving corruptions.
+    """
+    from ..functions.ranks import global_row_numbers
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    tails = global_row_numbers(
+        e.select("t").distinct(), ["t"], rank_col="_rk"
+    ).select(F.col("t").alias("t_neg"), F.col("_rk").alias("_idx"), "n_total")
+    n_row = F.broadcast(tails.groupBy().agg(F.max("n_total").alias("_nt")))
+    cands = (
+        e.crossJoin(n_row)
+        .select(
+            "s",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.lit(n_neg))).alias("i"),
+            F.col("_nt"),
+        )
+        .withColumn(
+            "_h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("s").cast("string"),
+                            F.col("t").cast("string"),
+                            F.col("i").cast("string"),
+                            F.lit(str(seed)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .withColumn("_idx", (F.col("_h") % F.col("_nt")) + 1)
+    )
+    joined = cands.join(tails.select("t_neg", "_idx"), "_idx").select(
+        "s", F.col("t").alias("t_pos"), "i", "t_neg"
+    )
+    return joined.join(
+        e.select(F.col("s"), F.col("t").alias("t_neg")),
+        ["s", "t_neg"],
+        "left_anti",
+    )

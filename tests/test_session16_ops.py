@@ -465,3 +465,43 @@ def test_mutual_topk_drops_one_sided_hub_edges(spark):
     out = mutual_topk_edges(e, k=1).collect()
     got = {(r["a"], r["b"]) for r in out}
     assert got == {(1, 2), (3, 4), (5, 6)}
+
+
+# ---------------------------------------------------------------------------
+# negative_edge_samples
+# ---------------------------------------------------------------------------
+
+
+def test_negative_samples_match_python(spark):
+    from mmkg_rag_spark.operators.graph import negative_edge_samples
+
+    rng = random.Random(8)
+    edges = sorted(
+        {(rng.randrange(5), 100 + rng.randrange(12)) for _ in range(25)}
+    )
+    tails = sorted({t for _, t in edges})
+    pos = set(edges)
+
+    expect = set()
+    for s, t in edges:
+        for i in (1, 2):
+            h = int(hashlib.md5(f"{s}|{t}|{i}|7".encode()).hexdigest()[:15], 16)
+            tn = tails[h % len(tails)]
+            if (s, tn) not in pos:
+                expect.add((s, t, i, tn))
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = negative_edge_samples(df, n_neg=2, seed=7).collect()
+    got = {(r["s"], r["t_pos"], r["i"], r["t_neg"]) for r in out}
+    assert got == expect
+
+
+def test_negative_samples_never_emit_positives(spark):
+    from mmkg_rag_spark.operators.graph import negative_edge_samples
+
+    edges = [(0, 100), (0, 101), (1, 100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = negative_edge_samples(df, n_neg=4).collect()
+    pos = set(edges)
+    assert all((r["s"], r["t_neg"]) not in pos for r in out)
+    assert all(r["t_neg"] in (100, 101) for r in out)
