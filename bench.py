@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "session_motifs",
     "mutual_topk_coorder",
     "kg_negative_samples",
+    "pseudo_diameter_suppliers",
+    "doc_novelty",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

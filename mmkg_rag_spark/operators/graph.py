@@ -486,7 +486,7 @@ def label_propagation(
 
 def bfs_distances(
     edges: DataFrame,
-    seeds: list[str],
+    seeds: "list | DataFrame",
     max_hops: int,
     src: str = "src",
     dst: str = "dst",
@@ -531,9 +531,14 @@ def bfs_distances(
         verts = verts.unionAll(adj.select(F.col("dst").alias("node")))
     small = verts.distinct().count() <= broadcast_nodes
     spark = edges.sparkSession
-    settled = spark.createDataFrame(
-        [(s, 0) for s in seeds], f"node {_node_type(seeds)}, dist int"
-    ).localCheckpoint()
+    if isinstance(seeds, DataFrame):
+        # data-dependent seeds (e.g. pseudo_diameter's second sweep):
+        # a (node)-column DataFrame keeps the plan lazy — no driver probe
+        settled = seeds.select("node", F.lit(0).alias("dist")).localCheckpoint()
+    else:
+        settled = spark.createDataFrame(
+            [(s, 0) for s in seeds], f"node {_node_type(seeds)}, dist int"
+        ).localCheckpoint()
     frontier = settled
     for hop in range(1, max_hops + 1):
         f = frontier.withColumnRenamed("node", "src").drop("dist")
@@ -1983,4 +1988,67 @@ def negative_edge_samples(
         e.select(F.col("s"), F.col("t").alias("t_neg")),
         ["s", "t_neg"],
         "left_anti",
+    )
+
+
+def pseudo_diameter(
+    edges: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Pseudo-diameter via the classic double BFS sweep (the 2-sweep
+    lower bound every graph library ships as its diameter estimate,
+    exact on trees): BFS from the smallest-id node, take the farthest
+    node reached (ties to smallest id), BFS again from there — the
+    second eccentricity is a certified diameter LOWER bound from two
+    linear-work passes, vs the O(n·m) all-pairs truth. The KG health
+    metric behind 'how many hops does retrieval need': k-hop expansion
+    budgets (reference search.py's cutoff=max_hop) are calibrated
+    against exactly this number.
+
+    Fully declarative: both sweeps run graph.bfs_distances with fixed
+    ``max_hops`` rounds (pure function of graph + hops — the unrolled
+    oracle replays it); the start node, the turn node and the far node
+    are 1-row aggregates/limits composed by broadcast crossJoins, so
+    nothing data-dependent transits the driver. Per sweep: max_hops
+    frontier joins; everything else is 1-row plumbing.
+
+    Returns ONE row (start_node, turn_node, ecc_start, far_node,
+    diameter_lb, n_reached) — n_reached = nodes settled by sweep 2.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = (
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # both sweeps + the start-node agg read it
+    )
+    nodes = sym.select(F.col("src").alias("node"))
+    u0 = nodes.agg(F.min("node").alias("node"))
+    d1 = bfs_distances(sym, u0, max_hops, undirected=False)
+    turn = d1.orderBy(F.desc("dist"), F.asc("node")).limit(1)
+    d2 = bfs_distances(sym, turn.select("node"), max_hops, undirected=False)
+    far = d2.orderBy(F.desc("dist"), F.asc("node")).limit(1)
+    n2 = d2.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+    return (
+        F.broadcast(u0.select(F.col("node").alias("start_node")))
+        .crossJoin(
+            F.broadcast(
+                turn.select(
+                    F.col("node").alias("turn_node"),
+                    F.col("dist").cast("long").alias("ecc_start"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                far.select(
+                    F.col("node").alias("far_node"),
+                    F.col("dist").cast("long").alias("diameter_lb"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(n2))
     )

@@ -748,3 +748,57 @@ def vocab_growth(
         )
         .orderBy("source", "ckpt")
     )
+
+
+def doc_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty against everything that came before
+    it (doc_id order): how many of a doc's distinct n-grams first
+    appear in THIS doc vs in an earlier one — the doc-granular novelty
+    signal of training-data analysis (a crawl that stops producing
+    novel n-grams is re-reading the web; the doc-level complement of
+    vocab_growth's source curves, and the corpus-side view of
+    decontaminate's seen-before test).
+
+    Semantics: distinct n-grams per doc; a gram is novel in the doc
+    with the smallest doc_id containing it. Exact integers.
+
+    Scale shape (100 TB): grams are built IN-ROW from the token array
+    (slices + zip, no per-position shuffle — the ngram_counts
+    pattern); the corpus-wide first-occurrence is ONE
+    map-side-combinable (gram) min-aggregate on the uniform 128-bit
+    gram hash; charging novelty back is ONE join on the same key
+    partitioning; the per-doc rollup keys by doc_id. No windows, no
+    driver state — three uniform-key exchanges end to end.
+
+    Returns (doc_id, n_grams, n_novel) — n_grams counts DISTINCT
+    grams; repeat = n_grams − n_novel.
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    glen = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(arr, j + 1, glen).alias(f"w{j}") for j in range(n)]
+    )
+    grams = F.transform(
+        zipped,
+        lambda s: F.md5(F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)])),
+    )
+    dg = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .distinct()
+    )
+    first = dg.groupBy("g").agg(F.min("doc_id").alias("_first"))
+    return (
+        dg.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                (F.col("_first") == F.col("doc_id")).cast("long")
+            ).cast("long").alias("n_novel"),
+        )
+    )

@@ -505,3 +505,77 @@ def test_negative_samples_never_emit_positives(spark):
     pos = set(edges)
     assert all((r["s"], r["t_neg"]) not in pos for r in out)
     assert all(r["t_neg"] in (100, 101) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# pseudo_diameter
+# ---------------------------------------------------------------------------
+
+
+def test_pseudo_diameter_exact_on_path_graph(spark):
+    from mmkg_rag_spark.operators.graph import pseudo_diameter
+
+    # path b0-b1-...-b6: diameter 6; start=min node b0, turn=b6, far=b0
+    edges = [(f"b{i}", f"b{i+1}") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = pseudo_diameter(df, max_hops=8).collect()[0]
+    assert (
+        r["start_node"], r["turn_node"], r["ecc_start"],
+        r["far_node"], r["diameter_lb"], r["n_reached"],
+    ) == ("b0", "b6", 6, "b0", 6, 7)
+
+
+def test_pseudo_diameter_star_and_double_sweep_improves(spark):
+    from mmkg_rag_spark.operators.graph import pseudo_diameter
+
+    # start at the hub ("a"): ecc 1; sweep 2 from a leaf certifies 2
+    edges = [("a", f"x{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = pseudo_diameter(df, max_hops=4).collect()[0]
+    assert r["start_node"] == "a"
+    assert r["ecc_start"] == 1 and r["diameter_lb"] == 2
+    assert r["turn_node"] == "x0"  # farthest ties -> smallest id
+
+
+# ---------------------------------------------------------------------------
+# doc_novelty
+# ---------------------------------------------------------------------------
+
+
+def test_doc_novelty_matches_python(spark):
+    from mmkg_rag_spark.operators.relevance import doc_novelty
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(10)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = doc_novelty(df, n=3).collect()
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"]) for r in out}
+
+    first: dict[tuple, int] = {}
+    per_doc: dict[int, set] = {}
+    for i, text in rows:
+        ts = text.split(" ")
+        gs = {tuple(ts[j : j + 3]) for j in range(len(ts) - 2)}
+        per_doc[i] = gs
+        for g in gs:
+            first.setdefault(g, i)
+    expect = {
+        i: (len(gs), sum(1 for g in gs if first[g] == i))
+        for i, gs in per_doc.items()
+    }
+    assert got == expect
+
+
+def test_doc_novelty_short_docs_emit_nothing(spark):
+    from mmkg_rag_spark.operators.relevance import doc_novelty
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_grams"], r["n_novel"])
+           for r in doc_novelty(df, n=3).collect()}
+    assert out == {2: (1, 1)}
