@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "kg_negative_samples",
     "pseudo_diameter_suppliers",
     "doc_novelty",
+    "source_overlap_matrix",
+    "activity_gini",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

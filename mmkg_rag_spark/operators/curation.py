@@ -712,3 +712,59 @@ def greedy_source_cover(
     return spark.createDataFrame(
         picked, "pick_rank long, source string, gain_terms long, covered_terms long"
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: |V_a ∩ V_b| and the
+    integer-ppm Jaccard for every source pair — the redundancy matrix
+    behind greedy_source_cover's marginal gains (two sources with
+    Jaccard → 1 are the same crawl twice; ingesting both buys nothing)
+    and the evidence for source-level dedup decisions.
+
+    Scale shape: the (source, term) universe is built once (distinct —
+    one uniform shuffle); the intersection is a self-join ON TERM whose
+    fan-out per term is bounded by the number of sources containing it
+    (≤ |sources|, a catalog-scale constant — pair fan-out ≤ C(|S|,2)
+    per term, disclosed); vocab sizes are a |sources|-row broadcast.
+    All counts exact BIGINT; jaccard_ppm = 10^6·|∩| // |∪| integer
+    division, so the twin hash-matches without float rounding.
+
+    Returns (source_a, source_b, n_common, n_a, n_b, jaccard_ppm).
+    """
+    toks = docs.select(
+        F.col(group_col).alias("_src"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("_term"),
+    )
+    st = toks.distinct().localCheckpoint()
+    sizes = st.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_nv"))
+    a = st.select(F.col("_src").alias("source_a"), "_term")
+    b = st.select(F.col("_src").alias("source_b"), "_term")
+    inter = (
+        a.join(b, "_term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("_src").alias("source_a"), F.col("_nv").alias("n_a"))
+    sb = sizes.select(F.col("_src").alias("source_b"), F.col("_nv").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "1000000 * n_common div (n_a + n_b - n_common)"
+            ).cast("long").alias("jaccard_ppm"),
+        )
+    )

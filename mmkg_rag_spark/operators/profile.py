@@ -68,3 +68,48 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ),
         F.col("_n_rows").alias("n_rows"),
     ).select("column", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact Gini coefficient of a per-key value distribution — the
+    inequality/skew diagnostic a partition planner reads before picking
+    a shuffle strategy (Gini ≈ 0: uniform keys, plain hash partitioning
+    is fine; Gini → 1: a handful of hot keys own the mass — salt or
+    isolate them). The same number data curators report for
+    domain/author concentration in a crawl.
+
+    Exactness: with values sorted ascending (ties broken by key — a
+    total order) and 1-based ranks i, G = (2·Σ i·x_i − (n+1)·Σ x) /
+    (n·Σ x). Both sums are exact BIGINTs; the only double is the final
+    division of two exact integers, identical cross-engine. Ranks come
+    from functions/ranks.global_row_numbers — the two-phase PARALLEL
+    range shuffle — so the sort never funnels through one task even at
+    10^9 keys.
+
+    Returns ONE row (n_keys, total, gini_num, gini_den, gini).
+    """
+    from ..functions.ranks import global_row_numbers
+
+    counts = df.select(
+        F.col(key_col).alias("_k"), F.col(value_col).cast("long").alias("_x")
+    )
+    ranked = global_row_numbers(counts, ["_x", "_k"], rank_col="_i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_x").cast("long").alias("total"),
+        (
+            2 * F.sum(F.col("_i") * F.col("_x"))
+            - (F.count(F.lit(1)) + 1) * F.sum("_x")
+        ).cast("long").alias("gini_num"),
+        (F.count(F.lit(1)) * F.sum("_x")).cast("long").alias("gini_den"),
+    ).select(
+        "n_keys",
+        "total",
+        "gini_num",
+        "gini_den",
+        F.round(F.col("gini_num") / F.col("gini_den"), 6).alias("gini"),
+    )

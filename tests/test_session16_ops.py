@@ -579,3 +579,77 @@ def test_doc_novelty_short_docs_emit_nothing(spark):
     out = {r["doc_id"]: (r["n_grams"], r["n_novel"])
            for r in doc_novelty(df, n=3).collect()}
     assert out == {2: (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# gini_coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_gini_matches_python_and_bounds(spark):
+    from mmkg_rag_spark.operators.profile import gini_coefficient
+
+    rng = random.Random(17)
+    rows = [(k, rng.randrange(1, 40)) for k in range(50)]
+    df = spark.createDataFrame(rows, "k long, n long")
+    r = gini_coefficient(df, "k", "n").collect()[0]
+
+    xs = sorted((x, k) for k, x in rows)
+    n = len(xs)
+    s = sum(x for x, _ in xs)
+    w = sum(i * x for i, (x, _) in enumerate(xs, 1))
+    num, den = 2 * w - (n + 1) * s, n * s
+    assert (r["n_keys"], r["total"], r["gini_num"], r["gini_den"]) == (
+        n, s, num, den,
+    )
+    assert r["gini"] == round(num / den, 6)
+    assert 0.0 <= r["gini"] < 1.0
+
+
+def test_gini_uniform_is_zero_and_concentrated_is_high(spark):
+    from mmkg_rag_spark.operators.profile import gini_coefficient
+
+    uni = spark.createDataFrame([(k, 5) for k in range(10)], "k long, n long")
+    assert gini_coefficient(uni, "k", "n").collect()[0]["gini"] == 0.0
+    conc = spark.createDataFrame(
+        [(0, 1000)] + [(k, 1) for k in range(1, 10)], "k long, n long"
+    )
+    assert gini_coefficient(conc, "k", "n").collect()[0]["gini"] > 0.85
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matches_python(spark):
+    from mmkg_rag_spark.operators.curation import source_overlap_matrix
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(12)), f"s{i % 4}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_overlap_matrix(df).collect()
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_common"], r["n_a"], r["n_b"], r["jaccard_ppm"]
+        )
+        for r in out
+    }
+
+    vs: dict[str, set] = defaultdict(set)
+    for _, text, s in rows:
+        vs[s] |= set(text.split(" "))
+    expect = {}
+    srcs = sorted(vs)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            c = len(vs[a] & vs[b])
+            expect[(a, b)] = (
+                c, len(vs[a]), len(vs[b]),
+                1000000 * c // (len(vs[a]) + len(vs[b]) - c),
+            )
+    assert got == expect
