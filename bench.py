@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "doc_novelty",
     "source_overlap_matrix",
     "activity_gini",
+    "events_cusum_fixedref",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

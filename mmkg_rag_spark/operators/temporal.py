@@ -426,6 +426,7 @@ def cusum_drift(
     key_col: str = "key",
     time_col: str = "day",
     value_col: str = "n",
+    ref: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM drift detection (Page 1954) over a per-key time
     series — the changepoint monitor a production ingest pipeline runs
@@ -450,8 +451,15 @@ def cusum_drift(
     SinglePartition exchange, no driver state. The per-key totals ride
     an unbounded window over the same partitioning (no extra shuffle).
 
+    ``ref=(p, q)`` switches to a FIXED reference rate p/q per period
+    (the SLA-target form, and the one a stream can fold incrementally:
+    dev_d = q·x_d − p, exact BIGINT, no retroactive mean) — the batch
+    anchor for streaming.cusum_stream, which carries (s_up, s_down)
+    across micro-batches and is pinned equal to this closed form.
+
     Returns (key, day, n, dev_scaled, cusum_up, cusum_down) — consumers
-    alarm on cusum thresholds in units of n_days·counts.
+    alarm on cusum thresholds in units of n_days·counts (q·counts in
+    fixed-ref mode).
     """
     wk = Window.partitionBy(key_col)
     wp = (
@@ -464,10 +472,18 @@ def cusum_drift(
         F.col(time_col).alias("day"),
         F.col(value_col).cast("long").alias("n"),
     )
-    d = d.withColumn("_tot", F.sum("n").over(wk)).withColumn(
-        "_nd", F.count(F.lit(1)).over(wk)
-    )
-    d = d.withColumn("dev_scaled", F.col("_nd") * F.col("n") - F.col("_tot"))
+    if ref is not None:
+        p, q = ref
+        d = d.withColumn(
+            "dev_scaled", F.lit(int(q)) * F.col("n") - F.lit(int(p))
+        )
+    else:
+        d = d.withColumn("_tot", F.sum("n").over(wk)).withColumn(
+            "_nd", F.count(F.lit(1)).over(wk)
+        )
+        d = d.withColumn(
+            "dev_scaled", F.col("_nd") * F.col("n") - F.col("_tot")
+        )
     d = (
         d.withColumn("_p", F.sum("dev_scaled").over(wp))
         .withColumn("_pmin", F.least(F.lit(0).cast("long"), F.min("_p").over(wp)))

@@ -861,3 +861,72 @@ def sample_per_group_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_stream(
+    spark: SparkSession,
+    input_dir: str,
+    ref: tuple[int, int],
+):
+    """Streaming twin of the fixed-reference CUSUM monitor
+    (operators/temporal.cusum_drift with ``ref=(p, q)``): per-key
+    two-sided drift accumulation folded incrementally across
+    micro-batches — the form a live ingest pipeline actually runs
+    (alarm the crawler the day its volume drifts, not at the next
+    batch rollup).
+
+    State per key is O(1) — exactly (s_up, s_down): the reflected
+    Lindley recurrence s_up ← max(0, s_up + q·x − p) needs nothing
+    else, which is WHY the fixed-reference form is the streaming form
+    (the self-mean variant re-scales every deviation when the mean
+    moves — unboundedly retroactive). Each batch folds its daily rows
+    in (day) order per key and emits one row per day with the running
+    cusums; the recurrence is associative across batch boundaries by
+    construction, so any chronological batch split yields the same
+    rows — pinned equal to the batch closed form in
+    tests/test_streaming.py.
+
+    Input: a parquet stream of per-(key, day) counts (the output shape
+    of any upstream windowed count), day-ordered per key across
+    batches — the contract of daily rollup feeds.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    p, q = int(ref[0]), int(ref[1])
+
+    def fold(key, pdfs, state: GroupState):
+        (k,) = key
+        s_up, s_down = state.get if state.exists else (0, 0)
+        rows = []
+        days = sorted(
+            (d, int(n))
+            for pdf in pdfs
+            for d, n in zip(pdf["day"], pdf["n"])
+        )
+        for d, n in days:
+            dev = q * n - p
+            s_up = max(0, s_up + dev)
+            s_down = max(0, s_down - dev)
+            rows.append((k, d, n, dev, s_up, s_down))
+        state.update((s_up, s_down))
+        yield pd.DataFrame(
+            rows,
+            columns=["key", "day", "n", "dev_scaled", "cusum_up", "cusum_down"],
+        )
+
+    stream = (
+        spark.readStream.schema("key string, day date, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return stream.groupBy("key").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "key string, day date, n long, dev_scaled long,"
+            " cusum_up long, cusum_down long"
+        ),
+        stateStructType="s_up long, s_down long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -653,3 +653,29 @@ def test_source_overlap_matches_python(spark):
                 1000000 * c // (len(vs[a]) + len(vs[b]) - c),
             )
     assert got == expect
+
+
+def test_cusum_fixed_ref_matches_recurrence(spark):
+    from datetime import date, timedelta
+
+    from mmkg_rag_spark.operators.temporal import cusum_drift
+
+    series = {"a": [10, 2, 30, 8, 8, 40], "b": [8] * 5}
+    d0 = date(2024, 1, 1)
+    rows = [
+        (k, d0 + timedelta(days=i), v)
+        for k, xs in series.items()
+        for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "key string, day date, n long")
+    out = cusum_drift(df, ref=(8, 1)).orderBy("key", "day").collect()
+    got = [(r["key"], r["n"], r["dev_scaled"], r["cusum_up"], r["cusum_down"])
+           for r in out]
+    expect = []
+    for k in sorted(series):
+        up = down = 0
+        for x in series[k]:
+            dev = x - 8
+            up, down = max(0, up + dev), max(0, down - dev)
+            expect.append((k, x, dev, up, down))
+    assert got == expect

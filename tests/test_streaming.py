@@ -792,3 +792,61 @@ def test_mentions_stream_matches_batch(spark, tmp_path_factory):
         for r in gazetteer_mentions(docs).collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_cusum_stream_matches_batch_fixed_ref(spark, tmp_path_factory):
+    """Streaming fixed-reference CUSUM with O(1) per-key state, fed in
+    three chronological micro-batches == the batch closed form
+    (temporal.cusum_drift(ref=...)) row-for-row."""
+    import glob
+    import os
+    import time as _time
+    from datetime import date, timedelta
+
+    from mmkg_rag_spark.operators.temporal import cusum_drift
+    from mmkg_rag_spark.streaming import cusum_stream
+
+    import random as _random
+
+    rng = _random.Random(61)
+    d0 = date(2024, 3, 1)
+    rows = [
+        (k, d0 + timedelta(days=i), rng.randrange(0, 20))
+        for k in ("a", "b", "c")
+        for i in range(30)
+    ]
+    in_dir = str(tmp_path_factory.mktemp("cusum_in"))
+    # three chronological chunks — the daily-rollup feed contract
+    for j, lo, hi in ((0, 0, 10), (1, 10, 20), (2, 20, 30)):
+        chunk = [r for r in rows if lo <= (r[1] - d0).days < hi]
+        spark.createDataFrame(
+            chunk, "key string, day date, n long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/part{j}")
+    # one flat dir with ascending mtimes so the file source batches in order
+    flat = str(tmp_path_factory.mktemp("cusum_flat"))
+    t0 = _time.time()
+    for j in range(3):
+        (src,) = glob.glob(f"{in_dir}/part{j}/part-*.parquet")
+        dst = f"{flat}/chunk{j}.parquet"
+        os.link(src, dst)
+        os.utime(dst, (t0 + j, t0 + j))
+
+    out = cusum_stream(spark, flat, ref=(8, 1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.key, r.day): (r.n, r.dev_scaled, r.cusum_up, r.cusum_down)
+        for r in spark.sql("select * from cusum_s").collect()
+    }
+    daily = spark.createDataFrame(rows, "key string, day date, n long")
+    want = {
+        (r.key, r.day): (r.n, r.dev_scaled, r.cusum_up, r.cusum_down)
+        for r in cusum_drift(daily, ref=(8, 1)).collect()
+    }
+    assert got == want and len(want) == 90
