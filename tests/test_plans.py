@@ -690,3 +690,61 @@ def test_geo_pairs_no_cartesian_cell_keyed_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_vocab_growth_has_no_single_partition_exchange(spark):
+    """The Heaps-curve cumulative counts must come from checkpoint joins
+    over the two-phase parallel ranks — never a corpus-length window or
+    a SinglePartition exchange of the fact table (the |partitions|-row
+    offset window inside global_row_numbers runs on the tiny table and
+    localCheckpoints before this plan, so it cannot appear here)."""
+    from mmkg_rag_spark.operators.relevance import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d", f"s{i % 3}") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    plan = _plan(vocab_growth(docs))
+    assert plan.count("Exchange SinglePartition") == 0
+
+
+def test_mutual_topk_has_no_cartesian_and_ranks_per_node(spark):
+    from mmkg_rag_spark.operators.graph import mutual_topk_edges
+
+    e = spark.createDataFrame(
+        [(i, (i * 7) % 40, 1 + i % 5) for i in range(200)],
+        "src long, dst long, w long",
+    )
+    plan = _plan(mutual_topk_edges(e, k=3))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cusum_windows_partition_by_key(spark):
+    """All three Lindley windows must partition by key — a partition-less
+    running window would funnel the daily table through one task."""
+    from datetime import date
+
+    from mmkg_rag_spark.operators.temporal import cusum_drift
+
+    daily = spark.createDataFrame(
+        [("a", date(2024, 1, 1 + i), i) for i in range(20)],
+        "key string, day date, n long",
+    )
+    plan = _plan(cusum_drift(daily))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_negative_samples_tail_attach_is_broadcast(spark):
+    """|tails| must attach as a 1-row broadcast and the positive filter
+    as an equi anti-join — no nested-loop over the candidate set."""
+    from mmkg_rag_spark.operators.graph import negative_edge_samples
+
+    e = spark.createDataFrame(
+        [(i % 10, 100 + (i * 3) % 30) for i in range(80)],
+        "src long, dst long",
+    )
+    plan = _plan(negative_edge_samples(e, n_neg=2))
+    assert "CartesianProduct" not in plan
+    # the single BroadcastNestedLoopJoin allowed is the 1-row scalar attach
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
