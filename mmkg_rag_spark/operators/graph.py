@@ -1720,6 +1720,7 @@ def wl_refinement(
     dst: str = "dst",
     *,
     rounds: int = 3,
+    broadcast_nodes: int = 1_000_000,
 ) -> DataFrame:
     """1-dimensional Weisfeiler-Lehman color refinement (fixed rounds)
     over the undirected simple graph — the structural-role fingerprint
@@ -1773,10 +1774,16 @@ def wl_refinement(
         .select("_n", F.col("_deg").cast("string").alias("_c"))
         .localCheckpoint()
     )
+    # the color table is vertex-sized: broadcast the per-round join while
+    # it fits (one count, same rule as kcore/bfs), else join on sym's
+    # partitioning — checkpointed DFs report sizes that defeat AQE's own
+    # broadcast pick, so the hint is load-bearing
+    small = colors.count() <= broadcast_nodes
     for _ in range(rounds):
+        cside = colors.select(F.col("_n").alias("b"), F.col("_c").alias("_nc"))
         nbr = (
             sym.join(
-                colors.select(F.col("_n").alias("b"), F.col("_c").alias("_nc")),
+                F.broadcast(cside) if small else cside,
                 "b",
             )
             .groupBy(F.col("a").alias("_n"), "_nc")
