@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "activity_gini",
     "events_cusum_fixedref",
+    "surface_pmi",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -306,3 +306,85 @@ def link_mentions(
         .filter(F.col("rn") == 1)
         .select("doc_id", "surface", "entity_id", "score", "n_mentions")
     )
+
+
+def _floor_log2_ratio(num_col: str, den_col: str):
+    """floor(log2(num/den)) for positive BIGINT columns, exactly.
+
+    e = bits(num) − bits(den) brackets the answer to {e−1, e}; one
+    integer shift-compare settles it (shiftleft takes a column shift
+    only in SQL-expression form, hence F.expr). Shifts are bounded by
+    the operand bit widths (≤ ~60), so nothing overflows. The same
+    arithmetic runs verbatim in the DuckDB twin (length(bin(x)) and
+    <<)."""
+    e = f"CAST(length(bin({num_col})) - length(bin({den_col})) AS BIGINT)"
+    return F.expr(
+        f"""CASE WHEN {e} >= 0 THEN
+      (CASE WHEN {num_col} >= {den_col}
+                 * shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))
+            THEN {e} ELSE {e} - 1 END)
+    ELSE
+      (CASE WHEN {num_col}
+                 * shiftleft(CAST(1 AS BIGINT), CAST(-({e}) AS INT))
+                 >= {den_col}
+            THEN {e} ELSE {e} - 1 END) END"""
+    )
+
+
+def surface_pmi(
+    docs: DataFrame,
+    surfaces: list[str] | None = None,
+    **kw,
+) -> DataFrame:
+    """PMI-weighted co-mention edges: pointwise mutual information of
+    each surface pair at document level, in EXACT whole bits — the
+    edge-salience weighting GraphRAG-style pipelines apply before
+    community detection (raw co-counts make stopword-like ubiquitous
+    entities the heaviest edges; PMI divides that ubiquity out).
+
+    PMI(a,b) = log2(P(a,b) / (P(a)P(b))) = log2(n_ab·N / (n_a·n_b)),
+    doc-level presence counts, N = corpus size. The exact rational
+    n_ab·N / (n_a·n_b) ships as (pmi_num, pmi_den) and its floor-log2
+    as ``pmi_bits`` via a bits-difference + one shift-compare — no
+    float log ever (cross-engine log2 rounding is not contractual;
+    integer shifts are). Negative bits = anti-associated.
+
+    Scale shape: presence sets ride the same per-doc mention table as
+    surface_cooccurrence (pair fan-out bounded by the dictionary);
+    per-surface doc counts are a |gazetteer|-row broadcast; N is a
+    1-row broadcast. Everything else is map-side arithmetic.
+
+    Returns (surface_a, surface_b, n_ab, n_a, n_b, n_corpus,
+    pmi_num, pmi_den, pmi_bits).
+    """
+    m = gazetteer_mentions(docs, surfaces, **kw).select("doc_id", "surface")
+    per = m.groupBy("surface").agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    n_row = docs.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    a = m.select("doc_id", F.col("surface").alias("surface_a"))
+    b = m.select("doc_id", F.col("surface").alias("surface_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("surface_a") < F.col("surface_b"))
+        .groupBy("surface_a", "surface_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    pa = per.select(F.col("surface").alias("surface_a"), F.col("_nd").alias("n_a"))
+    pb = per.select(F.col("surface").alias("surface_b"), F.col("_nd").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(pa), "surface_a")
+        .join(F.broadcast(pb), "surface_b")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("pmi_num", F.col("n_ab") * F.col("n_corpus"))
+        .withColumn("pmi_den", F.col("n_a") * F.col("n_b"))
+    )
+    return j.select(
+        "surface_a",
+        "surface_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_corpus",
+        "pmi_num",
+        "pmi_den",
+        _floor_log2_ratio("pmi_num", "pmi_den").cast("long").alias("pmi_bits"),
+    )

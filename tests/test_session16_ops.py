@@ -679,3 +679,75 @@ def test_cusum_fixed_ref_matches_recurrence(spark):
             up, down = max(0, up + dev), max(0, down - dev)
             expect.append((k, x, dev, up, down))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# surface_pmi / exact floor-log2 ratio
+# ---------------------------------------------------------------------------
+
+
+def test_floor_log2_ratio_exact(spark):
+    from fractions import Fraction
+
+    from mmkg_rag_spark.operators.mentions import _floor_log2_ratio
+
+    rng = random.Random(3)
+    rows = [
+        (rng.randrange(1, 10**9), rng.randrange(1, 10**9)) for _ in range(300)
+    ]
+    rows += [(1, 1), (1, 2), (2, 1), (3, 4), (4, 3), (7, 56), (56, 7)]
+    df = spark.createDataFrame(rows, "pmi_num long, pmi_den long")
+    out = df.select(
+        "pmi_num", "pmi_den",
+        _floor_log2_ratio("pmi_num", "pmi_den").alias("bits"),
+    ).collect()
+    for r in out:
+        # definitional check: 2^bits <= num/den < 2^(bits+1), exactly
+        f = Fraction(r["pmi_num"], r["pmi_den"])
+        lo = Fraction(2) ** r["bits"]
+        assert lo <= f < lo * 2, (r["pmi_num"], r["pmi_den"], r["bits"])
+
+
+def test_surface_pmi_matches_python(spark):
+    from mmkg_rag_spark.operators.mentions import surface_pmi
+
+    rng = random.Random(77)
+    surfaces = ["alpha", "beta", "gamma"]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(surfaces + ["x", "y", "z"]) for _ in range(8)]
+        rows.append((i, " ".join(words), "en", "s", 10))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = surface_pmi(df, surfaces=surfaces).collect()
+    got = {
+        (r["surface_a"], r["surface_b"]): (
+            r["n_ab"], r["n_a"], r["n_b"], r["pmi_bits"]
+        )
+        for r in out
+    }
+
+    present: dict[str, set] = defaultdict(set)
+    for i, text, *_ in rows:
+        for s in surfaces:
+            if s in text.split(" "):
+                present[s].add(i)
+    N = len(rows)
+    expect = {}
+    for i, a in enumerate(sorted(surfaces)):
+        for b in sorted(surfaces)[i + 1 :]:
+            nab = len(present[a] & present[b])
+            if nab == 0:
+                continue
+            num, den = nab * N, len(present[a]) * len(present[b])
+            bits = len(bin(num)[2:]) - len(bin(den)[2:])
+            ok = (
+                num >= den * (1 << bits)
+                if bits >= 0
+                else num * (1 << -bits) >= den
+            )
+            if not ok:
+                bits -= 1
+            expect[(a, b)] = (nab, len(present[a]), len(present[b]), bits)
+    assert got == expect and expect
