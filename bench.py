@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "activity_gini",
     "events_cusum_fixedref",
     "surface_pmi",
+    "customer_lorenz",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

@@ -113,3 +113,70 @@ def gini_coefficient(
         "gini_den",
         F.round(F.col("gini_num") / F.col("gini_den"), 6).alias("gini"),
     )
+
+
+def lorenz_checkpoints(
+    df: DataFrame,
+    key_col: str,
+    value_col,
+) -> DataFrame:
+    """Lorenz / concentration curve at log-spaced ranks: with keys
+    ranked by value DESCENDING, the cumulative value share held by the
+    top 1, 2, 4, … keys (plus the full population) — the "what fraction
+    of customers is 80% of revenue" curve, gini_coefficient's
+    pictorial twin and the skew evidence a capacity planner reads.
+
+    ``value_col`` must be an exact integer column (cents, counts) — the
+    caller owns the fixed-point conversion so shares are exact:
+    share_ppm = 10^6·cum // total, integer division.
+
+    Scale shape: ranks from functions/ranks.global_row_numbers (the
+    two-phase parallel range shuffle — never a partition-less window);
+    cumulative sums come from joining the O(log n) checkpoint table
+    (the vocab_growth pattern) instead of a population-length running
+    window, so the fan-out per row is |checkpoints| and both final
+    aggregates are map-side combinable.
+
+    Returns (ckpt, cum_value, total_value, share_ppm) ordered by ckpt.
+    """
+    from ..functions.ranks import global_row_numbers
+
+    vals = df.select(
+        F.col(key_col).alias("_k"), F.col(value_col).cast("long").alias("_v")
+    )
+    ranked = global_row_numbers(
+        vals.select("_k", (-F.col("_v")).alias("_nv"), "_v"),
+        ["_nv", "_k"],
+        rank_col="_i",
+    ).localCheckpoint()
+    tot = ranked.agg(
+        F.sum("_v").cast("long").alias("total_value"),
+        F.max("_i").cast("long").alias("_n"),
+    )
+    cps = tot.select(
+        "total_value",
+        F.explode(
+            F.array_union(
+                F.expr(
+                    "filter(transform(sequence(0, 48),"
+                    " i -> shiftleft(cast(1 as bigint), i)),"
+                    " p -> p <= _n)"
+                ),
+                F.array(F.col("_n")),
+            )
+        ).alias("ckpt"),
+    )
+    return (
+        ranked.join(F.broadcast(cps), F.col("_i") <= F.col("ckpt"))
+        .groupBy("ckpt", "total_value")
+        .agg(F.sum("_v").cast("long").alias("cum_value"))
+        .select(
+            "ckpt",
+            "cum_value",
+            "total_value",
+            F.expr("1000000 * cum_value div total_value")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("ckpt")
+    )

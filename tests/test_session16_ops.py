@@ -751,3 +751,25 @@ def test_surface_pmi_matches_python(spark):
                 bits -= 1
             expect[(a, b)] = (nab, len(present[a]), len(present[b]), bits)
     assert got == expect and expect
+
+
+def test_lorenz_matches_python(spark):
+    from mmkg_rag_spark.operators.profile import lorenz_checkpoints
+
+    rng = random.Random(41)
+    rows = [(k, rng.randrange(1, 500)) for k in range(37)]
+    df = spark.createDataFrame(rows, "k long, cents long")
+    out = lorenz_checkpoints(df, "k", "cents").collect()
+    got = [(r["ckpt"], r["cum_value"], r["total_value"], r["share_ppm"])
+           for r in out]
+
+    ordered = sorted(rows, key=lambda p: (-p[1], p[0]))
+    n, total = len(ordered), sum(v for _, v in ordered)
+    cps = sorted({1 << i for i in range(10) if (1 << i) <= n} | {n})
+    expect = []
+    for cp in cps:
+        cum = sum(v for _, v in ordered[:cp])
+        expect.append((cp, cum, total, 1000000 * cum // total))
+    assert got == expect
+    # curve is monotone and ends at 100%
+    assert got[-1][3] == 1000000
