@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "events_cusum_fixedref",
     "surface_pmi",
     "customer_lorenz",
+    "events_burst_spans",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

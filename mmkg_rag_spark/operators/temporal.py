@@ -568,3 +568,78 @@ def session_motifs(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.countDistinct(user_col).cast("long").alias("n_users"),
     )
+
+
+def burst_spans(
+    daily: DataFrame,
+    hi: int,
+    lo: int,
+    key_col: str = "key",
+    time_col: str = "day",
+    value_col: str = "n",
+) -> DataFrame:
+    """Hysteresis burst detection over a per-key daily series — the
+    two-threshold state machine (enter burst at n ≥ hi, leave at
+    n < lo, hold in between) that production monitors run instead of a
+    single threshold precisely because hysteresis suppresses flapping;
+    the integer-exact sibling of Kleinberg's two-state automaton (whose
+    log-likelihood costs are floats and therefore out of the oracle
+    contract).
+
+    The sequential state is computable as pure windows: each day emits
+    a marker (1 at hi-cross, 0 at lo-cross, NULL in the dead band); the
+    state is the LAST non-null marker — one ignore-nulls last_value
+    window, identical semantics in Spark (F.last ignorenulls) and
+    DuckDB (last_value IGNORE NULLS). Burst spans are then standard
+    gaps-and-islands over state=1 runs.
+
+    Scale shape: all three windows partition by key over the tiny daily
+    aggregate — no iteration, no SinglePartition, no driver state.
+
+    Returns (key, span_start, span_end, n_days, peak, total) per
+    maximal burst span.
+    """
+    wk = Window.partitionBy(key_col).orderBy(time_col)
+    marker = (
+        F.when(F.col(value_col) >= hi, F.lit(1))
+        .when(F.col(value_col) < lo, F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    d = daily.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("day"),
+        F.col(value_col).cast("long").alias("n"),
+    ).withColumn("_m", marker)
+    d = d.withColumn(
+        "state",
+        F.coalesce(
+            F.last("_m", ignorenulls=True).over(
+                wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(0),
+        ),
+    )
+    wkey = Window.partitionBy("key").orderBy("day")
+    prev = F.lag("state").over(wkey)
+    d = d.withColumn(
+        "_new", (F.col("state") == 1)
+        & ((prev.isNull()) | (prev == 0))
+    )
+    d = d.withColumn(
+        "_isl",
+        F.sum(F.col("_new").cast("int")).over(
+            wkey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        d.where(F.col("state") == 1)
+        .groupBy("key", "_isl")
+        .agg(
+            F.min("day").alias("span_start"),
+            F.max("day").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("n").cast("long").alias("peak"),
+            F.sum("n").cast("long").alias("total"),
+        )
+        .drop("_isl")
+    )

@@ -773,3 +773,69 @@ def test_lorenz_matches_python(spark):
     assert got == expect
     # curve is monotone and ends at 100%
     assert got[-1][3] == 1000000
+
+
+def test_burst_spans_hysteresis_semantics(spark):
+    from datetime import date, timedelta
+
+    from mmkg_rag_spark.operators.temporal import burst_spans
+
+    d0 = date(2024, 5, 1)
+    # series: below, cross hi, dead band (holds), drop below lo,
+    # dead band (stays off), cross hi again, end in-burst
+    series = [5, 15, 11, 4, 11, 20, 18]
+    rows = [("k", d0 + timedelta(days=i), v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "key string, day date, n long")
+    out = burst_spans(df, hi=12, lo=10).orderBy("span_start").collect()
+    got = [
+        (r["span_start"], r["span_end"], r["n_days"], r["peak"], r["total"])
+        for r in out
+    ]
+    assert got == [
+        (d0 + timedelta(days=1), d0 + timedelta(days=2), 2, 15, 26),
+        (d0 + timedelta(days=5), d0 + timedelta(days=6), 2, 20, 38),
+    ]
+
+
+def test_burst_spans_matches_python_state_machine(spark):
+    from datetime import date, timedelta
+
+    from mmkg_rag_spark.operators.temporal import burst_spans
+
+    rng = random.Random(9)
+    d0 = date(2024, 6, 1)
+    rows = [
+        (k, d0 + timedelta(days=i), rng.randrange(0, 30))
+        for k in ("a", "b")
+        for i in range(60)
+    ]
+    hi, lo = 20, 10
+    df = spark.createDataFrame(rows, "key string, day date, n long")
+    out = burst_spans(df, hi=hi, lo=lo).collect()
+    got = {
+        (r["key"], r["span_start"]): (r["span_end"], r["n_days"], r["peak"], r["total"])
+        for r in out
+    }
+
+    expect = {}
+    for k in ("a", "b"):
+        state, span = 0, None
+        seq = sorted((d, n) for kk, d, n in rows if kk == k)
+        for d, n in seq:
+            if n >= hi:
+                state = 1
+            elif n < lo:
+                state = 0
+            if state == 1:
+                if span is None:
+                    span = [d, d, 0, 0, 0]
+                span[1] = d
+                span[2] += 1
+                span[3] = max(span[3], n)
+                span[4] += n
+            elif span is not None:
+                expect[(k, span[0])] = (span[1], span[2], span[3], span[4])
+                span = None
+        if span is not None:
+            expect[(k, span[0])] = (span[1], span[2], span[3], span[4])
+    assert got == expect and expect
