@@ -839,3 +839,68 @@ def test_burst_spans_matches_python_state_machine(spark):
         if span is not None:
             expect[(k, span[0])] = (span[1], span[2], span[3], span[4])
     assert got == expect and expect
+
+
+# ---------------------------------------------------------------------------
+# invariance properties
+# ---------------------------------------------------------------------------
+
+
+def test_wl_histogram_is_isomorphism_invariant(spark):
+    """Relabeling nodes must leave the WL color histogram unchanged —
+    the defining property of the WL fingerprint."""
+    from collections import Counter
+
+    rng = random.Random(55)
+    nodes = [f"n{i}" for i in range(25)]
+    edges = list({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)
+    })
+    perm = dict(zip(nodes, rng.sample(nodes, len(nodes))))
+    edges_p = [(perm[a], perm[b]) for a, b in edges]
+
+    h1 = Counter(_spark_wl(spark, edges, 3).values())
+    h2 = Counter(_spark_wl(spark, edges_p, 3).values())
+    assert h1 == h2
+
+
+def test_mutual_topk_is_orientation_invariant(spark):
+    from mmkg_rag_spark.operators.graph import mutual_topk_edges
+
+    rng = random.Random(29)
+    base = list({
+        (a, b): None
+        for a, b in (tuple(sorted(rng.sample(range(12), 2))) for _ in range(30))
+    })
+    weights = [(a, b, rng.randrange(1, 9)) for a, b in base]
+    flipped = [
+        (b, a, w) if rng.random() < 0.5 else (a, b, w) for a, b, w in weights
+    ]
+    e1 = spark.createDataFrame(weights, "src long, dst long, w long")
+    e2 = spark.createDataFrame(flipped, "src long, dst long, w long")
+    r1 = {(r["a"], r["b"]): (r["w"], r["rank_ab"], r["rank_ba"])
+          for r in mutual_topk_edges(e1, k=2).collect()}
+    r2 = {(r["a"], r["b"]): (r["w"], r["rank_ab"], r["rank_ba"])
+          for r in mutual_topk_edges(e2, k=2).collect()}
+    assert r1 == r2
+
+
+def test_gini_is_key_permutation_invariant_and_scale_free(spark):
+    from mmkg_rag_spark.operators.profile import gini_coefficient
+
+    rng = random.Random(71)
+    vals = [rng.randrange(1, 100) for _ in range(40)]
+    a = spark.createDataFrame(list(enumerate(vals)), "k long, n long")
+    # permute which key holds which value: Gini depends on the multiset only
+    shuffled = vals[:]
+    rng.shuffle(shuffled)
+    b = spark.createDataFrame(list(enumerate(shuffled)), "k long, n long")
+    ga = gini_coefficient(a, "k", "n").collect()[0]
+    gb = gini_coefficient(b, "k", "n").collect()[0]
+    assert ga["gini"] == gb["gini"]
+    # scaling every value by a constant leaves Gini unchanged
+    c = spark.createDataFrame(
+        [(k, 7 * v) for k, v in enumerate(vals)], "k long, n long"
+    )
+    gc = gini_coefficient(c, "k", "n").collect()[0]
+    assert gc["gini"] == ga["gini"]
