@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "surface_pmi",
     "customer_lorenz",
     "events_burst_spans",
+    "coorder_rich_club",
+    "orders_aging_buckets",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the

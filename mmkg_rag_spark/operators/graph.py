@@ -2059,3 +2059,66 @@ def pseudo_diameter(
         )
         .crossJoin(F.broadcast(n2))
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    ks: list[int],
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club census (Zhou & Mondragón '04): for each club size k,
+    the number of edges among the k highest-degree nodes vs the C(k,2)
+    possible — do the hubs of the graph trade preferentially with each
+    other? The hub-interconnection diagnostic read next to
+    assortativity (assortativity is the correlation over ALL edges;
+    the rich club isolates the head), and for a KG: whether the
+    best-attested entities form a core or a star field.
+
+    Exact by construction: membership is the top-k by (degree DESC,
+    node ASC) — a total order — and the club's induced edge count /
+    C(k,2) ships as exact integers plus an integer-ppm density. The
+    club is k rows (k a small constant), so membership broadcasts and
+    the induced-edge count is two broadcast semi-joins over the
+    canonical edge list; degrees are the one shuffle.
+
+    Returns (k, club_edges, possible_edges, density_ppm) per k.
+    """
+    from functools import reduce
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    outs = []
+    for k in ks:
+        club = deg.orderBy(F.desc("degree"), F.asc("node")).limit(k)
+        ca = club.select(F.col("node").alias("a"))
+        cb = club.select(F.col("node").alias("b"))
+        cnt = (
+            e.join(F.broadcast(ca), "a", "semi")
+            .join(F.broadcast(cb), "b", "semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("club_edges"))
+        )
+        outs.append(
+            cnt.select(
+                F.lit(k).cast("long").alias("k"),
+                "club_edges",
+                F.lit(k * (k - 1) // 2).cast("long").alias("possible_edges"),
+                F.expr(
+                    f"1000000 * club_edges div {k * (k - 1) // 2}"
+                ).cast("long").alias("density_ppm"),
+            )
+        )
+    return reduce(lambda x, y: x.unionAll(y), outs)

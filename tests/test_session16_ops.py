@@ -904,3 +904,42 @@ def test_gini_is_key_permutation_invariant_and_scale_free(spark):
     )
     gc = gini_coefficient(c, "k", "n").collect()[0]
     assert gc["gini"] == ga["gini"]
+
+
+# ---------------------------------------------------------------------------
+# rich_club
+# ---------------------------------------------------------------------------
+
+
+def test_rich_club_matches_python(spark):
+    from mmkg_rag_spark.operators.graph import rich_club
+
+    rng = random.Random(19)
+    edges = list({
+        tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)
+    })
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["k"]: (r["club_edges"], r["possible_edges"], r["density_ppm"])
+           for r in rich_club(df, ks=[4, 8, 16]).collect()}
+
+    deg: dict[int, int] = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    ranked = sorted(deg, key=lambda n: (-deg[n], n))
+    for k in (4, 8, 16):
+        club = set(ranked[:k])
+        ce = sum(1 for a, b in edges if a in club and b in club)
+        poss = k * (k - 1) // 2
+        assert out[k] == (ce, poss, 1000000 * ce // poss)
+
+
+def test_rich_club_complete_graph_is_saturated(spark):
+    from itertools import combinations
+
+    from mmkg_rag_spark.operators.graph import rich_club
+
+    edges = list(combinations(range(10), 2))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["k"]: r["density_ppm"] for r in rich_club(df, ks=[4, 8]).collect()}
+    assert out == {4: 1000000, 8: 1000000}
