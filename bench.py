@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "events_burst_spans",
     "coorder_rich_club",
     "orders_aging_buckets",
+    "nation_trade_flows",
 ]
 
 # queries that consume the session KG cache: warm the build untimed so the
