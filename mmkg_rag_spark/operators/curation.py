@@ -671,7 +671,7 @@ def greedy_source_cover(
             st.join(
                 F.broadcast(
                     spark.createDataFrame(
-                        [(p[1],) for p in picked] or [("",)], "_src string"
+                        [(p[1],) for p in picked], "_src string"
                     )
                 ),
                 "_src",
@@ -688,7 +688,7 @@ def greedy_source_cover(
             .distinct()
             .join(
                 spark.createDataFrame(
-                    [(p[1],) for p in picked] or [("",)], "_src string"
+                    [(p[1],) for p in picked], "_src string"
                 ),
                 "_src",
                 "left_anti",

@@ -533,7 +533,8 @@ def bfs_distances(
     spark = edges.sparkSession
     if isinstance(seeds, DataFrame):
         # data-dependent seeds (e.g. pseudo_diameter's second sweep):
-        # a (node)-column DataFrame keeps the plan lazy — no driver probe
+        # a (node)-column DataFrame keeps the seed set on the executors —
+        # it is checkpointed, never collected to the driver
         settled = seeds.select("node", F.lit(0).alias("dist")).localCheckpoint()
     else:
         settled = spark.createDataFrame(
@@ -1871,6 +1872,13 @@ def mutual_topk_edges(
     neighbor list, but only its genuinely associated nodes are in ITS
     top-k, so one-sided hub edges drop.
 
+    Input is canonicalized first — (least, greatest) orientation,
+    duplicates merged by MAX weight — so a caller that supplies both
+    orientations of an undirected edge (or repeated rows) cannot burn
+    extra top-k slots or double-emit a surviving edge; on one-row-per-
+    undirected-edge input the canonicalization is a no-op and the
+    oracle twin (which assumes that well-formed shape) is unchanged.
+
     Ranking is exact and total: per node by (weight DESC, neighbor
     ASC) over the symmetrized adjacency — integer weights, so the twin
     replays it verbatim. One shuffle builds the symmetric list, one
@@ -1886,10 +1894,16 @@ def mutual_topk_edges(
     """
     from pyspark.sql import Window
 
-    e = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b"),
-        F.col(weight).cast("long").alias("w"),
-    ).where(F.col("a") != F.col("b"))
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
     wn = Window.partitionBy("a").orderBy(F.desc("w"), F.asc("b"))
     topk = (
@@ -2116,9 +2130,16 @@ def rich_club(
                 F.lit(k).cast("long").alias("k"),
                 "club_edges",
                 F.lit(k * (k - 1) // 2).cast("long").alias("possible_edges"),
-                F.expr(
-                    f"1000000 * club_edges div {k * (k - 1) // 2}"
-                ).cast("long").alias("density_ppm"),
+                # k < 2 ⇒ possible_edges = 0: density is NULL by contract
+                # (never a div-by-zero — the guard keeps the 0 literal out
+                # of the division on both engines).
+                (
+                    F.expr(
+                        f"1000000 * club_edges div {k * (k - 1) // 2}"
+                    ).cast("long")
+                    if k >= 2
+                    else F.lit(None).cast("long")
+                ).alias("density_ppm"),
             )
         )
     return reduce(lambda x, y: x.unionAll(y), outs)

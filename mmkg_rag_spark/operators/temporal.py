@@ -531,17 +531,10 @@ def session_motifs(
 
     Returns (motif, n_sessions, n_users).
     """
+    from mmkg_rag_spark.functions.timeops import ntz_epoch
+
     w_user = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-
-    def _epoch(c):
-        return (
-            F.unix_date(F.col(c).cast("date")) * F.lit(86400)
-            + F.hour(c) * 3600
-            + F.minute(c) * 60
-            + F.second(c)
-        ).cast("long")
-
-    epoch = _epoch(ts_col)
+    epoch = ntz_epoch(ts_col)
     marked = events.withColumn(
         "_new",
         F.when(epoch - F.lag(epoch).over(w_user) > gap_sec, F.lit(1)).otherwise(
