@@ -242,6 +242,25 @@ def test_ktruss_matches_python_peeling(spark):
     assert got == {p: 3 for p in k5}
 
 
+def test_ktruss_delta_branch_matches_python_peeling(spark):
+    # K8 (28 edges, intra-clique support 6) + a pendant triangle via
+    # node 8 attached to {0, 1}: edges (0,8) and (1,8) have support 1
+    # and drop in round 1 — 2/30 ≈ 6.7% ≤ the 10% delta threshold, so
+    # the round takes the DELTA path: one dead triangle {0,1,8} must
+    # decrement exactly edge (0,1) from 7 to 6. Also exercises the
+    # fixed-point early exit (rounds 2-4 drop nothing).
+    k8 = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    edges = k8 + [(0, 8), (1, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k, rounds in [(8, 1), (8, 4)]:
+        got = {
+            (r.a, r.b): r.support
+            for r in ktruss(df, k, rounds=rounds).collect()
+        }
+        assert got == _py_ktruss(edges, k, rounds), (k, rounds)
+    assert _py_ktruss(edges, 8, 1) == {p: 6 for p in k8}
+
+
 def test_surface_cooccurrence_bruteforce(spark):
     rows = [
         (0, "a b a c"),
