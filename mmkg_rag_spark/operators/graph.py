@@ -611,12 +611,22 @@ def bfs_distances(
     Level-synchronous relaxation: per round, the CURRENT FRONTIER ONLY
     (nodes first reached last round — relaxing already-settled nodes can
     never improve an unweighted distance) joins the cached adjacency,
-    and newly reached nodes merge in with an anti-join. Exactly one
-    frontier-sized shuffle join + one distinct per round; the settled
-    table grows monotonically and is localCheckpoint'ed to cut lineage.
-    Distances are exact integers — bit-identical across partitionings and
-    engines, so the DuckDB oracle unrolls the same ``max_hops`` rounds as
-    chained CTEs and hash-matches.
+    and newly reached nodes merge in with an anti-join against the
+    settled set. Distances are exact integers — bit-identical across
+    partitionings and engines, so the DuckDB oracle unrolls the same
+    ``max_hops`` rounds as chained CTEs and hash-matches.
+
+    Round cost is ONE Spark job (the Luby-MIS fusion, round 5): the new
+    frontier gets a non-eager lineage cut materialized by the round's
+    single frontier-sized ``count()``; the monotone settled set is kept
+    as the list of per-hop checkpointed frontier pieces and unioned
+    only at the end — no settled-sized checkpoint job ever runs, and
+    the per-round anti-join reads the already-materialized pieces. An
+    empty frontier ends the loop early: every later round is provably
+    empty too, so the result — a pure function of (graph, seeds,
+    max_hops) — is unchanged, while diameter-bounded callers
+    (pseudo_diameter's 10-hop sweeps) stop paying the per-round
+    scheduling constant past convergence.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
@@ -644,6 +654,7 @@ def bfs_distances(
         settled = spark.createDataFrame(
             [(s, 0) for s in seeds], f"node {_node_type(seeds)}, dist int"
         ).localCheckpoint()
+    pieces = [settled]
     frontier = settled
     for hop in range(1, max_hops + 1):
         f = frontier.withColumnRenamed("node", "src").drop("dist")
@@ -652,14 +663,18 @@ def bfs_distances(
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = reached.join(settled, "node", "anti").withColumn(
-            "dist", F.lit(hop)
+        settled_u = functools.reduce(
+            lambda a, b: a.unionByName(b), (p.select("node") for p in pieces)
         )
-        settled = settled.unionByName(frontier)
-        if hop % checkpoint_every == 0 and hop < max_hops:
-            settled = settled.localCheckpoint()
-            frontier = frontier.localCheckpoint()
-    return settled
+        frontier = (
+            reached.join(settled_u, "node", "anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        if frontier.count() == 0:
+            break
+        pieces.append(frontier)
+    return functools.reduce(lambda a, b: a.unionByName(b), pieces)
 
 
 
@@ -692,6 +707,11 @@ def bfs_distances_per_seed(
     estimator for centralities at scale: exact per sampled source, sum
     over the sample). Distances are exact integers, so the DuckDB oracle
     unrolls the same rounds with a seed column and hash-matches.
+
+    Same one-job-per-round fusion as ``bfs_distances``: non-eager
+    frontier cut materialized by the round's count, settled kept as
+    per-hop pieces unioned at the end, early exit on an empty frontier
+    (identical result — later rounds are provably empty).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
@@ -704,6 +724,7 @@ def bfs_distances_per_seed(
     settled = spark.createDataFrame(
         [(s, s, 0) for s in seeds], f"seed {nt}, node {nt}, dist int"
     ).localCheckpoint()
+    pieces = [settled]
     frontier = settled
     for hop in range(1, max_hops + 1):
         reached = (
@@ -713,14 +734,19 @@ def bfs_distances_per_seed(
             .select("seed", F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = reached.join(settled, ["seed", "node"], "anti").withColumn(
-            "dist", F.lit(hop)
+        settled_u = functools.reduce(
+            lambda a, b: a.unionByName(b),
+            (p.select("seed", "node") for p in pieces),
         )
-        settled = settled.unionByName(frontier)
-        if hop % checkpoint_every == 0 and hop < max_hops:
-            settled = settled.localCheckpoint()
-            frontier = frontier.localCheckpoint()
-    return settled
+        frontier = (
+            reached.join(settled_u, ["seed", "node"], "anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        if frontier.count() == 0:
+            break
+        pieces.append(frontier)
+    return functools.reduce(lambda a, b: a.unionByName(b), pieces)
 
 
 def shortest_path_counts(
