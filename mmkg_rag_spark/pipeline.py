@@ -117,6 +117,8 @@ def build_kg(
     link_strategy: str = "auto",
     use_html: bool = True,
     fused: bool = True,
+    extractor_factory=None,
+    loop: int = 1,
 ) -> KGResult:
     """Run the full construction pipeline on a pages DataFrame.
 
@@ -129,7 +131,16 @@ def build_kg(
     (what a remote-LLM extractor's per-stage batching needs, and the
     equality control: tests pin identical nodes/edges/images between the
     two paths).
+
+    ``extractor_factory``: picklable zero-arg callable building an
+    ``mmkg_rag_spark.llm`` Extractor per python worker (e.g.
+    ``functools.partial(EndpointExtractor, base_url=...)``); forces the
+    staged path, whose per-stage batching is what a remote model needs
+    (the fused single-pass is mock-kernel-only). ``loop`` = gleaning
+    rounds, forwarded to extract_mentions (reference text.py:97-130).
     """
+    if extractor_factory is not None:
+        fused = False
     # Re-split under-partitioned inputs: per-page UDF cost varies ~50×
     # (long docs), so at partitions ≈ cores one straggler sets the stage
     # wall; 4 waves/core lets the scheduler balance. But partition count is
@@ -176,7 +187,9 @@ def build_kg(
         # re-scan is the norm.
         pages = pages.select("url", "text").cache()
         chunks = chunk_pages(pages, chunk_size, overlap)
-        mentions = extract_mentions(chunks).cache()
+        mentions = extract_mentions(
+            chunks, extractor_factory=extractor_factory, loop=loop
+        ).cache()
         entity_mentions, relation_mentions = split_mentions(mentions)
         raw_instances = extract_image_instances(pages)
 

@@ -248,3 +248,76 @@ def test_endpoint_extractor_socket_roundtrip():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_build_kg_through_live_http_extractor(spark):
+    """VERDICT r4 item 5: the FULL pipeline — build_kg with an
+    EndpointExtractor — against a scripted localhost HTTP server, so the
+    batched HTTP extraction runs INSIDE the pandas UDF on real Spark
+    python workers (reference utils/llm.py:29-73 semantics end-to-end),
+    not just the transport layer. The server serves the deterministic
+    index/alias responses, so nodes/edges must equal the hermetic mock
+    build exactly."""
+    import functools
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from mmkg_rag_spark.kernels.mockllm import alias_response, index_response
+    from mmkg_rag_spark.pipeline import build_kg
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            system = body["messages"][0]["content"]
+            user = body["messages"][-1]["content"]
+            head, _, text = user.rpartition("\n\nTEXT:\n")
+            if system == "You find aliases of named entities.":
+                names_part = head.split("Entities: ", 1)[1]
+                names = [n for n in names_part.split(", ") if n]
+                content = alias_response(text, names)
+            else:
+                content = index_response(text)
+            resp = json.dumps(
+                {"choices": [{"message": {"content": content}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        pages = gen_pages_df(spark, 12).select("url", "text").cache()
+        factory = functools.partial(
+            EndpointExtractor,
+            base_url=f"http://127.0.0.1:{srv.server_address[1]}/v1",
+            api_key="sk-test",
+            retry_backoff_sec=0.01,
+        )
+        live = build_kg(
+            spark, pages, use_html=False, extractor_factory=factory
+        )
+        mock = build_kg(spark, pages, use_html=False, fused=False)
+
+        def node_set(res):
+            return {
+                (r["name"], r["label"], tuple(sorted(r["aliases"] or [])))
+                for r in res.nodes.collect()
+            }
+
+        def edge_set(res):
+            return {
+                (r["source"], r["label"], r["target"])
+                for r in res.edges.collect()
+            }
+
+        assert node_set(live) == node_set(mock) and len(node_set(live)) > 0
+        assert edge_set(live) == edge_set(mock) and len(edge_set(live)) > 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
