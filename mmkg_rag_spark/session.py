@@ -30,6 +30,7 @@ def get_spark(
     app_name: str = "mmkg-rag-spark",
     shuffle_partitions: int | None = None,
     warehouse: str | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or fetch) the tuned session.
 
@@ -75,6 +76,10 @@ def get_spark(
     )
     if warehouse:
         b = b.config("spark.sql.warehouse.dir", warehouse)
+    for k, v in (extra_conf or {}).items():
+        # caller overrides (e.g. tools/bench_skew.py re-enables the UI to
+        # read per-task summaries from the REST API)
+        b = b.config(k, v)
     if iceberg_available():
         b = (
             b.config(
