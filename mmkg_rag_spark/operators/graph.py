@@ -1932,7 +1932,11 @@ def wl_refinement(
         colors = (
             sig.join(colors, "_n")
             .select("_n", F.md5(F.concat_ws("|", "_c", "_sig")).alias("_c"))
-            .localCheckpoint()
+            # non-eager: the lineage cut materializes inside the NEXT
+            # round's join job (or the final action), saving one
+            # vertex-sized checkpoint job per round — same fusion as the
+            # MIS/BFS loops; each round's colors have exactly one consumer
+            .localCheckpoint(eager=False)
         )
     return colors.select(F.col("_n").alias("node"), F.col("_c").alias("color"))
 
