@@ -309,6 +309,7 @@ def ktruss(
     *,
     rounds: int = 3,
     canonical: bool = False,
+    delta_frac: float = 0.10,
 ) -> DataFrame:
     """k-truss peeling after ``rounds`` synchronous rounds →
     (a, b, support) over the surviving edge set. ``canonical=True``:
@@ -352,7 +353,6 @@ def ktruss(
     hash-matches either branch unchanged.
     """
     thr = k - 2
-    delta_frac = 0.10
     cur = edge_support(edges, src, dst, canonical=canonical).localCheckpoint()
     n_edges = cur.count()
     for _ in range(rounds):
