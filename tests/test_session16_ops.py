@@ -943,3 +943,64 @@ def test_rich_club_complete_graph_is_saturated(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r["k"]: r["density_ppm"] for r in rich_club(df, ks=[4, 8]).collect()}
     assert out == {4: 1000000, 8: 1000000}
+
+
+def test_mutual_topk_dedupes_double_oriented_input(spark):
+    """Round-5 hardening: supplying BOTH orientations of every undirected
+    edge (or exact duplicate rows) must give the same result as the
+    canonical one-row-per-edge input — duplicates may not consume top-k
+    slots or double-emit survivors."""
+    from mmkg_rag_spark.operators.graph import mutual_topk_edges
+
+    rng = random.Random(31)
+    base = list({
+        tuple(sorted(rng.sample(range(10), 2))): None for _ in range(25)
+    })
+    weights = [(a, b, rng.randrange(1, 9)) for a, b in base]
+    doubled = weights + [(b, a, w) for a, b, w in weights] + weights[:7]
+    e1 = spark.createDataFrame(weights, "src long, dst long, w long")
+    e2 = spark.createDataFrame(doubled, "src long, dst long, w long")
+    r1 = {(r["a"], r["b"]): (r["w"], r["rank_ab"], r["rank_ba"])
+          for r in mutual_topk_edges(e1, k=2).collect()}
+    r2 = {(r["a"], r["b"]): (r["w"], r["rank_ab"], r["rank_ba"])
+          for r in mutual_topk_edges(e2, k=2).collect()}
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_rich_club_k_below_2_yields_null_density(spark):
+    """k < 2 ⇒ possible_edges = 0: density_ppm is NULL by contract, never
+    a divide-by-zero (round-5 hardening)."""
+    from mmkg_rag_spark.operators.graph import rich_club
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {r["k"]: r for r in rich_club(e, ks=[1, 3]).collect()}
+    assert rows[1]["possible_edges"] == 0
+    assert rows[1]["density_ppm"] is None
+    assert rows[3]["possible_edges"] == 3
+    assert rows[3]["density_ppm"] is not None
+
+
+def test_bfs_early_exit_matches_deep_max_hops(spark):
+    """Round-5 BFS fusion: the empty-frontier early exit must leave the
+    result identical to running far more rounds than the diameter, for
+    both the multi-source map and the per-seed variant."""
+    from mmkg_rag_spark.operators.graph import (
+        bfs_distances,
+        bfs_distances_per_seed,
+    )
+
+    # path graph 0-1-2-3-4 plus a disconnected pair 10-11 (never reached)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    d4 = {(r["node"]): r["dist"] for r in bfs_distances(e, [0], 4).collect()}
+    d50 = {(r["node"]): r["dist"] for r in bfs_distances(e, [0], 50).collect()}
+    assert d4 == d50 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    p5 = {(r["seed"], r["node"]): r["dist"]
+          for r in bfs_distances_per_seed(e, [0, 4], 5).collect()}
+    p40 = {(r["seed"], r["node"]): r["dist"]
+           for r in bfs_distances_per_seed(e, [0, 4], 40).collect()}
+    assert p5 == p40 and (4, 0) in p5 and p5[(4, 0)] == 4
