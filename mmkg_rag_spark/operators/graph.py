@@ -601,6 +601,7 @@ def bfs_distances(
     undirected: bool = True,
     broadcast_nodes: int = 1_000_000,
     checkpoint_every: int = 2,
+    canonical: bool = False,
 ) -> DataFrame:
     """Unweighted single/multi-source shortest paths → (node, dist).
 
@@ -636,7 +637,11 @@ def bfs_distances(
         e = e.unionAll(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    adj = e.distinct().localCheckpoint()
+    # canonical=True: the caller guarantees the edge list is already
+    # distinct (and pre-symmetrized, passed with undirected=False) and
+    # materialized — e.g. pseudo_diameter's shared checkpoint feeding two
+    # sweeps — so the dedup shuffle + per-sweep checkpoint are skipped.
+    adj = e if canonical else e.distinct().localCheckpoint()
     # frontier ⊆ nodes: broadcast the frontier joins only while the whole
     # vertex set is broadcastable (one count up front, same rule as kcore —
     # no per-round probe jobs); past that, hash-join on adj's partitioning.
@@ -2185,9 +2190,11 @@ def pseudo_diameter(
     )
     nodes = sym.select(F.col("src").alias("node"))
     u0 = nodes.agg(F.min("node").alias("node"))
-    d1 = bfs_distances(sym, u0, max_hops, undirected=False)
+    d1 = bfs_distances(sym, u0, max_hops, undirected=False, canonical=True)
     turn = d1.orderBy(F.desc("dist"), F.asc("node")).limit(1)
-    d2 = bfs_distances(sym, turn.select("node"), max_hops, undirected=False)
+    d2 = bfs_distances(
+        sym, turn.select("node"), max_hops, undirected=False, canonical=True
+    )
     far = d2.orderBy(F.desc("dist"), F.asc("node")).limit(1)
     n2 = d2.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
     return (
