@@ -429,3 +429,26 @@ def test_surprisal_rare_token_scores_higher(spark):
         r.doc_id: r.surprisal_bits for r in doc_surprisal_bits(df).collect()
     }
     assert got[0] > got[1]
+
+
+def test_ktruss_forced_delta_matches_python_on_random_graphs(spark):
+    """delta_frac=1.0 forces EVERY peel round down the dead-triangle
+    delta path regardless of drop size — hammering the decrement
+    arithmetic (multi-dropped-edge triangles, zero-support survivors,
+    full-graph drops) against the naive Python peeling on seeded random
+    graphs. The registered query keeps the adaptive default; this pins
+    branch equivalence."""
+    rng = random.Random(53)
+    for trial in range(6):
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(12), 2))) for _ in range(30)}
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for k, rounds in [(3, 2), (4, 2), (5, 3)]:
+            got = {
+                (r.a, r.b): r.support
+                for r in ktruss(
+                    df, k, rounds=rounds, delta_frac=1.0
+                ).collect()
+            }
+            assert got == _py_ktruss(edges, k, rounds), (trial, k, rounds)
