@@ -134,7 +134,7 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         F.col("rank").alias("rank_scaled"),
@@ -587,7 +587,7 @@ def label_propagation(
             .select("node", F.coalesce("vlabel", "label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            labels = labels.localCheckpoint()
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -779,7 +779,10 @@ def shortest_path_counts(
     accumulation divides σ values (order-dependent floats), σ itself is
     exact. Same level-synchronous composite-key loop as
     ``bfs_distances_per_seed``: per hop one frontier⋈adjacency join, one
-    map-side-combinable σ-sum, one anti-join; state ≤ |seeds|·|V|.
+    map-side-combinable σ-sum, one anti-join; state ≤ |seeds|·|V| —
+    and the same one-job-per-round fusion (non-eager frontier cut
+    materialized by the round's count, settled as unioned per-hop
+    pieces, early exit on an empty frontier; identical results).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
@@ -793,6 +796,7 @@ def shortest_path_counts(
         [(s, s, 0, 1) for s in seeds],
         f"seed {nt}, node {nt}, dist int, sigma long",
     ).localCheckpoint()
+    pieces = [settled]
     frontier = settled
     for hop in range(1, max_hops + 1):
         cand = (
@@ -800,14 +804,19 @@ def shortest_path_counts(
             .groupBy("seed", F.col("dst").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
         )
-        frontier = cand.join(settled, ["seed", "node"], "anti").withColumn(
-            "dist", F.lit(hop)
+        settled_u = functools.reduce(
+            lambda a, b: a.unionByName(b),
+            (p.select("seed", "node") for p in pieces),
         )
-        settled = settled.unionByName(frontier)
-        if hop % checkpoint_every == 0 and hop < max_hops:
-            settled = settled.localCheckpoint()
-            frontier = frontier.localCheckpoint()
-    return settled
+        frontier = (
+            cand.join(settled_u, ["seed", "node"], "anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        if frontier.count() == 0:
+            break
+        pieces.append(frontier)
+    return functools.reduce(lambda a, b: a.unionByName(b), pieces)
 
 
 def harmonic_centrality_x(
