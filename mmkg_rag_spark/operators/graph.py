@@ -924,19 +924,27 @@ def sssp_distances(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min(F.col("fdist") + F.col("w")).alias("cand"))
         )
-        merged = dist.join(relaxed, "node", "full_outer").select(
-            "node",
-            # Spark's least() skips NULLs: new node → cand, unrelaxed → dist
-            F.least(F.col("dist"), F.col("cand")).alias("new_dist"),
-            F.col("dist").alias("old_dist"),
+        # one job per round (round-5 fusion): the merge gets a non-eager
+        # cut that the frontier count materializes; dist/frontier read the
+        # materialized blocks. An empty delta frontier is a fixed point —
+        # every later round is a no-op — so the loop exits early with the
+        # identical result.
+        merged = (
+            dist.join(relaxed, "node", "full_outer")
+            .select(
+                "node",
+                # Spark's least() skips NULLs: new node → cand, unrelaxed → dist
+                F.least(F.col("dist"), F.col("cand")).alias("new_dist"),
+                F.col("dist").alias("old_dist"),
+            )
+            .localCheckpoint(eager=False)
         )
         frontier = merged.filter(
             F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
         ).select("node", F.col("new_dist").alias("dist"))
         dist = merged.select("node", F.col("new_dist").alias("dist"))
-        if r % checkpoint_every == 0 and r < rounds:
-            dist = dist.localCheckpoint()
-            frontier = frontier.localCheckpoint()
+        if frontier.count() == 0:
+            break
     return dist
 
 
@@ -1602,18 +1610,24 @@ def temporal_reachability(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("ts").alias("cand"))
         )
-        merged = arr.join(relaxed, "node", "full_outer").select(
-            "node",
-            F.least(F.col("arrival"), F.col("cand")).alias("new_a"),
-            F.col("arrival").alias("old_a"),
+        # same one-job-per-round fusion as sssp_distances: non-eager
+        # merge cut materialized by the frontier count; empty delta
+        # frontier = fixed point, early exit with identical result.
+        merged = (
+            arr.join(relaxed, "node", "full_outer")
+            .select(
+                "node",
+                F.least(F.col("arrival"), F.col("cand")).alias("new_a"),
+                F.col("arrival").alias("old_a"),
+            )
+            .localCheckpoint(eager=False)
         )
         frontier = merged.filter(
             F.col("old_a").isNull() | (F.col("new_a") < F.col("old_a"))
         ).select("node", F.col("new_a").alias("arrival"))
         arr = merged.select("node", F.col("new_a").alias("arrival"))
-        if r % checkpoint_every == 0 and r < rounds:
-            arr = arr.localCheckpoint()
-            frontier = frontier.localCheckpoint()
+        if frontier.count() == 0:
+            break
     return arr
 
 
